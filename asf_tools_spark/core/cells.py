@@ -147,15 +147,19 @@ def _spread_sql(expr: str) -> str:
 
 def grid_x_sql(lon_expr: str, res: int) -> str:
     n = 1 << res
+    # literals cast to DOUBLE: Spark would otherwise use DECIMAL arithmetic
+    # where DuckDB uses DOUBLE, breaking bit parity on the floor() boundary
     return (
-        f"LEAST(GREATEST(CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+        f"LEAST(GREATEST(CAST(FLOOR(((CAST({lon_expr} AS DOUBLE)) + CAST(180.0 AS DOUBLE))"
+        f" / CAST(360.0 AS DOUBLE) * {n}) AS BIGINT), 0), {n - 1})"
     )
 
 
 def grid_y_sql(lat_expr: str, res: int) -> str:
     n = 1 << res
     return (
-        f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+        f"LEAST(GREATEST(CAST(FLOOR(((CAST({lat_expr} AS DOUBLE)) + CAST(90.0 AS DOUBLE))"
+        f" / CAST(180.0 AS DOUBLE) * {n}) AS BIGINT), 0), {n - 1})"
     )
 
 

@@ -1,0 +1,162 @@
+"""Spatial joins: page x polygon broadcast join + PIP refine; kNN via
+cell-ring expansion; salted mega-cell aggregation.
+
+Spark mapping of the reference's nested-loop geometry joins
+(ref: src/asf_tools/vector.py:15-29, SURVEY §2.3 J1/J2) and covering-tile
+lookups (ref: generate_worldcover_tiles.py:143-188, J5):
+
+1. build side: polygon layer -> covering cells at the index resolution
+   (driver-side, layers are small) -> ``broadcast`` DataFrame;
+2. probe side: pages carry ``cell_id`` (pure JVM expression);
+3. equi-join on cell_id (BroadcastHashJoin — no shuffle of the big side);
+4. exact refine: vectorized crossing-number point-in-polygon in an
+   Arrow-batched pandas UDF (only rows that survived the cell filter).
+
+At 10^12 rows the only wide exchange is the optional final aggregate, which
+is salted (``salted_count``) because hotspot mega-cells would otherwise pin
+a single reducer (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import BooleanType
+
+from ..core import cells, geometry
+
+
+def polygon_cover_df(spark, polygons: list[dict], res: int) -> DataFrame:
+    """(poly_id, cell_id) covering pairs — the broadcast build side."""
+    rows = []
+    for p in polygons:
+        if "ring" in p:
+            cover = geometry.polygon_cover_cells(p["ring"], res)
+        else:
+            cover = cells.cover_bbox(p["min_lat"], p["min_lon"], p["max_lat"], p["max_lon"], res)
+        rows.extend((int(p["poly_id"]), int(c)) for c in cover)
+    return spark.createDataFrame(rows, "poly_id int, cell_id long")
+
+
+def _pip_udf(polygons: list[dict]):
+    """Arrow-batched exact point-in-polygon against a broadcast ring dict."""
+    rings = {int(p["poly_id"]): np.asarray(p["ring"], dtype=np.float64) for p in polygons}
+
+    @F.pandas_udf(BooleanType())
+    def contains(lat: pd.Series, lon: pd.Series, poly_id: pd.Series) -> pd.Series:
+        out = np.zeros(len(lat), dtype=bool)
+        la, lo, pid = lat.to_numpy(), lon.to_numpy(), poly_id.to_numpy()
+        for p in np.unique(pid):
+            sel = pid == p
+            out[sel] = geometry.points_in_ring(la[sel], lo[sel], rings[int(p)])
+        return pd.Series(out)
+
+    return contains
+
+
+def spatial_join_polygons(
+    pages: DataFrame,
+    polygons: list[dict],
+    res: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """pages x polygon-layer join (J2 generalized): one output row per
+    (page, containing polygon). ``how='left_semi'`` reproduces the boolean
+    existence test of ref vector.py:15-19 (J1)."""
+    spark = pages.sparkSession
+    cover = F.broadcast(polygon_cover_df(spark, polygons, res))
+    candidates = pages.join(cover, "cell_id", "inner")
+    if "ring" in polygons[0]:
+        refined = candidates.where(_pip_udf(polygons)(F.col("lat"), F.col("lon"), F.col("poly_id")))
+    else:
+        boxes = {int(p["poly_id"]): p for p in polygons}
+        cond = None
+        # boxes are SQL-expressible: refine stays JVM-side via a broadcast
+        # join against the box bounds instead of a Python UDF
+        bounds = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(p["poly_id"]), p["min_lat"], p["min_lon"], p["max_lat"], p["max_lon"])
+                    for p in boxes.values()
+                ],
+                "poly_id int, min_lat double, min_lon double, max_lat double, max_lon double",
+            )
+        )
+        refined = (
+            candidates.join(bounds, "poly_id", "inner")
+            .where(
+                (F.col("lat") >= F.col("min_lat"))
+                & (F.col("lat") <= F.col("max_lat"))
+                & (F.col("lon") >= F.col("min_lon"))
+                & (F.col("lon") <= F.col("max_lon"))
+            )
+            .drop("min_lat", "min_lon", "max_lat", "max_lon")
+        )
+    if how == "left_semi":
+        return pages.join(refined.select("cell_id", "lat", "lon").distinct(), ["cell_id", "lat", "lon"], "left_semi")
+    return refined
+
+
+def salted_count(df: DataFrame, key: str, salt_buckets: int = 32, salt_by: str | None = None) -> DataFrame:
+    """Two-phase salted aggregation: count per ``key`` robust to mega-key
+    skew. Phase 1 aggregates (key, salt) partials; phase 2 sums the (tiny)
+    partials. AQE splits skewed *joins* but not aggregations — hence manual
+    salting (SURVEY §4)."""
+    salt_src = F.col(salt_by) if salt_by else F.monotonically_increasing_id()
+    return (
+        df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(salt_buckets)))
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").alias("n_pages"))
+    )
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance (km) as a pure Catalyst expression."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return 2.0 * 6371.0088 * F.asin(F.sqrt(a))
+
+
+def knn_join(
+    points: DataFrame,
+    targets: list[dict],
+    k: int = 3,
+    res: int = 6,
+    max_ring: int = 3,
+    point_key: str = "url",
+) -> DataFrame:
+    """k nearest targets per point via cell-ring expansion (J5 at k>0).
+
+    targets: small list [{target_id, lat, lon}]. Build side: every target is
+    replicated into all cells within ``max_ring`` Chebyshev rings of its own
+    cell (broadcast). Probe side joins on cell_id, computes exact haversine,
+    and keeps the k nearest per point. Points farther than ``max_ring``
+    cells from every target get no rows — ring coverage is the recall knob,
+    exactly like the reference's covering-tile lookup generalized to k>0.
+    """
+    spark = points.sparkSession
+    rows = []
+    for t in targets:
+        c = int(cells.encode(np.array([t["lat"]]), np.array([t["lon"]]), res)[0])
+        for cc in cells.k_ring(c, max_ring):
+            rows.append((int(t["target_id"]), float(t["lat"]), float(t["lon"]), int(cc)))
+    ringed = F.broadcast(
+        spark.createDataFrame(rows, "target_id int, t_lat double, t_lon double, cell_id long")
+    )
+    pts = points.withColumn("_knn_cell", F.expr(cells.morton_cell_sql("lat", "lon", res)))
+    joined = pts.join(ringed, pts["_knn_cell"] == ringed["cell_id"], "inner").drop("cell_id")
+    dist = haversine_km(F.col("lat"), F.col("lon"), F.col("t_lat"), F.col("t_lon"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(point_key).orderBy(F.col("dist_km").asc(), F.col("target_id").asc())
+    return (
+        joined.withColumn("dist_km", dist)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .drop("_knn_cell", "t_lat", "t_lon")
+    )

@@ -1,0 +1,434 @@
+"""Query registry: each operator family gets (a) a DataFrame-API Spark query and
+(b) an ANSI-SQL DuckDB oracle producing identical rows on the driver's
+testdata. Shared derived expressions (geotags, cells, tiles, hashes, zmf)
+come from one emitter (asf_tools_spark.oracle) so both sides agree
+bit-for-bit; float aggregates are rounded identically on both sides.
+
+Each entry cites the reference operator it re-expresses (SURVEY §2 ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import oracle
+from .core import tiles
+from .functions.membership import zmf_sql
+from .operators.spatial_join import knn_join, salted_count
+from .plans.assignments import tile_assignments
+from .sources.pages import geotagged_documents
+from .sources.polygons import boxes_values_sql, watershed_boxes
+
+SF_DEFAULT = "/root/testdata/sf0.01"
+
+# the synthetic long-form "raster" grid derived from lineitem (both dialects)
+_GRID_COLS = 700
+_TILE = (100, 100)
+
+
+def _grid_sql(dialect: str) -> str:
+    tid = tiles.tile_id_sql("row", "col", _GRID_COLS, _TILE)
+    sub = tiles.subtile_id_sql("row", "col", _TILE)
+    return f"""(
+      SELECT row, col, value, {tid} AS tile_id, {sub} AS subtile_id
+      FROM (
+        SELECT l_orderkey % 500 AS row, l_partkey % {_GRID_COLS} AS col,
+               CAST(l_quantity AS DOUBLE) AS value
+        FROM lineitem
+      )
+    )"""
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def _grid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(f"SELECT * FROM {_grid_sql(oracle.SPARK)} g")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries (DataFrame API; shared emitters only for derived values)
+# ---------------------------------------------------------------------------
+
+def q_cell_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P-family+A-family: geotag -> cell encode -> salted count per cell."""
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    counts = salted_count(pages, "cell_id", salt_buckets=16, salt_by="doc_id")
+    means = pages.groupBy("cell_id").agg(F.round(F.avg("value"), 6).alias("mean_value"))
+    return counts.join(means, "cell_id").select("cell_id", "n_pages", "mean_value")
+
+
+def q_tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: page x watershed-box join -> per-(poly,cell) aggregates +
+    HAND candidate flag (J2 + A3 + select_hand_tiles semantics)."""
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    out = tile_assignments(pages, watershed_boxes(), res=8)
+    return out.select(
+        "poly_id",
+        "cell_id",
+        "n_pages",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("low_hand_fraction", 6).alias("low_hand_fraction"),
+        "hand_candidate",
+    )
+
+
+def q_knn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/kNN: 3 nearest hotspot sites per page via cell-ring expansion."""
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    targets = [
+        {"target_id": i, "lat": lat, "lon": lon} for i, (lat, lon) in enumerate(oracle.HOTSPOTS)
+    ]
+    out = knn_join(pages, targets, k=3, res=4, max_ring=1, point_key="doc_id")
+    return out.select(
+        "doc_id", "target_id", F.round("dist_km", 4).alias("dist_km"), "knn_rank"
+    )
+
+
+def q_convert_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (ref raster.py:17-47): db->power/amplitude as Catalyst exprs."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events").where(F.col("value").isNotNull())
+    # bounded db domain: raw event values span [0, 490] and 10^49 magnitudes
+    # can't round-trip across engines; db in [-12, 12.5] keeps parity exact
+    db = F.col("value") / 20.0 - 12.0
+    return ev.select(
+        "event_id",
+        F.round(F.pow(F.lit(10.0), db / 10.0), 6).alias("power"),
+        F.round(F.pow(F.lit(10.0), db / 20.0), 6).alias("amplitude"),
+    )
+
+
+def q_gaussian_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (ref water_map.py:297-298): power -> Gaussian thresholding scale."""
+    _register(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem").where(F.col("l_extendedprice") > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log10("l_extendedprice") + 30.0, 6).alias("gaussian"),
+    )
+
+
+def q_tile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (ref water_map.py:67): per-tile median over the long-form grid."""
+    g = _grid_df(spark, sf_dir)
+    return g.groupBy("tile_id").agg(F.round(F.median("value"), 6).alias("med_value"))
+
+
+def q_subtile_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (ref water_map.py:34-40,65-66): partial/final two-level aggregate —
+    mean per sub-tile then stddev_pop of the 4 means per tile."""
+    g = _grid_df(spark, sf_dir)
+    sub = g.groupBy("tile_id", "subtile_id").agg(F.avg("value").alias("sub_mean"))
+    return sub.groupBy("tile_id").agg(
+        F.round(F.stddev_pop("sub_mean"), 6).alias("sub_std"),
+        F.count(F.lit(1)).alias("n_subtiles"),
+    )
+
+
+def q_top5_variance_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/W8 (ref water_map.py:75-80): top-5 tiles by sub-tile-mean std."""
+    g = _grid_df(spark, sf_dir)
+    sub = g.groupBy("tile_id", "subtile_id").agg(F.avg("value").alias("sub_mean"))
+    stats = sub.groupBy("tile_id").agg(F.stddev_pop("sub_mean").alias("sub_std"))
+    w = Window.orderBy(F.col("sub_std").desc(), F.col("tile_id").asc())
+    return (
+        stats.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("tile_id", F.round("sub_std", 6).alias("sub_std"), "rk")
+    )
+
+
+def q_zmf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (ref water_map.py:110-114): z-shaped fuzzy membership."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events").where(F.col("value").isNotNull())
+    return ev.select(
+        "event_id",
+        F.round(F.expr(zmf_sql("value", 10.0, 100.0)), 6).alias("membership"),
+    )
+
+
+def q_candidate_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (ref water_map.py:73): intersect hand candidates with low-median
+    tiles (INTERSECT of two derived tile sets)."""
+    g = _grid_df(spark, sf_dir)
+    med = g.groupBy("tile_id").agg(F.median("value").alias("med"))
+    global_med = med.agg(F.median("med").alias("gm"))
+    low = med.join(global_med).where(F.col("med") < F.col("gm")).select("tile_id")
+    dense = g.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n"))
+    big = dense.where(F.col("n") >= 100).select("tile_id")
+    return low.intersect(big)
+
+
+def q_remove_small_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (ref water_map.py:139-146): anti-join away segments below min
+    area — users with < 5 events are dropped, survivors keep event rows."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    small = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") < 5)
+    return (
+        ev.join(small, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family coverage on TPC-H-ish lineitem (partial/final agg shape)."""
+    _register(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groups, keep min doc_id, report group size."""
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    return (
+        d.withColumn("fp", F.md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token count + char stats per doc."""
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    # tokens = spaces+1 on trimmed single-spaced text — avoids regex-engine
+    # differences between Spark (Java) and DuckDB (RE2)
+    norm = F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
+    n_tokens = F.when(F.length(norm) == 0, 0).otherwise(
+        F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_flood_depth_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/flood estimators (ref flood_map.py:165-180): per-polygon numpy
+    (mean + 3*std) and logstat (exp of log-domain stats) water heights."""
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    joined = pages.join(
+        F.broadcast(
+            spark.sql(f"SELECT * FROM {boxes_values_sql(watershed_boxes())} b")
+        ),
+        (F.col("lat") >= F.col("min_lat"))
+        & (F.col("lat") <= F.col("max_lat"))
+        & (F.col("lon") >= F.col("min_lon"))
+        & (F.col("lon") <= F.col("max_lon")),
+        "inner",
+    ).where(F.col("hand") > 0)
+    return joined.groupBy("poly_id").agg(
+        F.round(F.avg("hand") + 3.0 * F.stddev_pop("hand"), 6).alias("wh_numpy"),
+        F.round(
+            F.exp(F.avg(F.log("hand"))) + 3.0 * F.exp(F.stddev_pop(F.log("hand"))), 6
+        ).alias("wh_logstat"),
+        F.count(F.lit(1)).alias("n_pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _oracle_sqls() -> dict[str, str]:
+    d = oracle.DUCKDB
+    docs = oracle.geotagged_documents_sql(8, d)
+    boxes = boxes_values_sql(watershed_boxes())
+    grid = _grid_sql(d)
+
+    knn_res = 4
+    from .core import cells as C
+
+    n4 = 1 << knn_res
+    page_x = C.grid_x_sql("lon", knn_res)
+    page_y = C.grid_y_sql("lat", knn_res)
+    hotspot_rows = ", ".join(
+        f"({i}, {oracle.dbl(lat)}, {oracle.dbl(lon)})" for i, (lat, lon) in enumerate(oracle.HOTSPOTS)
+    )
+    hav = (
+        "2.0 * 6371.0088 * ASIN(SQRT(POWER(SIN(RADIANS(t_lat - lat) / 2), 2) "
+        "+ COS(RADIANS(lat)) * COS(RADIANS(t_lat)) * POWER(SIN(RADIANS(t_lon - lon) / 2), 2)))"
+    )
+
+    return {
+        "cell_assign_counts": f"""
+            SELECT cell_id, COUNT(*) AS n_pages, ROUND(AVG(value), 6) AS mean_value
+            FROM {docs} p GROUP BY cell_id
+        """,
+        "tile_assignments": f"""
+            SELECT b.poly_id, p.cell_id, COUNT(*) AS n_pages,
+                   ROUND(AVG(p.value), 6) AS mean_value,
+                   ROUND(SUM(CASE WHEN p.hand < 15.0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                     AS low_hand_fraction,
+                   (SUM(CASE WHEN p.hand < 15.0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) > 0.8
+                     AS hand_candidate
+            FROM {docs} p JOIN {boxes} b
+              ON p.lat >= b.min_lat AND p.lat <= b.max_lat
+             AND p.lon >= b.min_lon AND p.lon <= b.max_lon
+            GROUP BY b.poly_id, p.cell_id
+        """,
+        "knn_pages": f"""
+            WITH pages AS (
+              SELECT doc_id, lat, lon, {page_x} AS px, {page_y} AS py FROM {docs} p
+            ),
+            targets AS (
+              SELECT t.target_id, t.t_lat, t.t_lon,
+                     {C.grid_x_sql("t_lon", knn_res)} AS tx, {C.grid_y_sql("t_lat", knn_res)} AS ty
+              FROM (VALUES {hotspot_rows}) AS t(target_id, t_lat, t_lon)
+            ),
+            cand AS (
+              SELECT p.doc_id, t.target_id, {hav} AS dist_km
+              FROM pages p JOIN targets t
+                ON LEAST(ABS(p.px - t.tx), {n4} - ABS(p.px - t.tx)) <= 1
+               AND ABS(p.py - t.ty) <= 1
+            ),
+            ranked AS (
+              SELECT doc_id, target_id, dist_km,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist_km ASC, target_id ASC)
+                       AS knn_rank
+              FROM cand
+            )
+            SELECT doc_id, target_id, ROUND(dist_km, 4) AS dist_km, knn_rank
+            FROM ranked WHERE knn_rank <= 3
+        """,
+        "convert_scale": """
+            SELECT event_id,
+                   ROUND(POWER(CAST(10.0 AS DOUBLE), (value / 20.0 - 12.0) / 10.0), 6) AS power,
+                   ROUND(POWER(CAST(10.0 AS DOUBLE), (value / 20.0 - 12.0) / 20.0), 6) AS amplitude
+            FROM events WHERE value IS NOT NULL
+        """,
+        "gaussian_scale": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(LOG10(l_extendedprice) + 30.0, 6) AS gaussian
+            FROM lineitem WHERE l_extendedprice > 0
+        """,
+        "tile_median": f"""
+            SELECT tile_id, ROUND(MEDIAN(value), 6) AS med_value FROM {grid} g GROUP BY tile_id
+        """,
+        "subtile_mean_std": f"""
+            WITH sub AS (
+              SELECT tile_id, subtile_id, AVG(value) AS sub_mean
+              FROM {grid} g GROUP BY tile_id, subtile_id
+            )
+            SELECT tile_id, ROUND(STDDEV_POP(sub_mean), 6) AS sub_std,
+                   COUNT(*) AS n_subtiles
+            FROM sub GROUP BY tile_id
+        """,
+        "top5_variance_tiles": f"""
+            WITH sub AS (
+              SELECT tile_id, subtile_id, AVG(value) AS sub_mean
+              FROM {grid} g GROUP BY tile_id, subtile_id
+            ),
+            stats AS (
+              SELECT tile_id, STDDEV_POP(sub_mean) AS sub_std FROM sub GROUP BY tile_id
+            )
+            SELECT tile_id, ROUND(sub_std, 6) AS sub_std, rk FROM (
+              SELECT tile_id, sub_std,
+                     ROW_NUMBER() OVER (ORDER BY sub_std DESC, tile_id ASC) AS rk
+              FROM stats
+            ) WHERE rk <= 5
+        """,
+        "zmf_membership": f"""
+            SELECT event_id, ROUND({zmf_sql("value", 10.0, 100.0)}, 6) AS membership
+            FROM events WHERE value IS NOT NULL
+        """,
+        "candidate_intersection": f"""
+            WITH med AS (
+              SELECT tile_id, MEDIAN(value) AS med FROM {grid} g GROUP BY tile_id
+            ),
+            low AS (
+              SELECT tile_id FROM med WHERE med < (SELECT MEDIAN(med) FROM med)
+            ),
+            big AS (
+              SELECT tile_id FROM {grid} g GROUP BY tile_id HAVING COUNT(*) >= 100
+            )
+            SELECT tile_id FROM low INTERSECT SELECT tile_id FROM big
+        """,
+        "remove_small_segments": """
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            WHERE user_id NOT IN (
+              SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) < 5
+            )
+            GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            WITH norm AS (
+              SELECT doc_id, text, regexp_replace(TRIM(text), '\\s+', ' ', 'g') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN LENGTH(t) = 0 THEN 0
+                        ELSE LENGTH(t) - LENGTH(REPLACE(t, ' ', '')) + 1 END AS n_tokens,
+                   LENGTH(text) AS n_chars_actual
+            FROM norm
+        """,
+        "flood_depth_simple": f"""
+            SELECT b.poly_id,
+                   ROUND(AVG(p.hand) + 3.0 * STDDEV_POP(p.hand), 6) AS wh_numpy,
+                   ROUND(EXP(AVG(LN(p.hand))) + 3.0 * EXP(STDDEV_POP(LN(p.hand))), 6)
+                     AS wh_logstat,
+                   COUNT(*) AS n_pages
+            FROM {docs} p JOIN {boxes} b
+              ON p.lat >= b.min_lat AND p.lat <= b.max_lat
+             AND p.lon >= b.min_lon AND p.lon <= b.max_lon
+            WHERE p.hand > 0
+            GROUP BY b.poly_id
+        """,
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "cell_assign_counts": q_cell_assign_counts,
+        "tile_assignments": q_tile_assignments,
+        "knn_pages": q_knn_pages,
+        "convert_scale": q_convert_scale,
+        "gaussian_scale": q_gaussian_scale,
+        "tile_median": q_tile_median,
+        "subtile_mean_std": q_subtile_mean_std,
+        "top5_variance_tiles": q_top5_variance_tiles,
+        "zmf_membership": q_zmf_membership,
+        "candidate_intersection": q_candidate_intersection,
+        "remove_small_segments": q_remove_small_segments,
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "flood_depth_simple": q_flood_depth_simple,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracle_sqls()
