@@ -131,18 +131,56 @@ def cover_bbox(min_lat: float, min_lon: float, max_lat: float, max_lon: float, r
 # Shared SQL emitter (Spark SQL == DuckDB): identical integer ids.
 # ---------------------------------------------------------------------------
 
+SPREAD_MASKS = [
+    (16, "281470681808895"),     # 0x0000FFFF0000FFFF
+    (8, "71777214294589695"),    # 0x00FF00FF00FF00FF
+    (4, "1085102592571150095"),  # 0x0F0F0F0F0F0F0F0F
+    (2, "3689348814741910323"),  # 0x3333333333333333
+    (1, "6148914691236517205"),  # 0x5555555555555555
+]
+
+
 def _spread_sql(expr: str) -> str:
-    masks = [
-        (16, "281470681808895"),     # 0x0000FFFF0000FFFF
-        (8, "71777214294589695"),    # 0x00FF00FF00FF00FF
-        (4, "1085102592571150095"),  # 0x0F0F0F0F0F0F0F0F
-        (2, "3689348814741910323"),  # 0x3333333333333333
-        (1, "6148914691236517205"),  # 0x5555555555555555
-    ]
+    """Inline bit-spread. WARNING: doubles the operand text per level (32x
+    total) — fine for literals/tests; use :func:`cell_layered_select` or
+    functions.spatial.with_cell_col in hot query plans."""
     out = expr
-    for shift, mask in masks:
+    for shift, mask in SPREAD_MASKS:
         out = f"(({out} | ({out} << {shift})) & {mask})"
     return out
+
+
+def cell_layered_select(
+    inner_sql: str,
+    lat_col: str,
+    lon_col: str,
+    res: int,
+    carry: list[str],
+    out: str = "cell_id",
+) -> str:
+    """Layered (linear-size) cell-id computation as nested subqueries.
+
+    ``inner_sql`` is a parenthesized relation exposing ``lat_col``,
+    ``lon_col`` and the ``carry`` columns; the result exposes carry + lat +
+    lon + ``out``. Each bit-spread level references named columns exactly
+    once, so both Catalyst codegen and DuckDB stay compact.
+    """
+    if not 0 <= res <= 16:
+        raise ValueError("SQL emitter supports res in [0, 16]")
+    cols = ", ".join(dict.fromkeys(carry + [lat_col, lon_col]))
+    sql = (
+        f"(SELECT {cols}, {grid_x_sql(lon_col, res)} AS _mx, {grid_y_sql(lat_col, res)} AS _my"
+        f" FROM {inner_sql} _cl0)"
+    )
+    for i, (shift, mask) in enumerate(SPREAD_MASKS):
+        sql = (
+            f"(SELECT {cols}, ((_mx | (_mx << {shift})) & {mask}) AS _mx,"
+            f" ((_my | (_my << {shift})) & {mask}) AS _my FROM {sql} _cl{i + 1})"
+        )
+    return (
+        f"(SELECT {cols}, (CAST({res} AS BIGINT) << {_RES_SHIFT}) | _mx | (_my << 1) AS {out}"
+        f" FROM {sql} _clf)"
+    )
 
 
 def grid_x_sql(lon_expr: str, res: int) -> str:

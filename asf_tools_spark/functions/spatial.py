@@ -14,8 +14,39 @@ from ..core import cells, tiles
 
 
 def cell_col(lat: str, lon: str, res: int) -> Column:
-    """Z-order cell id at ``res`` — pure JVM expression (no Python worker)."""
+    """Z-order cell id at ``res`` — pure JVM expression (no Python worker).
+
+    NOTE: textual emitter (32x operand duplication) — use
+    :func:`with_cell_col` in hot plans; this form is for literals/tests.
+    """
     return F.expr(cells.morton_cell_sql(lat, lon, res)).alias("cell_id")
+
+
+def with_cell_col(df, lat: str = "lat", lon: str = "lon", res: int = 8, out: str = "cell_id"):
+    """Attach a Z-order cell id via a withColumn chain — each bit-spread
+    level is one named projection, keeping whole-stage codegen compact
+    (the inline emitter blows up 32x and stalls codegen)."""
+    n = 1 << res
+    mx = F.least(
+        F.greatest(F.floor((F.col(lon) + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    my = F.least(
+        F.greatest(F.floor((F.col(lat) + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    df = df.withColumn("_mx", mx).withColumn("_my", my)
+    for shift, mask in cells.SPREAD_MASKS:
+        m = int(mask)
+        df = df.withColumn(
+            "_mx", (F.col("_mx").bitwiseOR(F.shiftleft("_mx", shift))).bitwiseAND(F.lit(m))
+        ).withColumn(
+            "_my", (F.col("_my").bitwiseOR(F.shiftleft("_my", shift))).bitwiseAND(F.lit(m))
+        )
+    cell = F.shiftleft(F.lit(res).cast("long"), 54).bitwiseOR(
+        F.col("_mx").bitwiseOR(F.shiftleft("_my", 1))
+    )
+    return df.withColumn(out, cell).drop("_mx", "_my")
 
 
 def tile_col(row: str, col: str, array_cols: int, tile_shape: tuple[int, int]) -> Column:

@@ -1,0 +1,135 @@
+"""Long-form grid tiling operators: per-tile statistics + EM classification.
+
+Spark re-expression of the tile-stack math in ref water_map.py:
+- ``hand_tile_stats``        (A3, ref water_map.py:43-59)
+- ``backscatter_tile_stats`` (A1/A2, ref water_map.py:34-40,62-68)
+- ``em_thresholds_for_tiles`` (grouped-map EM, ref water_map.py:84-90 +
+  threshold.py:40-133 via core.em)
+
+Grids are long-form DataFrames ``(tile_id,row,col,value,valid)`` (see
+core.tiles.grid_to_long). Tile ids are derived keys — tiling moves no data;
+aggregation is the only shuffle and is partial/final (map-side combine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..core import tiles as core_tiles
+from ..core.em import em_threshold
+from ..core.selection import select_backscatter_tiles_from_stats, select_hand_tiles_from_stats
+
+
+def long_grid_df(spark: SparkSession, array, tile_shape: tuple[int, int], pad_value=np.nan) -> DataFrame:
+    """2D (masked) numpy array -> long-form grid DataFrame (test/bench aid)."""
+    cols = core_tiles.grid_to_long(array, tile_shape, pad_value)
+    pdf = pd.DataFrame(cols)
+    return spark.createDataFrame(pdf).select(
+        F.col("tile_id").cast("long"),
+        F.col("row").cast("int"),
+        F.col("col").cast("int"),
+        F.col("value").cast("double"),
+        F.col("valid").cast("boolean"),
+    )
+
+
+def hand_tile_stats(grid: DataFrame, hand_threshold: float, tile_pixels: int) -> DataFrame:
+    """Per-tile fraction of (valid & hand < threshold) pixels over the FULL
+    padded tile pixel count (ref water_map.py:56-59 semantics)."""
+    low = (F.col("valid") & (F.col("value") < F.lit(hand_threshold))).cast("long")
+    return grid.groupBy("tile_id").agg(
+        (F.sum(low) / F.lit(float(tile_pixels))).alias("low_frac"),
+        F.max(F.when(F.col("valid") & (F.abs("value") > 1e-8), 1).otherwise(0)).alias("any_nonzero"),
+    )
+
+
+def select_hand_tiles(grid: DataFrame, hand_threshold: float, hand_fraction: float,
+                      tile_pixels: int) -> np.ndarray:
+    """Distributed stats + exact driver-side selection (one row per tile)."""
+    stats = hand_tile_stats(grid, hand_threshold, tile_pixels).orderBy("tile_id").collect()
+    tile_ids = np.array([r.tile_id for r in stats])
+    fracs = np.array([r.low_frac for r in stats])
+    all_zero = not any(r.any_nonzero for r in stats)
+    return select_hand_tiles_from_stats(tile_ids, fracs, all_zero, hand_fraction)
+
+
+def backscatter_tile_stats(grid: DataFrame, tile_shape: tuple[int, int]) -> DataFrame:
+    """Per-tile (median of valid>0 pixels, std of the four sub-tile means).
+
+    Sub-tile means count masked/<=0 pixels as 0 with a constant denominator
+    (``filled(0)``, ref water_map.py:38); the median ignores them
+    (np.ma.median). Two-level partial/final aggregate (A2).
+    """
+    tr, tc = tile_shape
+    sub_pixels = (tr // 2) * (tc // 2)
+    masked_val = F.when(F.col("valid") & (F.col("value") > 0.0), F.col("value"))
+    g = grid.withColumn(
+        "subtile_id",
+        F.expr(core_tiles.subtile_id_sql("row", "col", tile_shape)),
+    )
+    sub = g.groupBy("tile_id", "subtile_id").agg(
+        (F.sum(F.coalesce(masked_val, F.lit(0.0))) / F.lit(float(sub_pixels))).alias("sub_mean"),
+    )
+    sub_stats = sub.groupBy("tile_id").agg(F.stddev_pop("sub_mean").alias("sub_std"))
+    med = grid.groupBy("tile_id").agg(F.median(masked_val).alias("tile_median"))
+    return sub_stats.join(med, "tile_id")
+
+
+def select_backscatter_tiles(grid: DataFrame, hand_candidates: np.ndarray,
+                             tile_shape: tuple[int, int], n_tiles: int) -> np.ndarray:
+    """Distributed per-tile stats + exact reference selection ladder
+    (ref water_map.py:62-81 via core.selection)."""
+    stats = backscatter_tile_stats(grid, tile_shape).collect()
+    sub_std = np.full(n_tiles, np.nan)
+    medians = np.ma.masked_all(n_tiles)
+    for r in stats:
+        sub_std[r.tile_id] = r.sub_std if r.sub_std is not None else np.nan
+        if r.tile_median is not None:
+            medians[r.tile_id] = r.tile_median
+    return select_backscatter_tiles_from_stats(sub_std, medians, hand_candidates)
+
+
+_EM_SCHEMA = StructType([
+    StructField("tile_id", LongType()),
+    StructField("threshold", DoubleType()),
+])
+
+
+def em_thresholds_for_tiles(grid: DataFrame, selected: np.ndarray, scaling: float,
+                            tile_shape: tuple[int, int]) -> DataFrame:
+    """Grouped-map EM per selected tile. Only the <=5 selected tiles reach
+    the Python worker (semi-join prunes first — the reference's
+    'compute EM only on selected tiles' optimization, SURVEY §4)."""
+    tr, tc = tile_shape
+    sel = [int(t) for t in selected]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.full((tr, tc), np.nan)
+        mask = np.ones((tr, tc), dtype=bool)
+        r_in = pdf["row"].to_numpy() % tr
+        c_in = pdf["col"].to_numpy() % tc
+        vals[r_in, c_in] = pdf["value"].to_numpy()
+        mask[r_in, c_in] = ~pdf["valid"].to_numpy()
+        tile = np.ma.MaskedArray(vals, mask=mask)
+        test_tile = np.ma.around(tile * scaling).astype(int)
+        thr = em_threshold(test_tile) / scaling
+        return pd.DataFrame({"tile_id": [int(pdf["tile_id"].iloc[0])], "threshold": [thr]})
+
+    return (
+        grid.where(F.col("tile_id").isin(sel))
+        .groupBy("tile_id")
+        .applyInPandas(fit, schema=_EM_SCHEMA)
+    )
+
+
+def determine_em_threshold_distributed(
+    grid: DataFrame, selected: np.ndarray, scaling: float, tile_shape: tuple[int, int]
+) -> float:
+    """Median of the 4 lowest per-tile EM thresholds
+    (ref water_map.py:84-90); the <=5 thresholds collect to the driver."""
+    rows = em_thresholds_for_tiles(grid, selected, scaling, tile_shape).collect()
+    thresholds = [r.threshold for r in rows]
+    return float(np.median(np.sort(thresholds)[:4]))

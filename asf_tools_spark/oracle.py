@@ -84,20 +84,60 @@ def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
     return cells.morton_cell_sql(lat_expr, lon_expr, res)
 
 
+def geotag_lat_from_hashes_sql() -> str:
+    """Latitude CASE over pre-computed hash columns _ha/_hb/_hc."""
+    hotspot_case = " ".join(
+        f"WHEN _hb % 5 = {i} THEN {dbl(lat)}" for i, (lat, _lon) in enumerate(HOTSPOTS)
+    )
+    jitter = f"(_hc % 1000) / {dbl(1000.0)} - {dbl(0.5)}"
+    uniform = f"(_hc % 1700000) / {dbl(10000.0)} - {dbl(85.0)}"
+    return f"CASE WHEN _ha % 100 < {HOTSPOT_PCT} THEN (CASE {hotspot_case} END) + {jitter} ELSE {uniform} END"
+
+
+def geotag_lon_from_hashes_sql() -> str:
+    hotspot_case = " ".join(
+        f"WHEN _hb % 5 = {i} THEN {dbl(lon)}" for i, (_lat, lon) in enumerate(HOTSPOTS)
+    )
+    jitter = f"(_hd % 1000) / {dbl(1000.0)} - {dbl(0.5)}"
+    uniform = f"(_hd % 3500000) / {dbl(10000.0)} - {dbl(175.0)}"
+    return f"CASE WHEN _ha % 100 < {HOTSPOT_PCT} THEN (CASE {hotspot_case} END) + {jitter} ELSE {uniform} END"
+
+
 def geotagged_documents_sql(res: int, dialect: str, table: str = "documents") -> str:
     """A subquery string turning the driver's ``documents`` table into a
-    geotagged page table: (doc_id, text, lang, lat, lon, value, hand,
-    cell_id). Identical values on Spark and DuckDB by construction."""
-    lat = geotag_lat_sql("doc_id", dialect)
-    lon = geotag_lon_sql("doc_id", dialect)
-    return f"""(
-      SELECT doc_id, text, lang, source, n_chars,
-             lat, lon,
-             {synth_value_sql("doc_id", dialect)} AS value,
-             {synth_hand_sql("lat", "lon", "doc_id", dialect)} AS hand,
-             {cell_sql("lat", "lon", res)} AS cell_id
-      FROM (
-        SELECT doc_id, text, lang, source, n_chars, {lat} AS lat, {lon} AS lon
-        FROM {table}
-      )
+    geotagged page table: (doc_id, text, lang, source, n_chars, lat, lon,
+    value, hand, cell_id). Identical values on Spark and DuckDB by
+    construction; layered named columns keep every md5 computed exactly
+    once and the Morton spread linear-size (codegen-friendly)."""
+    from .core.cells import cell_layered_select
+
+    base_cols = "doc_id, text, lang, source, n_chars"
+    hashes = f"""(
+      SELECT {base_cols},
+             {hash8_sql("doc_id", dialect, salt="geo-a")} AS _ha,
+             {hash8_sql("doc_id", dialect, salt="geo-b")} AS _hb,
+             {hash8_sql("doc_id", dialect, salt="geo-c")} AS _hc,
+             {hash8_sql("doc_id", dialect, salt="geo-d")} AS _hd,
+             {hash8_sql("doc_id", dialect, salt="val")} AS _hv,
+             {hash8_sql("doc_id", dialect, salt="hand")} AS _hh
+      FROM {table}
     )"""
+    geo = f"""(
+      SELECT {base_cols}, _hv, _hh,
+             {geotag_lat_from_hashes_sql()} AS lat,
+             {geotag_lon_from_hashes_sql()} AS lon
+      FROM {hashes} _g0
+    )"""
+    u = f"(_hv % 1000000) / {dbl(1000000.0)}"
+    noise = f"(_hh % 1000) / {dbl(200.0)}"
+    fields = f"""(
+      SELECT {base_cols}, lat, lon,
+             POWER({u}, {dbl(3.0)}) * {dbl(2.0)} + {dbl(0.000001)} AS value,
+             GREATEST({dbl(15.0)} * ({dbl(1.0)} + SIN(lat * {dbl(0.2)}) * COS(lon * {dbl(0.2)}))
+                      + {noise} - {dbl(2.5)}, {dbl(0.0)}) AS hand
+      FROM {geo} _g1
+    )"""
+    return cell_layered_select(
+        fields, "lat", "lon", res,
+        carry=["doc_id", "text", "lang", "source", "n_chars", "value", "hand"],
+    )

@@ -10,19 +10,56 @@ any row count by changing ``n``: the generator IS the 100 TB stand-in. The
 per-row invariant (extracted ``text`` is byte-identical per ``url``) holds
 by construction: ``text`` is derived from ``html`` by the same tag-stripping
 expression every time, and tests re-extract from ``html`` to verify.
+
+Hash/geotag/cell expressions are staged as named columns (one md5 per salt,
+one projection per Morton spread level) so whole-stage codegen stays
+compact — the inline emitters duplicate operands 32x and stall compilation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import oracle
+from ..functions.spatial import with_cell_col
 
 _WORDS = [
     "river", "flood", "water", "basin", "terrain", "radar", "backscatter",
     "sentinel", "map", "height", "drainage", "polar", "orbit", "pixel",
 ]
+
+
+def _h8(key: Column, salt: str) -> Column:
+    """First 8 hex digits of md5(salt || key) as BIGINT — the Column twin of
+    oracle.hash8_sql, same values."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10).cast("long")
+
+
+def _with_geotag(df: DataFrame, key: Column) -> DataFrame:
+    """lat/lon/value/hand from staged hash columns (oracle-parity CASEs)."""
+    df = (
+        df.withColumn("_ha", _h8(key, "geo-a"))
+        .withColumn("_hb", _h8(key, "geo-b"))
+        .withColumn("_hc", _h8(key, "geo-c"))
+        .withColumn("_hd", _h8(key, "geo-d"))
+        .withColumn("_hv", _h8(key, "val"))
+        .withColumn("_hh", _h8(key, "hand"))
+    )
+    df = df.withColumn("lat", F.expr(oracle.geotag_lat_from_hashes_sql())).withColumn(
+        "lon", F.expr(oracle.geotag_lon_from_hashes_sql())
+    )
+    u = F.col("_hv") % 1000000 / 1000000.0
+    df = df.withColumn("value", F.pow(u, 3.0) * 2.0 + 0.000001)
+    noise = F.col("_hh") % 1000 / 200.0
+    df = df.withColumn(
+        "hand",
+        F.greatest(
+            15.0 * (1.0 + F.sin(F.col("lat") * 0.2) * F.cos(F.col("lon") * 0.2)) + noise - 2.5,
+            F.lit(0.0),
+        ),
+    )
+    return df.drop("_ha", "_hb", "_hc", "_hd", "_hv", "_hh")
 
 
 def synth_pages(
@@ -39,69 +76,60 @@ def synth_pages(
     if partitions is None:
         partitions = max(int(spark.sparkContext.defaultParallelism), 1)
     df = spark.range(0, n, 1, partitions)
+    key = F.col("id")
 
     word = F.element_at(
         F.array(*[F.lit(w) for w in _WORDS]),
-        (F.expr(oracle.hash8_sql("id", oracle.SPARK, salt="w")) % len(_WORDS) + 1).cast("int"),
+        (_h8(key, "w") % len(_WORDS) + 1).cast("int"),
     )
-    n_repeat = (F.expr(oracle.hash8_sql("id", oracle.SPARK, salt="r")) % 40 + 3).cast("int")
+    n_repeat = (_h8(key, "r") % 40 + 3).cast("int")
     body = F.concat_ws(" ", F.array_repeat(word, n_repeat))
-
     html_str = F.concat(
-        F.lit("<html><head><title>Page "), F.col("id").cast("string"),
+        F.lit("<html><head><title>Page "), key.cast("string"),
         F.lit("</title></head><body><p>"), body, F.lit("</p></body></html>"),
     )
-
     lang = F.element_at(
         F.array(*[F.lit(x) for x in ["en", "en", "en", "en", "en", "zh", "es", "de", "fr", "pt"]]),
-        (F.expr(oracle.hash8_sql("id", oracle.SPARK, salt="l")) % 10 + 1).cast("int"),
+        (_h8(key, "l") % 10 + 1).cast("int"),
     )
 
     df = df.select(
+        "id",
         F.concat(
-            F.lit("https://site"),
-            (F.expr(oracle.hash8_sql("id", oracle.SPARK, salt="d")) % 1000).cast("string"),
-            F.lit(".example.com/page/"),
-            F.col("id").cast("string"),
+            F.lit("https://site"), (_h8(key, "d") % 1000).cast("string"),
+            F.lit(".example.com/page/"), key.cast("string"),
         ).alias("url"),
         (
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_interval(secs=(F.expr(oracle.hash8_sql("id", oracle.SPARK, salt="t")) % 31536000))
+            + F.make_interval(secs=(_h8(key, "t") % 31536000))
         ).alias("warc_ts"),
         html_str.cast("binary").alias("html"),
         extract_text(html_str.cast("binary")).alias("text"),
         lang.alias("lang"),
-        F.expr(oracle.geotag_lat_sql("id", oracle.SPARK)).alias("lat"),
-        F.expr(oracle.geotag_lon_sql("id", oracle.SPARK)).alias("lon"),
-        F.expr(oracle.synth_value_sql("id", oracle.SPARK)).alias("value"),
     )
-    df = df.withColumn("hand", F.expr(oracle.synth_hand_sql("lat", "lon", "crc32(url)", oracle.SPARK)))
-    return df.withColumn("cell_id", F.expr(oracle.cell_sql("lat", "lon", cell_res)))
+    df = _with_geotag(df, F.col("id")).drop("id")
+    return with_cell_col(df, "lat", "lon", cell_res, "cell_id")
 
 
-def extract_text(html_col) -> F.Column:
-    """The canonical HTML->text extraction (strip tags, collapse the title).
+def extract_text(html_col) -> Column:
+    """The canonical HTML->text extraction (strip tags, collapse space).
 
     Deterministic function of the html bytes — this IS the per-row invariant
     (BASELINE.json input_hint: byte-identical extracted text per url).
     """
     s = F.decode(html_col, "UTF-8")
-    return F.regexp_replace(F.regexp_replace(s, "<[^>]*>", " "), "\\s+", " ").try_cast("string")
+    return F.regexp_replace(F.regexp_replace(s, "<[^>]*>", " "), "\\s+", " ")
 
 
 def geotag_pages(df: DataFrame, key: str = "url", cell_res: int = 8) -> DataFrame:
     """Attach deterministic lat/lon/cell_id to any table with a key column —
     the generic 'geotagged at 10^12-document scale' entry (north_star)."""
-    key_expr = f"crc32({key})" if dict(df.dtypes).get(key) == "string" else key
-    return (
-        df.withColumn("lat", F.expr(oracle.geotag_lat_sql(key_expr, oracle.SPARK)))
-        .withColumn("lon", F.expr(oracle.geotag_lon_sql(key_expr, oracle.SPARK)))
-        .withColumn("cell_id", F.expr(oracle.cell_sql("lat", "lon", cell_res)))
-    )
+    key_col = F.crc32(key) if dict(df.dtypes).get(key) == "string" else F.col(key)
+    return with_cell_col(_with_geotag(df, key_col), "lat", "lon", cell_res, "cell_id")
 
 
 def geotagged_documents(spark: SparkSession, sf_dir: str, cell_res: int = 8) -> DataFrame:
     """The driver's ``documents`` table as a geotagged page table, matching
     oracle.geotagged_documents_sql value-for-value."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    return spark.sql(f"SELECT * FROM {oracle.geotagged_documents_sql(cell_res, oracle.SPARK)} t")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_cell_col(_with_geotag(docs, F.col("doc_id")), "lat", "lon", cell_res, "cell_id")

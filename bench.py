@@ -1,0 +1,95 @@
+"""Benchmark harness: headline spatial-join + tile-assignment throughput
+(pages/sec) on the deterministic synthetic page table, plus per-query
+timings of the registry at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <pages/sec>, "unit": "pages/sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default nproc), BENCH_PAGES (default 2_000_000),
+BENCH_TRIALS (default 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from asf_tools_spark import queries as registry  # noqa: E402
+from asf_tools_spark.plans.assignments import tile_assignments  # noqa: E402
+from asf_tools_spark.session import get_spark  # noqa: E402
+from asf_tools_spark.sources.pages import synth_pages  # noqa: E402
+
+
+def _materialize(df) -> int:
+    """Force full computation of every column (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_headline(spark, n_pages: int, trials: int) -> dict:
+    """Generate -> geotag -> cell-encode -> broadcast spatial join ->
+    salted aggregate -> candidate flag, end to end."""
+    times = []
+    for _ in range(trials):
+        t0 = time.time()
+        pages = synth_pages(spark, n_pages, cell_res=8)
+        out = tile_assignments(pages, res=8)
+        _materialize(out)
+        times.append(time.time() - t0)
+    med = sorted(times)[len(times) // 2]
+    return {"elapsed_sec": round(med, 3), "pages_per_sec": round(n_pages / med, 1)}
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name, fn in registry.queries().items():
+        t0 = time.time()
+        try:
+            _materialize(fn(spark, sf_dir))
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line parseable
+            out[name] = -1.0
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    n_pages = int(os.environ.get("BENCH_PAGES", "2000000"))
+    trials = int(os.environ.get("BENCH_TRIALS", "1"))
+
+    spark = get_spark("asf-tools-spark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM so the measured run is steady-state: execute the full
+    # headline plan shape once at small n (codegen compiles per plan shape)
+    _materialize(tile_assignments(synth_pages(spark, 50_000), res=8))
+
+    headline = bench_headline(spark, n_pages, trials)
+    queries = bench_queries(spark, sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    result = {
+        "metric": "spatial_join_tile_assignment_pages_per_sec",
+        "value": headline["pages_per_sec"],
+        "unit": "pages/sec",
+        "headline_elapsed_sec": headline["elapsed_sec"],
+        "headline_pages": n_pages,
+        "cpus": cpus,
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
