@@ -1,0 +1,200 @@
+"""Distributed water-extent map — the full make_water_map pipeline.
+
+Spark re-expression of ref: src/asf_tools/hydrosar/water_map.py:191-362,
+stage for stage (SURVEY §3.1), over aligned long-form grids
+``(tile_id,row,col,value,valid)``:
+
+1. HAND candidate tiles          — distributed agg + exact driver selection
+2. backscatter tile selection    — two-level agg + reference ladder (VH only,
+                                   reused for VV, ref :291-293)
+3. per-tile EM threshold         — applyInPandas on the <=5 selected tiles
+4. initial threshold water map   — pure Catalyst predicate
+5. fuzzy refinement              — distributed CC labeling + membership
+                                   expressions + window slope stencil
+6. VH|VV combine + small-segment removal
+
+Tested against core.watermap_mirror (the golden-pinned numpy spec) in
+tests/test_water_pipeline.py. Scale notes: the only pixel-wide shuffles are
+the per-tile aggregates (partial/final), the labeling groupBy, and the
+slope window (partitioned by column); selections/thresholds/limits are tiny
+scalar collects, exactly like the reference's driver-side decisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import tiling
+from ..operators.fuzzy_ops import interp_membership_col, membership_limits, slope_magnitude_col
+from ..operators.labeling import label_connected, remove_small_segments, segment_areas
+from ..functions.membership import zmf_col
+
+
+def _isclose0(c):
+    return F.abs(c) <= 1e-8  # np.isclose(x, 0.0)
+
+
+def make_water_map_grid(
+    vv_grid: DataFrame,
+    vh_grid: DataFrame,
+    hand_grid: DataFrame,
+    grid_shape: tuple[int, int],
+    tile_shape: tuple[int, int] = (100, 100),
+    max_vv_threshold: float = -15.5,
+    max_vh_threshold: float = -23.0,
+    hand_threshold: float = 15.0,
+    hand_fraction: float = 0.8,
+    membership_threshold: float = 0.45,
+    pixel_size: float = 30.0,
+) -> dict:
+    """Returns dict with 'water_map' DataFrame (row, col) of water pixels
+    plus per-stage intermediates (thresholds, selections) for testing."""
+    if tile_shape[0] % 2 or tile_shape[1] % 2:
+        raise ValueError(f"tile_shape {tile_shape} requires even values.")
+    rows_n, cols_n = grid_shape
+    tile_pixels = tile_shape[0] * tile_shape[1]
+    n_tiles = tiling.core_tiles.n_tiles(grid_shape, tile_shape)
+
+    hand_candidates = tiling.select_hand_tiles(hand_grid, hand_threshold, hand_fraction, tile_pixels)
+    out: dict = {"hand_candidates": hand_candidates}
+
+    # unpadded-extent hand with slope (stencil over the real array only)
+    hand_real = hand_grid.where((F.col("row") < rows_n) & (F.col("col") < cols_n))
+    hand_sloped = slope_magnitude_col(hand_real, "value", pixel_size, out="slope").select(
+        "row", "col", F.col("value").alias("hand"), "slope"
+    )
+    hand_limits = membership_limits(
+        hand_real.where(F.col("valid")).select("value"), "value"
+    )
+    out["hand_limits"] = hand_limits
+    hand_minmax = hand_real.where(F.col("valid")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    slope_minmax = hand_sloped.where(~F.isnan("slope")).agg(
+        F.min("slope").alias("lo"), F.max("slope").alias("hi")
+    ).collect()[0]
+
+    selected_tiles = None
+    fuzzy_maps = []
+    for max_db_threshold, grid, pol in ((max_vh_threshold, vh_grid, "VH"), (max_vv_threshold, vv_grid, "VV")):
+        bs = grid.withColumn("valid_bs", F.col("valid") & (F.col("value") > 0.0))
+        if selected_tiles is None:
+            selected_tiles = tiling.select_backscatter_tiles(bs, hand_candidates, tile_shape, n_tiles)
+            out["selected_tiles"] = selected_tiles
+
+        g = bs.withColumn("g", F.when(F.col("valid_bs"), F.log10("value") + 30.0)).persist()
+        max_gaussian_threshold = max_db_threshold / 10.0 + 30.0
+        if selected_tiles.size:
+            st = g.agg(F.avg("g").alias("m"), F.stddev_pop("g").alias("s")).collect()[0]
+            scaling = 256.0 / (st.m + 3.0 * st.s)
+            g_as_grid = g.select("tile_id", "row", "col", F.col("g").alias("value"), F.col("valid_bs").alias("valid"))
+            gaussian_threshold = tiling.determine_em_threshold_distributed(
+                g_as_grid, selected_tiles, scaling, tile_shape
+            )
+            gaussian_threshold = min(gaussian_threshold, max_gaussian_threshold)
+            out[f"scaling_{pol}"] = scaling
+        else:
+            gaussian_threshold = max_gaussian_threshold
+        out[f"gaussian_threshold_{pol}"] = gaussian_threshold
+
+        # initial map (ref :312-313): masked (<=0) pixels start True, then
+        # AND with nodata validity; padding is excluded by the extent filter
+        water = g.withColumn(
+            "water",
+            F.col("valid")
+            & (~F.col("valid_bs") | (F.col("g") <= F.lit(gaussian_threshold))),
+        ).where((F.col("row") < rows_n) & (F.col("col") < cols_n))
+        water = water.persist()
+        out[f"initial_{pol}"] = water.where("water").select("row", "col")
+
+        # gaussian lower limit (ref :325-326): median POWER over water pixels
+        # ref :325-326: median POWER over water & ~nodata (masked_where mask)
+        med = water.where(F.col("water") & F.col("valid")).agg(F.median("value").alias("m")).collect()[0].m
+        gaussian_lower_limit = float(np.log10(med) + 30.0) if med is not None else gaussian_threshold
+
+        fuzzy_maps.append(
+            _fuzzy_refinement(
+                water,
+                hand_sloped,
+                gaussian_thresholds=(gaussian_lower_limit, gaussian_threshold),
+                hand_limits=hand_limits,
+                hand_minmax=(hand_minmax.lo, hand_minmax.hi),
+                slope_minmax=(slope_minmax.lo, slope_minmax.hi),
+                tile_shape=tile_shape,
+                membership_threshold=membership_threshold,
+            )
+        )
+
+    combined = (
+        fuzzy_maps[0].select("tile_id", "row", "col")
+        .unionByName(fuzzy_maps[1].select("tile_id", "row", "col"))
+        .distinct()
+    )
+    labeled = label_connected(combined.withColumn("flag", F.lit(True)), "flag", tile_shape)
+    final = remove_small_segments(labeled, min_area=3)
+    out["water_map"] = final.select("row", "col")
+    return out
+
+
+def _fuzzy_refinement(
+    water: DataFrame,
+    hand_sloped: DataFrame,
+    gaussian_thresholds: tuple[float, float],
+    hand_limits: tuple[float, float],
+    hand_minmax: tuple[float, float],
+    slope_minmax: tuple[float, float],
+    tile_shape: tuple[int, int],
+    membership_threshold: float,
+) -> DataFrame:
+    """ref water_map.py:160-188 — memberships evaluated on water pixels only
+    (the final map is ANDed with the initial water mask anyway, ref :336),
+    with global scalars computed over the full arrays like the reference."""
+    glower, gthr = gaussian_thresholds
+
+    # 1. segment-size membership: label initial water, area per segment,
+    #    membership via the closed form of core.fuzzy (groupBy + join)
+    wpix = water.where("water").select("tile_id", "row", "col", "g", "valid_bs")
+    labeled = label_connected(wpix.withColumn("flag", F.lit(True)), "flag", tile_shape)
+    areas = segment_areas(labeled)
+    seg_mem = areas.withColumn(
+        "seg_mem",
+        F.when(F.col("area") > 10, F.lit(1.0)).when(
+            F.col("area") >= 3, 1.0 - zmf_col(F.col("area").cast("double"), 3.0, 10.0)
+        ).otherwise(F.lit(0.0)),
+    ).select("label", "seg_mem")
+    px = labeled.join(seg_mem, "label").select("tile_id", "row", "col", "seg_mem")
+
+    px = px.join(wpix, ["tile_id", "row", "col"]).join(
+        hand_sloped, ["row", "col"], "left"
+    )
+
+    # 2-4. gaussian / hand / slope memberships (quantized-grid interp)
+    gmm = water.agg(F.min("g").alias("lo"), F.max("g").alias("hi")).collect()[0]
+    px = px.withColumn(
+        "g_mem",
+        interp_membership_col(F.col("g"), float(gmm.lo), float(gmm.hi), 0.005, glower, gthr),
+    )
+    px = px.withColumn(
+        "h_mem",
+        interp_membership_col(
+            F.col("hand"), float(hand_minmax[0]), float(hand_minmax[1]), 0.1,
+            hand_limits[0], hand_limits[1],
+        ),
+    )
+    px = px.withColumn(
+        "s_mem",
+        interp_membership_col(
+            F.col("slope"), float(slope_minmax[0]), float(slope_minmax[1]), 0.1, 0.0, 15.0
+        ),
+    )
+
+    weights = (F.col("g_mem") + F.col("h_mem") + F.col("s_mem") + F.col("seg_mem")) / 4.0
+    return px.where(
+        ~_isclose0(F.col("seg_mem"))
+        & ~_isclose0(F.col("g_mem"))
+        & ~_isclose0(F.col("h_mem"))
+        & ~_isclose0(F.col("s_mem"))
+        & (weights >= F.lit(membership_threshold))
+        & F.col("valid_bs")  # ref :336 final AND with the backscatter mask
+    ).select("tile_id", "row", "col")
