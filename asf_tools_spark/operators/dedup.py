@@ -1,0 +1,197 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All hashing is the engine's shared md5-based ``hash8`` (oracle-checkable in
+DuckDB) and stays JVM-side — no Python workers anywhere in this module.
+
+- exact dedup: md5 fingerprint groupBy (hash-groupBy; salting unnecessary —
+  fingerprints are uniform)
+- MinHash + LSH: word shingles -> k min-hashes -> banded bucket join
+- SimHash: per-word hash sign-sums over b bits
+- n-gram Jaccard: exact verification on LSH candidate pairs
+- embedding near-dup: random-hyperplane LSH buckets -> exact cosine
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash8_col(c: Column, salt: str = "") -> Column:
+    """BIGINT in [0, 2^32): first 8 md5 hex digits (oracle.hash8_sql twin)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10).cast("long")
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical text normalization before fingerprinting: lowercase,
+    collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(fingerprint, keep_key, n_dups): keep the smallest key per identical
+    normalized text — the hash-groupBy exact pass."""
+    return (
+        df.withColumn("fp", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("fp")
+        .agg(F.min(key).alias("keep_" + key), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(key, shingle): distinct lowercase word tokens per document."""
+    return (
+        df.select(key, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, key: str, text_col: str = "text", n_hashes: int = 8) -> DataFrame:
+    """(key, sig_0..sig_{n-1}): min over shingles of hash_i(shingle).
+
+    One explode + one hash-aggregate; each hash_i is an independently salted
+    md5 — the permutation family. Map-side combine keeps the shuffle at
+    O(docs x n_hashes), independent of document length.
+    """
+    sh = word_shingles(df, key, text_col)
+    aggs = [F.min(hash8_col(F.col("shingle"), f"mh{i}-")).alias(f"sig_{i}") for i in range(n_hashes)]
+    return sh.groupBy(key).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, key: str, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """(key_a, key_b) candidate pairs sharing at least one LSH band bucket.
+
+    band value = concat of its rows' signatures; bucket join is an
+    equi-self-join on (band_id, band_val) — the banding turns near-dup
+    search from O(n^2) into per-bucket joins.
+    """
+    n = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *parts).alias("band_val")))
+    banded = sigs.select(key, F.explode(F.array(*band_cols)).alias("bv")).select(
+        key, F.col("bv.band_id").alias("band_id"), F.col("bv.band_val").alias("band_val")
+    )
+    a = banded.select(F.col(key).alias("key_a"), "band_id", "band_val")
+    b = banded.select(F.col(key).alias("key_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, key: str) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A ∩ B| via a shingle equi-join,
+    |A ∪ B| = |A| + |B| - |A ∩ B|."""
+    sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(key).alias("key_a"), "shingle")
+    sb = shingles.select(F.col(key).alias("key_b"), "shingle")
+    inter = (
+        pairs.join(sa, "key_a").join(sb, ["key_b", "shingle"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(key, "key_a").withColumnRenamed("sz", "sz_a"), "key_a")
+        .join(sizes.withColumnRenamed(key, "key_b").withColumnRenamed("sz", "sz_b"), "key_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(key, simhash): b-bit sign-sum fingerprint over word hashes.
+
+    bit j of hash(word) contributes +1/-1; simhash bit j = (sum > 0).
+    Single explode + one aggregate with b conditional sums (JVM-side).
+    """
+    sh = word_shingles(df, key, text_col).withColumn("h", hash8_col(F.col("shingle"), "simhash-"))
+    sums = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = sh.groupBy(key).agg(*sums)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out.bitwiseOR(F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"))
+    return agg.select(key, out.alias("simhash"))
+
+
+def hamming_near_pairs(sim: DataFrame, key: str, bits: int = 16, max_distance: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via bit_count on XOR.
+    Block on the top half of the fingerprint to avoid the full cross join
+    (pairs differing in <= max_distance bits agree on one half for
+    max_distance < bits/2 ... pigeonhole over two blocks)."""
+    lo_mask = (1 << (bits // 2)) - 1
+    blocked = sim.select(
+        key, "simhash",
+        F.shiftright("simhash", bits // 2).alias("hi"),
+        F.col("simhash").bitwiseAND(F.lit(lo_mask)).alias("lo"),
+    )
+    pairs = None
+    for block in ("hi", "lo"):
+        a = blocked.select(F.col(key).alias("key_a"), F.col("simhash").alias("sh_a"), F.col(block).alias("blk"))
+        b = blocked.select(F.col(key).alias("key_b"), F.col("simhash").alias("sh_b"), F.col(block).alias("blk"))
+        p = a.join(b, "blk").where(F.col("key_a") < F.col("key_b")).drop("blk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_distance)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame, key: str, vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42, dim: int | None = None,
+    cosine_threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine: random-hyperplane LSH bucket
+    (sign bits of plane dot products) then exact cosine within buckets.
+    Planes are seed-deterministic numpy, shipped as literal arrays; the dot
+    products are `F.zip_with`+`F.aggregate` — JVM-side, no Python."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def dot_with(plane: np.ndarray) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket.bitwiseOR(
+            F.when(dot_with(planes[i]) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+    bucketed = emb.select(key, vec_col, bucket.alias("bucket"))
+
+    a = bucketed.select(F.col(key).alias("key_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(key).alias("key_b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("key_a") < F.col("key_b"))
+
+    def dot(x: str, y: str) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    def norm(x: str) -> Column:
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(x), lambda p: p.cast("double") * p.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ))
+
+    return (
+        pairs.withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("key_a", "key_b", "cosine")
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. Pure Catalyst expressions (JVM, codegen) — the
+hot-path rule for a 10^12-row text table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import hash8_col, normalize_text
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "es": [" el ", " la ", " de ", " que ", " los "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "pt": [" o ", " de ", " que ", " os ", " uma "],
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences via length arithmetic (shared
+    semantics with the SQL oracle; avoids regex-engine differences)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker-hit scores + argmax language guess."""
+    t = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = _occurrences(t, m)
+            score = c if score is None else score + c
+        out = out.withColumn(f"score_{lang}", score.cast("double"))
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # deterministic argmax: strictly-greater wins, first language on ties
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return out.withColumn("lang_guess", best)
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (normalize -> count spaces + 1)."""
+    norm = normalize_text(text)
+    return F.when(F.length(norm) == 0, 0).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword features + a [0,1] quality
+    score (the usual web-text heuristics: too-short, low stopword density,
+    and symbol-heavy documents score low)."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    n_chars = F.length(t)
+    n_tokens = token_count_col(t)
+    mean_tok = F.when(n_tokens > 0, (F.length(norm) - n_tokens + 1) / n_tokens).otherwise(0.0)
+    n_punct = (
+        _occurrences(norm, ".") + _occurrences(norm, ",") + _occurrences(norm, "!")
+        + _occurrences(norm, "?")
+    )
+    spaced = F.concat(F.lit(" "), norm, F.lit(" "))
+    n_stop = None
+    for m in LANG_MARKERS["en"]:
+        c = _occurrences(spaced, m)
+        n_stop = c if n_stop is None else n_stop + c
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+
+    length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(F.lit(1.0) - F.least(punct_ratio, F.lit(1.0)))
+    score = (length_score + stop_score + punct_ok) / 3.0
+    return df.withColumn("n_tokens", n_tokens.cast("long")).withColumn(
+        "mean_token_len", F.round(mean_tok, 6)
+    ).withColumn("punct_ratio", F.round(punct_ratio, 6)).withColumn(
+        "stopword_ratio", F.round(stop_ratio, 6)
+    ).withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full md5 of normalized text + a winnowed
+    shingle fingerprint (min word-shingle hash — a 1-hash MinHash, the
+    rolling-hash document-fingerprint analogue)."""
+    norm = normalize_text(F.col(text_col))
+    shingled = df.select(
+        key,
+        F.md5(norm).alias("md5_fp"),
+        F.explode(F.split(norm, " ")).alias("w"),
+    )
+    return shingled.groupBy(key, "md5_fp").agg(
+        F.min(hash8_col(F.col("w"), "fp-")).alias("min_shingle_fp")
+    )

@@ -411,6 +411,15 @@ def _oracle_sqls() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import queries_raster, queries_text
+
+    out = _base_queries()
+    out.update(queries_text.queries())
+    out.update(queries_raster.queries())
+    return out
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign_counts": q_cell_assign_counts,
         "tile_assignments": q_tile_assignments,
@@ -431,4 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return _oracle_sqls()
+    from . import queries_raster, queries_text
+
+    out = _oracle_sqls()
+    out.update(queries_text.oracle_sql())
+    out.update(queries_raster.oracle_sql())
+    return out

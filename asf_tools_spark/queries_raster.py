@@ -1,0 +1,264 @@
+"""Wave-2 query registry: raster/composite/statistics operator families with
+DuckDB oracles (SURVEY §2.4 A7/A8/A9/A10/A13, §2.3 J3/A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .operators.multimodal import decode_and_featurize, sniff_media_type, synth_media
+
+_NMAD_SCALE = 0.6744897501960817
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def q_epsg_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (ref composite.py:32-57): hemisphere mode (ties -> North/lower),
+    median zone pick zones[(n-1)//2]."""
+    _register(spark, sf_dir, "nation")
+    codes = spark.table("nation").select(
+        (
+            F.when(F.col("n_regionkey") % 2 == 0, 32600).otherwise(32700)
+            + (F.col("n_nationkey") % 60) + 1
+        ).alias("code")
+    )
+    hemi = codes.select((F.floor(F.col("code") / 100) * 100).alias("h"))
+    hcount = hemi.groupBy("h").count()
+    top = hcount.agg(F.max("count").alias("m"))
+    target_h = (
+        hcount.join(top, hcount["count"] == top["m"]).agg(F.min("h").alias("th"))
+    )
+    zones = codes.select((F.col("code") % 100).alias("z"))
+    n = zones.count()
+    zw = Window.orderBy(F.col("z").asc())
+    target_z = (
+        zones.withColumn("rk", F.row_number().over(zw))
+        .where(F.col("rk") == (n - 1) // 2 + 1)
+        .select(F.col("z").alias("tz"))
+    )
+    return target_h.crossJoin(target_z).select((F.col("th") + F.col("tz")).alias("target_epsg"))
+
+
+def q_histogram_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W5 (ref threshold.py:4-24): fractional-split histogram +
+    [1,2,3,2,1] smoothing, on integer-bounded event values."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events").where(F.col("value").isNotNull())
+    v = F.col("value") % 97.0
+    binned = ev.select(v.alias("v"), F.floor(v).cast("long").alias("fv"))
+    maximum = 98  # ceil(max(v)) + 1 for v in [0, 97)
+    contrib = binned.where((F.col("fv") > 0) & (F.col("fv") < maximum - 1)).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("fv").alias("bin"), (F.col("v") - F.col("fv")).alias("w")),
+                F.struct((F.col("fv") - 1).alias("bin"), (1.0 - (F.col("v") - F.col("fv"))).alias("w")),
+            )
+        ).alias("c")
+    ).select(F.col("c.bin"), F.col("c.w"))
+    hist = contrib.groupBy("bin").agg(F.sum("w").alias("mass"))
+    kernel = [(-2, 1.0), (-1, 2.0), (0, 3.0), (1, 2.0), (2, 1.0)]
+    kdf = spark.createDataFrame(kernel, "off int, kw double")
+    smoothed = (
+        hist.crossJoin(F.broadcast(kdf))
+        .select((F.col("bin") + F.col("off")).alias("sbin"), (F.col("mass") * F.col("kw")).alias("m"))
+        .where((F.col("sbin") >= 0) & (F.col("sbin") <= maximum - 2))
+        .groupBy("sbin")
+        .agg(F.sum("m").alias("smass"))
+    )
+    total = smoothed.agg(F.sum("smass").alias("t"))
+    return (
+        smoothed.crossJoin(total)
+        .select(F.col("sbin").alias("bin"), F.round(F.col("smass") / F.col("t"), 9).alias("density"))
+    )
+
+
+def q_reverse_cdf_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (ref flood_map.py:34-38): reverse-CDF 95% threshold over a
+    100-bin density histogram."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events").where(F.col("value").isNotNull()).select("value")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"), F.count("*").alias("n")).collect()[0]
+    lo, hi, n = float(mm.lo), float(mm.hi), int(mm.n)
+    width = (hi - lo) / 100.0
+    b = F.least(F.floor((F.col("value") - lo) / width).cast("int"), F.lit(99))
+    hist = ev.select(b.alias("bin")).groupBy("bin").count()
+    # density = count / (n * width); reverse cdf over bins desc
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    rcdf = hist.select(
+        "bin", (F.col("count") / (n * width) * width).alias("dmass")
+    ).withColumn("rcdf", F.sum("dmass").over(w))
+    # searchsorted(rcdf_asc, 0.95, 'left') = count of entries < 0.95;
+    # flipped bin_edges index i -> edge = hi - i*width
+    i = rcdf.where(F.col("rcdf") < 0.95).count()
+    thr = float(round(hi - i * width) + 1)
+    return spark.range(1).select(F.lit(thr).alias("pw_threshold"))
+
+
+def q_confusion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (ref flood_map.py:75-81): one-pass confusion-matrix counts."""
+    from .sources.pages import geotagged_documents
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    pred = F.col("hand") < 8.0
+    obs = F.col("value") < 0.25
+    return pages.agg(
+        F.sum((pred & obs).cast("long")).alias("tp"),
+        F.sum((~pred & ~obs).cast("long")).alias("tn"),
+        F.sum((pred & ~obs).cast("long")).alias("fp"),
+        F.sum((~pred & obs).cast("long")).alias("fn"),
+    )
+
+
+def q_label_stats_nmad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (ref flood_map.py:165-180): per-group mean/std/median/NMAD."""
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    med = d.groupBy("lang").agg(F.median("n_chars").alias("med"))
+    nmad = (
+        d.join(med, "lang")
+        .groupBy("lang")
+        .agg((F.median(F.abs(F.col("n_chars") - F.col("med"))) / _NMAD_SCALE).alias("nmad"))
+    )
+    stats = d.groupBy("lang").agg(
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("std_chars"),
+        F.median("n_chars").alias("med_chars"),
+    )
+    return stats.join(nmad.select("lang", F.round("nmad", 6).alias("nmad_chars")), "lang")
+
+
+def q_mosaic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A6 (ref composite.py:197-235): two offset rasters, local-area
+    weighted mosaic + contributor counts."""
+    from .operators.composite import make_composite
+
+    _register(spark, sf_dir, "part", "supplier")
+    p = spark.table("part")
+    g1 = p.select(
+        (F.col("p_partkey") % 40).cast("int").alias("row"),
+        (F.col("p_size") % 50).cast("int").alias("col"),
+        (F.col("p_retailprice") % 100.0).alias("value"),
+    ).groupBy("row", "col").agg(F.max("value").alias("value"))
+    a1 = g1.select("row", "col", (F.lit(1.0) + (F.col("row") % 3)).alias("area"))
+    s = spark.table("supplier")
+    g2 = s.select(
+        (F.col("s_suppkey") % 30).cast("int").alias("row"),
+        (F.col("s_suppkey") % 45).cast("int").alias("col"),
+        (F.col("s_acctbal") % 100.0).alias("value"),
+    ).groupBy("row", "col").agg(F.max("value").alias("value"))
+    a2 = g2.select("row", "col", F.lit(2.0).alias("area"))
+    out = make_composite([
+        {"grid": g1, "area": a1, "row_off": 0, "col_off": 0},
+        {"grid": g2, "area": a2, "row_off": 5, "col_off": 7},
+    ])
+    return out.select("row", "col", F.round("value", 6).alias("value"), "count")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check): synth media -> magic-byte
+    sniff -> stub decode/featurize via mapInPandas."""
+    media = synth_media(spark, 2000)
+    sniffed = media.withColumn("container", sniff_media_type(F.col("payload")))
+    feats = decode_and_featurize(media, target=(8, 8), fake=True)
+    return sniffed.select("media_id", "kind", "container").join(feats, "media_id")
+
+
+def _oracle_sqls() -> dict[str, str]:
+    from . import oracle
+
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    sqls: dict[str, str] = {}
+    sqls["epsg_vote"] = """
+        WITH codes AS (
+          SELECT (CASE WHEN n_regionkey % 2 = 0 THEN 32600 ELSE 32700 END
+                  + (n_nationkey % 60) + 1) AS code
+          FROM nation
+        ),
+        hcount AS (SELECT CAST(FLOOR(code / 100) * 100 AS BIGINT) AS h, COUNT(*) AS c FROM codes GROUP BY 1),
+        th AS (SELECT MIN(h) AS th FROM hcount WHERE c = (SELECT MAX(c) FROM hcount)),
+        z AS (SELECT code % 100 AS z, ROW_NUMBER() OVER (ORDER BY code % 100 ASC) AS rk FROM codes),
+        tz AS (SELECT z AS tz FROM z WHERE rk = (SELECT (COUNT(*) - 1) // 2 + 1 FROM codes))
+        SELECT th + tz AS target_epsg FROM th, tz
+    """
+    sqls["histogram_smooth"] = """
+        WITH binned AS (
+          SELECT value % CAST(97.0 AS DOUBLE) AS v,
+                 CAST(FLOOR(value % CAST(97.0 AS DOUBLE)) AS BIGINT) AS fv
+          FROM events WHERE value IS NOT NULL
+        ),
+        contrib AS (
+          SELECT fv AS bin, v - fv AS w FROM binned WHERE fv > 0 AND fv < 97
+          UNION ALL
+          SELECT fv - 1 AS bin, 1.0 - (v - fv) AS w FROM binned WHERE fv > 0 AND fv < 97
+        ),
+        hist AS (SELECT bin, SUM(w) AS mass FROM contrib GROUP BY bin),
+        kernel AS (SELECT * FROM (VALUES (-2, 1.0), (-1, 2.0), (0, 3.0), (1, 2.0), (2, 1.0)) k(off, kw)),
+        smoothed AS (
+          SELECT bin + off AS sbin, SUM(mass * kw) AS smass
+          FROM hist CROSS JOIN kernel
+          WHERE bin + off >= 0 AND bin + off <= 96
+          GROUP BY bin + off
+        )
+        SELECT sbin AS bin, ROUND(smass / (SELECT SUM(smass) FROM smoothed), 9) AS density
+        FROM smoothed
+    """
+    sqls["confusion_counts"] = f"""
+        SELECT SUM(CASE WHEN hand < 8.0 AND value < 0.25 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN hand >= 8.0 AND value >= 0.25 THEN 1 ELSE 0 END) AS tn,
+               SUM(CASE WHEN hand < 8.0 AND value >= 0.25 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN hand >= 8.0 AND value < 0.25 THEN 1 ELSE 0 END) AS fn
+        FROM {docs} p
+    """
+    sqls["label_stats_nmad"] = f"""
+        WITH med AS (SELECT lang, MEDIAN(n_chars::DOUBLE) AS med FROM documents GROUP BY lang),
+        nm AS (
+          SELECT d.lang, MEDIAN(ABS(d.n_chars - m.med)) / {_NMAD_SCALE!r} AS nmad
+          FROM documents d JOIN med m ON d.lang = m.lang GROUP BY d.lang
+        )
+        SELECT s.lang, s.mean_chars, s.std_chars, s.med_chars, ROUND(nm.nmad, 6) AS nmad_chars
+        FROM (
+          SELECT lang, ROUND(AVG(n_chars), 6) AS mean_chars,
+                 ROUND(STDDEV_POP(n_chars), 6) AS std_chars,
+                 MEDIAN(n_chars::DOUBLE) AS med_chars
+          FROM documents GROUP BY lang
+        ) s JOIN nm ON s.lang = nm.lang
+    """
+    sqls["mosaic_weighted"] = """
+        WITH g1 AS (
+          SELECT CAST(p_partkey % 40 AS INT) AS row, CAST(p_size % 50 AS INT) AS col,
+                 MAX(p_retailprice % CAST(100.0 AS DOUBLE)) AS value
+          FROM part GROUP BY 1, 2
+        ),
+        r1 AS (SELECT row, col, value, 1.0 / (1.0 + (row % 3)) AS w FROM g1),
+        g2 AS (
+          SELECT CAST(s_suppkey % 30 AS INT) AS row, CAST(s_suppkey % 45 AS INT) AS col,
+                 MAX(s_acctbal % CAST(100.0 AS DOUBLE)) AS value
+          FROM supplier GROUP BY 1, 2
+        ),
+        r2 AS (SELECT row + 5 AS row, col + 7 AS col, value, 1.0 / 2.0 AS w FROM g2),
+        unioned AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        SELECT row, col, ROUND(SUM(value * w) / SUM(w), 6) AS value, COUNT(*) AS count
+        FROM unioned WHERE value IS NOT NULL GROUP BY row, col
+    """
+    return sqls
+
+
+def queries() -> dict:
+    return {
+        "epsg_vote": q_epsg_vote,
+        "histogram_smooth": q_histogram_smooth,
+        "reverse_cdf_threshold": q_reverse_cdf_threshold,  # rows-only: scalar derived driver-side
+        "confusion_counts": q_confusion_counts,
+        "label_stats_nmad": q_label_stats_nmad,
+        "mosaic_weighted": q_mosaic_weighted,
+        "media_features": q_media_features,  # rows-only: binary payloads not in oracle views
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracle_sqls()

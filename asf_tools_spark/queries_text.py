@@ -1,0 +1,268 @@
+"""Wave-2 query registry: dedup / text-analysis / similarity operators with
+DuckDB oracles. Same contract as queries.py (DataFrame API on Spark, ANSI
+SQL on DuckDB, shared md5-hash idiom, rounded float outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import oracle
+from .operators import dedup, similarity, text
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+N_MINHASH = 8
+BANDS, ROWS_PER_BAND = 4, 2
+SIMHASH_BITS = 16
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(spark.table("documents"), "doc_id", n_hashes=N_MINHASH)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(spark.table("documents"), "doc_id", n_hashes=N_MINHASH)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    sh = dedup.word_shingles(docs, "doc_id")
+    out = dedup.jaccard_on_pairs(pairs, sh, "doc_id")
+    return out.select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return dedup.simhash(spark.table("documents"), "doc_id", bits=SIMHASH_BITS)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    out = text.language_scores(spark.table("documents"))
+    cols = ["doc_id"] + [F.round(f"score_{k}", 6).alias(f"score_{k}") for k in text.LANG_MARKERS]
+    return out.select(*cols, "lang_guess")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    out = text.quality_features(spark.table("documents"))
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return text.fingerprint(spark.table("documents"), "doc_id")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (rows-only check: bucket membership depends on
+    seed-deterministic hyperplanes not expressible in the oracle). The
+    testdata embeddings are random unit vectors with no true near-dups, so
+    report the 50 most-similar bucketed pairs instead of thresholding."""
+    from pyspark.sql.window import Window
+
+    _register(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(spark.table("embeddings"), "vec_id", cosine_threshold=-1.0)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("key_a").asc(), F.col("key_b").asc())
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("key_a", "key_b", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+def _norm_sql(col: str) -> str:
+    return f"TRIM(regexp_replace(LOWER({col}), '\\s+', ' ', 'g'))"
+
+
+def _shingles_sql() -> str:
+    return f"""(
+      SELECT DISTINCT doc_id, w AS shingle FROM (
+        SELECT doc_id, unnest(string_split({_norm_sql("text")}, ' ')) AS w FROM documents
+      ) t WHERE LENGTH(w) > 0
+    )"""
+
+
+def _hash8(expr: str, salt: str) -> str:
+    return oracle.hash8_sql(expr, oracle.DUCKDB, salt=salt)
+
+
+def _minhash_sql() -> str:
+    aggs = ", ".join(
+        f"MIN({_hash8('shingle', f'mh{i}-')}) AS sig_{i}" for i in range(N_MINHASH)
+    )
+    return f"(SELECT doc_id, {aggs} FROM {_shingles_sql()} s GROUP BY doc_id)"
+
+
+def _lsh_pairs_sql() -> str:
+    bands = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"CAST(sig_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_val FROM sigs")
+    banded = " UNION ALL ".join(bands)
+    return f"""
+        WITH sigs AS (SELECT * FROM {_minhash_sql()} m),
+        banded AS ({banded})
+        SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """
+
+
+def _occ_sql(text_expr: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"(LENGTH({text_expr}) - LENGTH(REPLACE({text_expr}, '{n}', ''))) / {len(needle)}"
+
+
+def _oracle_sqls() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+    sqls["minhash_signatures"] = f"SELECT * FROM {_minhash_sql()} m"
+    sqls["lsh_pairs"] = _lsh_pairs_sql()
+    sqls["jaccard_pairs"] = f"""
+        WITH pairs AS ({_lsh_pairs_sql()}),
+        sh AS (SELECT * FROM {_shingles_sql()} s),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.key_a, p.key_b, COUNT(*) AS i
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.key_a
+          JOIN sh b ON b.doc_id = p.key_b AND b.shingle = a.shingle
+          GROUP BY p.key_a, p.key_b
+        )
+        SELECT i.key_a, i.key_b,
+               ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.key_a
+        JOIN sizes sb ON sb.doc_id = i.key_b
+    """
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " | ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    sqls["simhash"] = f"""
+        WITH h AS (
+          SELECT doc_id, {_hash8("shingle", "simhash-")} AS h FROM {_shingles_sql()} s
+        ),
+        sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    """
+    spaced = f"' ' || {_norm_sql('text')} || ' '"
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        occ = " + ".join(_occ_sql("t", m) for m in markers)
+        score_cols.append(f"CAST({occ} AS DOUBLE) AS score_{lang}")
+    langs = list(text.LANG_MARKERS)
+    # mirror the Spark fold on RAW scores: strictly-greater beats the best
+    # so far, first-listed language wins ties, 'und' when all zero
+    best_expr = "0.0"
+    guess_expr = "'und'"
+    for lang in langs:
+        guess_expr = f"CASE WHEN score_{lang} > {best_expr} THEN '{lang}' ELSE {guess_expr} END"
+        best_expr = f"CASE WHEN score_{lang} > {best_expr} THEN score_{lang} ELSE {best_expr} END"
+    sqls["lang_id"] = f"""
+        WITH scored AS (
+          SELECT doc_id, {", ".join(score_cols)}
+          FROM (SELECT doc_id, {spaced} AS t FROM documents) d
+        )
+        SELECT doc_id, {", ".join(f"ROUND(score_{k}, 6) AS score_{k}" for k in langs)},
+               {guess_expr} AS lang_guess
+        FROM scored
+    """
+    en = " + ".join(_occ_sql("spaced", m) for m in text.LANG_MARKERS["en"])
+    punct = " + ".join(_occ_sql("norm", p) for p in [".", ",", "!", "?"])
+    sqls["quality_score"] = f"""
+        WITH base AS (
+          SELECT doc_id, text, {_norm_sql("text")} AS norm FROM documents
+        ),
+        feat AS (
+          SELECT doc_id, LENGTH(text) AS n_chars,
+                 CASE WHEN LENGTH(norm) = 0 THEN 0
+                      ELSE LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 END AS n_tokens,
+                 norm, ' ' || norm || ' ' AS spaced
+          FROM base
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN n_tokens > 0 THEN (LENGTH(norm) - n_tokens + 1) * 1.0 / n_tokens ELSE 0.0 END, 6) AS mean_token_len,
+               ROUND(CASE WHEN n_chars > 0 THEN ({punct}) * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+               ROUND(CASE WHEN n_tokens > 0 THEN ({en}) * 1.0 / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+               ROUND((LEAST(n_tokens / CAST(20.0 AS DOUBLE), 1.0)
+                      + LEAST(CASE WHEN n_tokens > 0 THEN ({en}) * 1.0 / n_tokens ELSE 0.0 END * 5.0, 1.0)
+                      + CASE WHEN (CASE WHEN n_chars > 0 THEN ({punct}) * 1.0 / n_chars ELSE 0.0 END) <= 0.1 THEN 1.0
+                             ELSE 1.0 - LEAST(CASE WHEN n_chars > 0 THEN ({punct}) * 1.0 / n_chars ELSE 0.0 END, 1.0) END
+                     ) / 3.0, 6) AS quality_score
+        FROM feat
+    """
+    sqls["fingerprint"] = f"""
+        SELECT doc_id, md5(nt) AS md5_fp,
+               MIN({_hash8("w", "fp-")}) AS min_shingle_fp
+        FROM (
+          SELECT doc_id, {_norm_sql("text")} AS nt,
+                 unnest(string_split({_norm_sql("text")}, ' ')) AS w
+          FROM documents
+        ) t
+        GROUP BY doc_id, md5(nt)
+    """
+    sqls["ann_cosine_topk"] = """
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        scored AS (
+          SELECT q.q_id, c.c_id,
+                 list_dot_product(q.qv, c.cv)
+                   / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.cv, c.cv)))
+                   AS cosine
+          FROM q CROSS JOIN c WHERE q.q_id <> c.c_id
+        ),
+        ranked AS (
+          SELECT q_id, c_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 5
+    """
+    return sqls
+
+
+def queries() -> dict:
+    return {
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracle_sqls()

@@ -1,0 +1,148 @@
+"""Dedup / similarity / text / multimodal / lineage operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from asf_tools_spark.operators import dedup, similarity, text
+from asf_tools_spark.operators.multimodal import decode_and_featurize, sniff_media_type, synth_media
+from asf_tools_spark.sources.lineage import LineageWriter
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+    (3, "completamente diferente de los otros documentos aqui"),
+    (4, "der hund und die katze sind im haus und das ist gut"),
+    (5, "water rivers flow through the basin into the sea"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs_df):
+    out = {r["keep_doc_id"]: r["n_dups"] for r in dedup.exact_dedup(docs_df, "doc_id").collect()}
+    assert out[0] == 2  # docs 0,1 identical
+    assert sum(out.values()) == 6
+
+
+def test_minhash_near_dups_bucket_together(docs_df):
+    sigs = dedup.minhash_signatures(docs_df, "doc_id", n_hashes=8)
+    pairs = {(r.key_a, r.key_b) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 4, 2).collect()}
+    assert (0, 1) in pairs  # identical docs must collide in every band
+    # near-dups share 8/10 shingles: overwhelmingly likely to share a band
+    assert (0, 2) in pairs or (1, 2) in pairs
+    # jaccard verification
+    sh = dedup.word_shingles(docs_df, "doc_id")
+    jac = {(r.key_a, r.key_b): r.jaccard for r in dedup.jaccard_on_pairs(
+        docs_df.sparkSession.createDataFrame([(0, 1), (0, 2)], "key_a long, key_b long"), sh, "doc_id"
+    ).collect()}
+    assert jac[(0, 1)] == 1.0
+    assert 0.6 < jac[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(docs_df):
+    sim = dedup.simhash(docs_df, "doc_id", bits=16)
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals[0] == vals[1]  # identical text -> identical fingerprint
+    near = {(r.key_a, r.key_b) for r in dedup.hamming_near_pairs(sim, "doc_id", 16, 3).collect()}
+    assert (0, 1) in near
+
+
+def test_embedding_near_dup_and_ann(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    base[1] = base[0] + rng.normal(scale=0.01, size=8).astype(np.float32)  # near-dup pair
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    nd = {(r.key_a, r.key_b) for r in dedup.embedding_near_dup(
+        emb, "vec_id", n_planes=6, cosine_threshold=0.99
+    ).collect()}
+    assert (0, 1) in nd
+
+    # brute-force top-k: verify against numpy
+    q = emb.where(F.col("vec_id") == 0)
+    got = similarity.cosine_topk_bruteforce(emb, q, k=3).collect()
+    sims = base @ base[0] / (np.linalg.norm(base, axis=1) * np.linalg.norm(base[0]))
+    sims[0] = -np.inf
+    expect_top = list(np.argsort(-sims)[:3])
+    assert [r.c_id for r in sorted(got, key=lambda r: r.rank)] == expect_top
+
+    # LSH ANN: results are a subset ranked exactly; the near-dup must be #1
+    ann = similarity.cosine_topk_lsh(emb, q, k=3, n_planes=4)
+    top = sorted(ann.collect(), key=lambda r: r.rank)
+    assert top[0].c_id == 1
+
+
+def test_ivf_assign(spark):
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(30, 4)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    centroids = pts[:3].astype(np.float64)
+    out = similarity.ivf_assign(emb, centroids, "vec_id")
+    rows = {r.vec_id: r.list_id for r in out.collect()}
+    for i in range(3):
+        assert rows[i] == i  # a centroid's own vector lands in its list
+
+
+def test_language_scores(docs_df):
+    out = {r.doc_id: r.lang_guess for r in text.language_scores(docs_df).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[3] in ("es", "pt", "und")
+
+
+def test_quality_features(docs_df):
+    out = {r.doc_id: r for r in text.quality_features(docs_df).collect()}
+    assert out[0].n_tokens == 9
+    assert 0.0 <= out[0].quality_score <= 1.0
+    assert out[0].stopword_ratio > 0  # 'the' twice
+
+
+def test_fingerprint(docs_df):
+    out = {r.doc_id: (r.md5_fp, r.min_shingle_fp) for r in text.fingerprint(docs_df, "doc_id").collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 64)
+    sniffed = media.withColumn("c", sniff_media_type(F.col("payload")))
+    counts = {r.c: r["count"] for r in sniffed.groupBy("c").count().collect()}
+    assert set(counts) == {"png", "jpeg", "gif", "riff"}
+    feats = decode_and_featurize(media, target=(8, 8), fake=True).collect()
+    assert len(feats) == 64
+    f0 = [r for r in feats if r.media_id == 0][0]
+    assert f0.height == 8 and f0.width == 8
+    assert sum(f0.histogram) == 64  # 8x8 pixels in 4 buckets
+    # deterministic: same payload -> same features
+    feats2 = decode_and_featurize(media, target=(8, 8), fake=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    media = synth_media(spark, 4)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_and_featurize(media, fake=False).collect()
+
+
+def test_lineage_resumable_write(spark, tmp_path):
+    df = spark.range(100).withColumn("part", (F.col("id") % 5).cast("string"))
+    w = LineageWriter(str(tmp_path / "table"))
+    m1 = w.write(df, "part", job_id="job1")
+    assert m1["partitions_written"] == 5 and m1["rows_written"] == 100
+    # resume: everything committed -> nothing rewritten
+    m2 = w.write(df, "part", job_id="job1")
+    assert m2["partitions_written"] == 0 and m2["partitions_skipped"] == 5
+    # data intact and not duplicated
+    assert spark.read.parquet(str(tmp_path / "table")).count() == 100
+    # a new job id reprocesses (overwrite, still no duplicates)
+    m3 = w.write(df, "part", job_id="job2")
+    assert m3["partitions_written"] == 5
+    assert spark.read.parquet(str(tmp_path / "table")).count() == 100
