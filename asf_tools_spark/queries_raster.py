@@ -159,6 +159,49 @@ def q_mosaic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row", "col", F.round("value", 6).alias("value"), "count")
 
 
+def q_tile_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (ref watermasking/utils.py:7-28): zero-padded tile-name strings
+    from geotag lat/lon floors."""
+    from .functions.spatial import tile_name_col
+    from .sources.pages import geotagged_documents
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    return pages.select(
+        "doc_id", tile_name_col(F.col("lat"), F.col("lon")).alias("tile_name")
+    )
+
+
+def q_area_raster_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (ref composite.py:60-70): *_VV.tif -> *_area.tif suffix rewrite."""
+    _register(spark, sf_dir, "part")
+    raster = F.concat(
+        F.lit("S1A_IW_"), F.col("p_partkey").cast("string"), F.lit("_RTC30_"),
+        F.col("p_brand"), F.lit("_VV.tif"),
+    )
+    return spark.table("part").select(
+        "p_partkey",
+        raster.alias("raster"),
+        F.regexp_replace(raster, "_[A-Z]+\\.tif$", "_area.tif").alias("area_raster"),
+    )
+
+
+def q_bbox_filename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/S10 (ref generate_worldcover_tiles.py:36-49): lat/lon parsed from
+    tile-name strings, range-filtered — predicate-pushdown scan shape."""
+    from .functions.spatial import tile_name_col
+    from .sources.pages import geotagged_documents
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    named = pages.select("doc_id", tile_name_col(F.col("lat"), F.col("lon")).alias("tn"))
+    lat_sign = F.when(F.substring("tn", 1, 1) == "n", 1).otherwise(-1)
+    lat_v = lat_sign * F.substring("tn", 2, 2).cast("int")
+    lon_sign = F.when(F.substring("tn", 4, 1) == "e", 1).otherwise(-1)
+    lon_v = lon_sign * F.substring("tn", 5, 3).cast("int")
+    return named.select(
+        "doc_id", "tn", lat_v.alias("lat_deg"), lon_v.alias("lon_deg")
+    ).where((lat_v >= -30) & (lat_v <= 30) & (lon_v >= -90) & (lon_v <= 90))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check): synth media -> magic-byte
     sniff -> stub decode/featurize via mapInPandas."""
@@ -245,11 +288,41 @@ def _oracle_sqls() -> dict[str, str]:
         SELECT row, col, ROUND(SUM(value * w) / SUM(w), 6) AS value, COUNT(*) AS count
         FROM unioned WHERE value IS NOT NULL GROUP BY row, col
     """
+    tn = """
+        CASE WHEN lat >= 0 THEN 'n' || lpad(CAST(CAST(FLOOR(lat) AS BIGINT) AS VARCHAR), 2, '0')
+             ELSE 's' || lpad(CAST(CAST(FLOOR(ABS(lat)) AS BIGINT) AS VARCHAR), 2, '0') END ||
+        CASE WHEN lon >= 0 THEN 'e' || lpad(CAST(CAST(FLOOR(lon) AS BIGINT) AS VARCHAR), 3, '0')
+             ELSE 'w' || lpad(CAST(CAST(FLOOR(ABS(lon)) AS BIGINT) AS VARCHAR), 3, '0') END || '.tif'
+    """
+    sqls["tile_name"] = f"""
+        SELECT doc_id, {tn} AS tile_name FROM {docs} p
+    """
+    sqls["area_raster_name"] = """
+        SELECT p_partkey,
+               'S1A_IW_' || CAST(p_partkey AS VARCHAR) || '_RTC30_' || p_brand || '_VV.tif' AS raster,
+               regexp_replace('S1A_IW_' || CAST(p_partkey AS VARCHAR) || '_RTC30_' || p_brand || '_VV.tif',
+                              '_[A-Z]+\\.tif$', '_area.tif') AS area_raster
+        FROM part
+    """
+    sqls["bbox_filename_filter"] = f"""
+        WITH named AS (SELECT doc_id, {tn} AS tn FROM {docs} p),
+        parsed AS (
+          SELECT doc_id, tn,
+                 (CASE WHEN substr(tn, 1, 1) = 'n' THEN 1 ELSE -1 END) * CAST(substr(tn, 2, 2) AS INT) AS lat_deg,
+                 (CASE WHEN substr(tn, 4, 1) = 'e' THEN 1 ELSE -1 END) * CAST(substr(tn, 5, 3) AS INT) AS lon_deg
+          FROM named
+        )
+        SELECT * FROM parsed
+        WHERE lat_deg BETWEEN -30 AND 30 AND lon_deg BETWEEN -90 AND 90
+    """
     return sqls
 
 
 def queries() -> dict:
     return {
+        "tile_name": q_tile_name,
+        "area_raster_name": q_area_raster_name,
+        "bbox_filename_filter": q_bbox_filename_filter,
         "epsg_vote": q_epsg_vote,
         "histogram_smooth": q_histogram_smooth,
         "reverse_cdf_threshold": q_reverse_cdf_threshold,  # rows-only: scalar derived driver-side

@@ -32,19 +32,29 @@ _WORDS = [
 
 def _h8(key: Column, salt: str) -> Column:
     """First 8 hex digits of md5(salt || key) as BIGINT — the Column twin of
-    oracle.hash8_sql, same values."""
+    oracle.hash8_sql, same values. Used ONLY on oracle-checked paths: JVM
+    md5 throughput is serialized (~7M hashes/s regardless of cores), so the
+    bulk generator uses :func:`_h8xx` instead."""
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10).cast("long")
 
 
-def _with_geotag(df: DataFrame, key: Column) -> DataFrame:
+def _h8xx(key: Column, salt: str) -> Column:
+    """xxhash64-based uniform BIGINT in [0, 2^32) — lock-free and ~10x the
+    md5 throughput; same distributional role, different values (fine for the
+    synthetic bulk table, which never crosses the DuckDB oracle)."""
+    return F.pmod(F.xxhash64(F.lit(salt), key), F.lit(1 << 32))
+
+
+def _with_geotag(df: DataFrame, key: Column, fast_hash: bool = False) -> DataFrame:
     """lat/lon/value/hand from staged hash columns (oracle-parity CASEs)."""
+    h = _h8xx if fast_hash else _h8
     df = (
-        df.withColumn("_ha", _h8(key, "geo-a"))
-        .withColumn("_hb", _h8(key, "geo-b"))
-        .withColumn("_hc", _h8(key, "geo-c"))
-        .withColumn("_hd", _h8(key, "geo-d"))
-        .withColumn("_hv", _h8(key, "val"))
-        .withColumn("_hh", _h8(key, "hand"))
+        df.withColumn("_ha", h(key, "geo-a"))
+        .withColumn("_hb", h(key, "geo-b"))
+        .withColumn("_hc", h(key, "geo-c"))
+        .withColumn("_hd", h(key, "geo-d"))
+        .withColumn("_hv", h(key, "val"))
+        .withColumn("_hh", h(key, "hand"))
     )
     df = df.withColumn("lat", F.expr(oracle.geotag_lat_from_hashes_sql())).withColumn(
         "lon", F.expr(oracle.geotag_lon_from_hashes_sql())
@@ -80,9 +90,9 @@ def synth_pages(
 
     word = F.element_at(
         F.array(*[F.lit(w) for w in _WORDS]),
-        (_h8(key, "w") % len(_WORDS) + 1).cast("int"),
+        (_h8xx(key, "w") % len(_WORDS) + 1).cast("int"),
     )
-    n_repeat = (_h8(key, "r") % 40 + 3).cast("int")
+    n_repeat = (_h8xx(key, "r") % 40 + 3).cast("int")
     body = F.concat_ws(" ", F.array_repeat(word, n_repeat))
     html_str = F.concat(
         F.lit("<html><head><title>Page "), key.cast("string"),
@@ -90,24 +100,24 @@ def synth_pages(
     )
     lang = F.element_at(
         F.array(*[F.lit(x) for x in ["en", "en", "en", "en", "en", "zh", "es", "de", "fr", "pt"]]),
-        (_h8(key, "l") % 10 + 1).cast("int"),
+        (_h8xx(key, "l") % 10 + 1).cast("int"),
     )
 
     df = df.select(
         "id",
         F.concat(
-            F.lit("https://site"), (_h8(key, "d") % 1000).cast("string"),
+            F.lit("https://site"), (_h8xx(key, "d") % 1000).cast("string"),
             F.lit(".example.com/page/"), key.cast("string"),
         ).alias("url"),
         (
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_interval(secs=(_h8(key, "t") % 31536000))
+            + F.make_interval(secs=(_h8xx(key, "t") % 31536000))
         ).alias("warc_ts"),
         html_str.cast("binary").alias("html"),
         extract_text(html_str.cast("binary")).alias("text"),
         lang.alias("lang"),
     )
-    df = _with_geotag(df, F.col("id")).drop("id")
+    df = _with_geotag(df, F.col("id"), fast_hash=True).drop("id")
     return with_cell_col(df, "lat", "lon", cell_res, "cell_id")
 
 
@@ -125,7 +135,7 @@ def geotag_pages(df: DataFrame, key: str = "url", cell_res: int = 8) -> DataFram
     """Attach deterministic lat/lon/cell_id to any table with a key column —
     the generic 'geotagged at 10^12-document scale' entry (north_star)."""
     key_col = F.crc32(key) if dict(df.dtypes).get(key) == "string" else F.col(key)
-    return with_cell_col(_with_geotag(df, key_col), "lat", "lon", cell_res, "cell_id")
+    return with_cell_col(_with_geotag(df, key_col, fast_hash=True), "lat", "lon", cell_res, "cell_id")
 
 
 def geotagged_documents(spark: SparkSession, sf_dir: str, cell_res: int = 8) -> DataFrame:

@@ -1,0 +1,54 @@
+"""Incremental page ingestion as Structured Streaming.
+
+The reference has no streaming surface (every entry point is batch
+file-in/file-out, ref pyproject.toml:41-48) — this module is the optional
+incremental-WARC-ingestion path (SURVEY §2.9): a file-source stream of page
+parquet -> geotag/cell assign (same expressions as batch; streaming and
+batch share one logical plan) -> watermarked windowed per-cell counts.
+Resumability = checkpointLocation; late pages beyond the watermark drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.pages import geotag_pages
+
+
+def stream_pages(spark: SparkSession, source_dir: str, schema: str | None = None) -> DataFrame:
+    schema = schema or "url string, warc_ts timestamp, html binary, text string, lang string"
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def windowed_cell_counts(
+    pages: DataFrame,
+    cell_res: int = 8,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, cell) page counts with late-data watermarking."""
+    tagged = geotag_pages(pages, key="url", cell_res=cell_res)
+    return (
+        tagged.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "cell_id", "n_pages")
+    )
+
+
+def start_ingest(
+    pages: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cell_res: int = 8,
+):
+    """Append-mode sink with checkpointed state (exactly-once per window)."""
+    counts = windowed_cell_counts(pages, cell_res=cell_res)
+    return (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,91 @@
+"""Physical-plan audits: the plans must stay the plans we designed.
+
+Asserts the scale-critical properties on the optimized/physical plans:
+column pruning reaches the parquet scan, small sides broadcast, the hot
+paths stay JVM-side (no Python eval in the headline pipeline), and the
+salted aggregate is a two-phase partial/final shape.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def test_cell_counts_prunes_columns(spark, sf_dir):
+    """The per-cell count/mean must NOT read text/lang/source from parquet —
+    only doc_id (geotag key) should reach the scan."""
+    from asf_tools_spark.queries import q_cell_assign_counts
+
+    plan = plan_of(q_cell_assign_counts(spark, sf_dir))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "doc_id" in scan[0]
+    assert "text" not in scan[0] and "source" not in scan[0], scan[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_quantity") > 40) & F.col("l_returnflag").isNotNull()
+    ).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,40.0)" in plan, plan
+
+
+def test_tile_assignments_broadcasts_and_stays_jvm(spark, sf_dir):
+    """Flagship plan: polygon cover joins are broadcast (no shuffle of the
+    page side) and the whole pipeline is JVM-only (no Python workers)."""
+    from asf_tools_spark.queries import q_tile_assignments
+
+    plan = plan_of(q_tile_assignments(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "page side must not shuffle for the join"
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"hot path fell off the JVM: {marker}"
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    from asf_tools_spark.queries import q_cell_assign_counts
+
+    plan = plan_of(q_cell_assign_counts(spark, sf_dir), "simple")
+    # two groupBys (salted partial then final) -> at least 4 HashAggregate
+    # nodes (each groupBy is itself partial+final)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_knn_builds_broadcast_ring_side(spark, sf_dir):
+    from asf_tools_spark.queries import q_knn_pages
+
+    plan = plan_of(q_knn_pages(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_headline_whole_stage_codegen(spark):
+    """Synthetic page generation + cell encode compiles into whole-stage
+    codegen (no interpreted expression islands)."""
+    from asf_tools_spark.sources.pages import synth_pages
+
+    plan = plan_of(synth_pages(spark, 1000), "simple")
+    assert "*(1)" in plan  # the '*(n)' prefix marks whole-stage codegen
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_minhash_single_shuffle(spark, sf_dir):
+    """MinHash signatures: one explode + one aggregate — exactly one
+    exchange (the groupBy), no joins."""
+    from asf_tools_spark.queries_text import q_minhash_signatures
+
+    plan = plan_of(q_minhash_signatures(spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= 2  # partial/final agg exchange (+AQE read)
+    assert "Join" not in plan
