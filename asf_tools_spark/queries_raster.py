@@ -202,6 +202,59 @@ def q_bbox_filename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where((lat_v >= -30) & (lat_v <= 30) & (lon_v >= -90) & (lon_v <= 90))
 
 
+def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join breadth: orders x customer broadcast join, date-range filter
+    (timestamp functions per FIXTURES §1 warc_ts), per-segment aggregates."""
+    _register(spark, sf_dir, "orders", "customer")
+    o = spark.table("orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderstatus") != "F")
+    )
+    c = spark.table("customer")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth: sessionization via lag + cumulative gap counting —
+    sessions split on >30 min inactivity; per-user session count."""
+    from pyspark.sql.window import Window
+
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell rollup (S3 'overviews'): res-8 page counts rolled
+    up to res-4 parent cells — the pre-aggregated coarse summary table."""
+    from . import oracle
+    from .sources.pages import geotagged_documents
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    parent = F.expr(oracle.cell_sql("lat", "lon", 4))
+    return (
+        pages.withColumn("parent_cell", parent)
+        .groupBy("parent_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("cell_id").alias("n_child_cells"),
+        )
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check): synth media -> magic-byte
     sniff -> stub decode/featurize via mapInPandas."""
@@ -288,6 +341,36 @@ def _oracle_sqls() -> dict[str, str]:
         SELECT row, col, ROUND(SUM(value * w) / SUM(w), 6) AS value, COUNT(*) AS count
         FROM unioned WHERE value IS NOT NULL GROUP BY row, col
     """
+    sqls["orders_by_segment"] = """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o.o_orderstatus <> 'F'
+        GROUP BY c_mktsegment
+    """
+    sqls["event_sessions"] = """
+        WITH marked AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        FROM marked GROUP BY user_id
+    """
+    from .core.cells import cell_layered_select
+
+    parent4 = cell_layered_select(
+        f"(SELECT doc_id, lat, lon, cell_id FROM {docs} _d)", "lat", "lon", 4,
+        carry=["doc_id", "cell_id"], out="parent_cell",
+    )
+    sqls["cell_rollup"] = f"""
+        SELECT parent_cell, COUNT(*) AS n_pages, COUNT(DISTINCT cell_id) AS n_child_cells
+        FROM {parent4} t GROUP BY parent_cell
+    """
     tn = """
         CASE WHEN lat >= 0 THEN 'n' || lpad(CAST(CAST(FLOOR(lat) AS BIGINT) AS VARCHAR), 2, '0')
              ELSE 's' || lpad(CAST(CAST(FLOOR(ABS(lat)) AS BIGINT) AS VARCHAR), 2, '0') END ||
@@ -323,6 +406,9 @@ def queries() -> dict:
         "tile_name": q_tile_name,
         "area_raster_name": q_area_raster_name,
         "bbox_filename_filter": q_bbox_filename_filter,
+        "orders_by_segment": q_orders_by_segment,
+        "event_sessions": q_event_sessions,
+        "cell_rollup": q_cell_rollup,
         "epsg_vote": q_epsg_vote,
         "histogram_smooth": q_histogram_smooth,
         "reverse_cdf_threshold": q_reverse_cdf_threshold,  # rows-only: scalar derived driver-side

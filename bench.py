@@ -7,8 +7,8 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., ...}
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default nproc), BENCH_PAGES (default 2_000_000),
-BENCH_TRIALS (default 1).
+SPARK_GRAFT_CPUS (default nproc), BENCH_PAGES (default 64_000_000),
+BENCH_TRIALS (default 3).
 """
 
 from __future__ import annotations
@@ -70,8 +70,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
-    n_pages = int(os.environ.get("BENCH_PAGES", "2000000"))
-    trials = int(os.environ.get("BENCH_TRIALS", "1"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "64000000"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
     spark = get_spark("asf-tools-spark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
