@@ -59,13 +59,32 @@ def minhash_signatures(df: DataFrame, key: str, text_col: str = "text", n_hashes
     return sh.groupBy(key).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, key: str, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+def collapse_identical_signatures(sigs: DataFrame, key: str) -> DataFrame:
+    """Exact-duplicate collapse before near-dup search: documents with
+    identical full MinHash signatures form one group represented by the min
+    key (web corpora are dominated by exact dups; pairing them would be
+    quadratic waste). Returns one row per distinct signature with
+    ``n_members``."""
+    sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
+    return sigs.groupBy(*sig_cols).agg(
+        F.min(key).alias(key), F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, key: str, bands: int = 4, rows_per_band: int = 2,
+    collapse_identical: bool = True,
+) -> DataFrame:
     """(key_a, key_b) candidate pairs sharing at least one LSH band bucket.
 
     band value = concat of its rows' signatures; bucket join is an
     equi-self-join on (band_id, band_val) — the banding turns near-dup
-    search from O(n^2) into per-bucket joins.
+    search from O(n^2) into per-bucket joins. Identical-signature documents
+    are collapsed to one representative first (see
+    :func:`collapse_identical_signatures`).
     """
+    if collapse_identical:
+        sigs = collapse_identical_signatures(sigs, key)
     n = bands * rows_per_band
     band_cols = []
     for b in range(bands):

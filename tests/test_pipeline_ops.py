@@ -31,7 +31,12 @@ def test_exact_dedup(docs_df):
 
 def test_minhash_near_dups_bucket_together(docs_df):
     sigs = dedup.minhash_signatures(docs_df, "doc_id", n_hashes=8)
-    pairs = {(r.key_a, r.key_b) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 4, 2).collect()}
+    # identical docs collapse into one signature group (not emitted as pairs)
+    groups = {r.doc_id: r.n_members for r in dedup.collapse_identical_signatures(sigs, "doc_id").collect()}
+    assert groups[0] == 2  # docs 0,1 share a signature; 0 represents both
+    pairs = {(r.key_a, r.key_b) for r in dedup.lsh_candidate_pairs(
+        sigs, "doc_id", 4, 2, collapse_identical=False
+    ).collect()}
     assert (0, 1) in pairs  # identical docs must collide in every band
     # near-dups share 8/10 shingles: overwhelmingly likely to share a band
     assert (0, 2) in pairs or (1, 2) in pairs
