@@ -43,31 +43,49 @@ def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
     return float(r[:, 1].min()), float(r[:, 0].min()), float(r[:, 1].max()), float(r[:, 0].max())
 
 
+def _edge_supercover(ring: np.ndarray, res: int) -> np.ndarray:
+    """All cells crossed by any polygon edge: conservative DDA over the
+    lat/lon grid (samples each edge at sub-cell resolution and adds the
+    3x3 neighborhood of every sample cell — a superset of the exact
+    supercover, cheap because polygon layers are small)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]:
+        r = np.vstack([r, r[:1]])
+    n = 1 << res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    out = []
+    for i in range(len(r) - 1):
+        (x1, y1), (x2, y2) = r[i], r[i + 1]
+        steps = int(max(abs(x2 - x1) / cell_w, abs(y2 - y1) / cell_h) * 2) + 2
+        t = np.linspace(0.0, 1.0, steps)
+        lons = x1 + (x2 - x1) * t
+        lats = y1 + (y2 - y1) * t
+        gx, gy = cells.grid_xy(lats, lons, res)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                out.append(cells.from_xy(np.clip(gx + dx, 0, n - 1), np.clip(gy + dy, 0, n - 1), res))
+    return np.unique(np.concatenate(out))
+
+
 def polygon_cover_cells(ring: np.ndarray, res: int) -> np.ndarray:
-    """Cells at ``res`` intersecting the polygon: bbox cover refined by a
-    center/corner containment test (cells whose bbox intersects any edge are
-    kept conservatively). This is the partition-pruning cover used for the
-    broadcast join build side (ref dem.py:39-45's catalog-intersection role).
+    """Cells at ``res`` intersecting the polygon — COMPLETE cover (no false
+    negatives): cells crossed by any edge (supercover) union cells whose
+    center lies inside. A cell partially inside without an edge crossing
+    must contain the boundary-free interior, so its center is inside; a
+    cell touched only by the boundary is in the edge supercover. This is
+    the partition-pruning cover for the broadcast join build side
+    (ref dem.py:39-45's catalog-intersection role); the exact
+    point-in-polygon refine downstream removes any false positives.
     """
     min_lat, min_lon, max_lat, max_lon = ring_bbox(ring)
     cover = cells.cover_bbox(min_lat, min_lon, max_lat, max_lon, res)
-    if cover.size <= 4:
+    if cover.size <= 9:
         return cover
-    # refine: keep cells whose center is inside OR that touch the bbox edge
-    # band of the polygon (conservative: corners inside OR edge-crossing)
     lat_c, lon_c = cells.cell_center(cover)
-    x, y, r = cells.decode_xy(cover)
-    n = float(1 << res)
-    half_w = 360.0 / n / 2.0
-    half_h = 180.0 / n / 2.0
     keep = points_in_ring(lat_c, lon_c, ring)
-    for dlon, dlat in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
-        keep |= points_in_ring(lat_c + dlat * half_h, lon_c + dlon * half_w, ring)
-    # cells containing any polygon vertex
-    ring_arr = np.asarray(ring, dtype=np.float64)
-    vert_cells = cells.encode(ring_arr[:, 1], ring_arr[:, 0], res)
-    keep |= np.isin(cover, vert_cells)
-    return cover[keep]
+    inside = cover[keep]
+    edges = _edge_supercover(ring, res)
+    return np.unique(np.concatenate([inside, np.intersect1d(edges, cover)]))
 
 
 def bbox_intersects(
