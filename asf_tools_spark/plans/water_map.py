@@ -59,21 +59,35 @@ def make_water_map_grid(
     hand_candidates = tiling.select_hand_tiles(hand_grid, hand_threshold, hand_fraction, tile_pixels)
     out: dict = {"hand_candidates": hand_candidates}
 
-    # unpadded-extent hand with slope (stencil over the real array only)
+    # unpadded-extent hand with slope (stencil over the real array only);
+    # persisted: every membership join and scalar aggregate reuses it
     hand_real = hand_grid.where((F.col("row") < rows_n) & (F.col("col") < cols_n))
     hand_sloped = slope_magnitude_col(hand_real, "value", pixel_size, out="slope").select(
-        "row", "col", F.col("value").alias("hand"), "slope"
+        "row", "col", F.col("value").alias("hand"), F.col("valid"), "slope"
+    ).persist()
+
+    # one aggregate job for every global scalar over hand/slope
+    scalars = hand_sloped.agg(
+        F.min(F.when(F.col("valid"), F.col("hand"))).alias("h_lo"),
+        F.max(F.when(F.col("valid"), F.col("hand"))).alias("h_hi"),
+        F.min(F.when(~F.isnan("slope"), F.col("slope"))).alias("s_lo"),
+        F.max(F.when(~F.isnan("slope"), F.col("slope"))).alias("s_hi"),
+        F.percentile(F.when(F.col("valid") & (F.abs("hand") > 1e-8), F.col("hand")), 0.9).alias("h_p90"),
+    ).collect()[0]
+    limit_stats = (
+        hand_sloped.where(F.col("valid") & (F.abs("hand") > 1e-8) & (F.col("hand") <= F.lit(scalars.h_p90)))
+        .agg(F.median("hand").alias("med"), F.stddev_pop("hand").alias("sd"))
+        .collect()[0]
     )
-    hand_limits = membership_limits(
-        hand_real.where(F.col("valid")).select("value"), "value"
-    )
+    hand_limits = (float(limit_stats.med), float(limit_stats.med) + 3.0 * float(limit_stats.sd) + 5.0)
     out["hand_limits"] = hand_limits
-    hand_minmax = hand_real.where(F.col("valid")).agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    ).collect()[0]
-    slope_minmax = hand_sloped.where(~F.isnan("slope")).agg(
-        F.min("slope").alias("lo"), F.max("slope").alias("hi")
-    ).collect()[0]
+
+    class _MM:  # row-like holders keep the downstream signature unchanged
+        def __init__(self, lo, hi):
+            self.lo, self.hi = lo, hi
+
+    hand_minmax = _MM(scalars.h_lo, scalars.h_hi)
+    slope_minmax = _MM(scalars.s_lo, scalars.s_hi)
 
     selected_tiles = None
     fuzzy_maps = []
@@ -85,9 +99,13 @@ def make_water_map_grid(
 
         g = bs.withColumn("g", F.when(F.col("valid_bs"), F.log10("value") + 30.0)).persist()
         max_gaussian_threshold = max_db_threshold / 10.0 + 30.0
+        # one job for all global g scalars (scaling stats + interp grid range)
+        gstats = g.agg(
+            F.avg("g").alias("m"), F.stddev_pop("g").alias("s"),
+            F.min("g").alias("glo"), F.max("g").alias("ghi"),
+        ).collect()[0]
         if selected_tiles.size:
-            st = g.agg(F.avg("g").alias("m"), F.stddev_pop("g").alias("s")).collect()[0]
-            scaling = 256.0 / (st.m + 3.0 * st.s)
+            scaling = 256.0 / (gstats.m + 3.0 * gstats.s)
             g_as_grid = g.select("tile_id", "row", "col", F.col("g").alias("value"), F.col("valid_bs").alias("valid"))
             gaussian_threshold = tiling.determine_em_threshold_distributed(
                 g_as_grid, selected_tiles, scaling, tile_shape
@@ -121,6 +139,7 @@ def make_water_map_grid(
                 hand_limits=hand_limits,
                 hand_minmax=(hand_minmax.lo, hand_minmax.hi),
                 slope_minmax=(slope_minmax.lo, slope_minmax.hi),
+                g_minmax=(float(gstats.glo), float(gstats.ghi)),
                 tile_shape=tile_shape,
                 membership_threshold=membership_threshold,
             )
@@ -144,6 +163,7 @@ def _fuzzy_refinement(
     hand_limits: tuple[float, float],
     hand_minmax: tuple[float, float],
     slope_minmax: tuple[float, float],
+    g_minmax: tuple[float, float],
     tile_shape: tuple[int, int],
     membership_threshold: float,
 ) -> DataFrame:
@@ -166,14 +186,14 @@ def _fuzzy_refinement(
     px = labeled.join(seg_mem, "label").select("row", "col", "seg_mem")
 
     px = px.join(wpix, ["row", "col"]).join(
-        hand_sloped, ["row", "col"], "left"
+        hand_sloped.select("row", "col", "hand", "slope"), ["row", "col"], "left"
     )
 
-    # 2-4. gaussian / hand / slope memberships (quantized-grid interp)
-    gmm = water.agg(F.min("g").alias("lo"), F.max("g").alias("hi")).collect()[0]
+    # 2-4. gaussian / hand / slope memberships (quantized-grid interp);
+    # grid ranges are precomputed scalars — no extra aggregate jobs here
     px = px.withColumn(
         "g_mem",
-        interp_membership_col(F.col("g"), float(gmm.lo), float(gmm.hi), 0.005, glower, gthr),
+        interp_membership_col(F.col("g"), g_minmax[0], g_minmax[1], 0.005, glower, gthr),
     )
     px = px.withColumn(
         "h_mem",
