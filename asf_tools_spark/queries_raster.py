@@ -202,6 +202,42 @@ def q_bbox_filename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where((lat_v >= -30) & (lat_v <= 30) & (lon_v >= -90) & (lon_v <= 90))
 
 
+def q_rgb_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (ref ArcGIS-toolbox/ASF_Tools.pyt:871-923 RGBDecomp): pixel
+    cleanup (< 10^-4.8 -> 0) + band math compositions (sqrt/atan/when) over
+    paired co/cross-pol power values derived from lineitem."""
+    _register(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem").where(F.col("l_linenumber") <= 2)
+    co = F.col("l_extendedprice") / 100000.0
+    cross = F.col("l_quantity") / 5000.0
+    floor_v = 10.0 ** (-4.8)
+    co_c = F.when(co < floor_v, 0.0).otherwise(co)
+    cross_c = F.when(cross < floor_v, 0.0).otherwise(cross)
+    diff = co_c - cross_c
+    blue = F.when(diff > 0, F.sqrt(diff)).otherwise(0.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt(co_c), 6).alias("red"),
+        F.round(F.sqrt(cross_c), 6).alias("green"),
+        F.round(blue, 6).alias("blue"),
+        F.round(F.atan(cross_c / (co_c + 1e-12)) / 3.141592653589793 * 180.0, 6).alias("pol_angle"),
+    )
+
+
+def q_log_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (ref ASF_Tools.pyt:612-614 LogDiff): change detection
+    log10(before/after) between paired event values."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events").where((F.col("value") > 0) & (F.col("event_id") % 2 == 0))
+    ev2 = spark.table("events").where((F.col("value") > 0) & (F.col("event_id") % 2 == 1))
+    a = ev.select((F.col("event_id") / 2).cast("long").alias("pair_id"), F.col("value").alias("before"))
+    b = ev2.select(((F.col("event_id") - 1) / 2).cast("long").alias("pair_id"), F.col("value").alias("after"))
+    return a.join(b, "pair_id").select(
+        "pair_id", F.round(F.log10(F.col("after") / F.col("before")), 6).alias("log_diff")
+    )
+
+
 def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join breadth: orders x customer broadcast join, date-range filter
     (timestamp functions per FIXTURES §1 warc_ts), per-segment aggregates."""
@@ -341,6 +377,34 @@ def _oracle_sqls() -> dict[str, str]:
         SELECT row, col, ROUND(SUM(value * w) / SUM(w), 6) AS value, COUNT(*) AS count
         FROM unioned WHERE value IS NOT NULL GROUP BY row, col
     """
+    sqls["rgb_decomp"] = """
+        WITH px AS (
+          SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_extendedprice / CAST(100000.0 AS DOUBLE) < POWER(CAST(10.0 AS DOUBLE), -4.8)
+                      THEN 0.0 ELSE l_extendedprice / CAST(100000.0 AS DOUBLE) END AS co_c,
+                 CASE WHEN l_quantity / CAST(5000.0 AS DOUBLE) < POWER(CAST(10.0 AS DOUBLE), -4.8)
+                      THEN 0.0 ELSE l_quantity / CAST(5000.0 AS DOUBLE) END AS cross_c
+          FROM lineitem WHERE l_linenumber <= 2
+        )
+        SELECT l_orderkey, l_linenumber,
+               ROUND(SQRT(co_c), 6) AS red,
+               ROUND(SQRT(cross_c), 6) AS green,
+               ROUND(CASE WHEN co_c - cross_c > 0 THEN SQRT(co_c - cross_c) ELSE 0.0 END, 6) AS blue,
+               ROUND(ATAN(cross_c / (co_c + 1e-12)) / CAST(3.141592653589793 AS DOUBLE) * 180.0, 6) AS pol_angle
+        FROM px
+    """
+    sqls["log_diff"] = """
+        WITH a AS (
+          SELECT CAST(event_id / 2 AS BIGINT) AS pair_id, value AS before
+          FROM events WHERE value > 0 AND event_id % 2 = 0
+        ),
+        b AS (
+          SELECT CAST((event_id - 1) / 2 AS BIGINT) AS pair_id, value AS after
+          FROM events WHERE value > 0 AND event_id % 2 = 1
+        )
+        SELECT a.pair_id, ROUND(LOG10(b.after / a.before), 6) AS log_diff
+        FROM a JOIN b ON a.pair_id = b.pair_id
+    """
     sqls["orders_by_segment"] = """
         SELECT c_mktsegment,
                COUNT(*) AS n_orders,
@@ -406,6 +470,8 @@ def queries() -> dict:
         "tile_name": q_tile_name,
         "area_raster_name": q_area_raster_name,
         "bbox_filename_filter": q_bbox_filename_filter,
+        "rgb_decomp": q_rgb_decomp,
+        "log_diff": q_log_diff,
         "orders_by_segment": q_orders_by_segment,
         "event_sessions": q_event_sessions,
         "cell_rollup": q_cell_rollup,

@@ -82,7 +82,9 @@ generator emits {hi} input partitions; the aggregation shuffles on
 Per-query timings at sf0.1 are recorded by the driver as BENCH_r{{N}}.json.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # BASELINE.md is hand-curated; raw runs land in a sidecar unless asked
+    target = "BASELINE.md" if os.environ.get("BENCH_WRITE_BASELINE") else "scaling_last_run.md"
+    (REPO / "BENCH" / target).write_text(md)
     print(json.dumps({"lo": a, "hi": b, "efficiency": round(eff, 4)}))
 
 
