@@ -1,0 +1,65 @@
+"""applyInPandasWithState sessionizer: state must persist across
+micro-batches through the checkpoint."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _batch_sessions(df: pd.DataFrame, gap: int = 1800) -> dict[int, tuple[int, int]]:
+    """Oracle: per-user (n_sessions, n_events) over the whole history."""
+    out = {}
+    for uid, g in df.groupby("user_id"):
+        ts = sorted(int(t.value // 1_000_000_000) for t in g["ts"])
+        sessions = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > gap)
+        out[int(uid)] = (sessions, len(ts))
+    return out
+
+
+def test_sessionize_state_across_batches(spark, tmp_path):
+    from asf_tools_spark.streaming.sessionize import sessionize_stream
+
+    rng = np.random.default_rng(4)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    for uid in range(20):
+        t = base
+        for _ in range(rng.integers(3, 15)):
+            t = t + pd.Timedelta(seconds=int(rng.integers(60, 7200)))
+            rows.append((uid, t))
+    full = pd.DataFrame(rows, columns=["user_id", "ts"]).sort_values("ts").reset_index(drop=True)
+    half = len(full) // 2
+
+    src = tmp_path / "src"
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_batch(pdf: pd.DataFrame) -> None:
+        spark.createDataFrame(pdf).write.mode("append").parquet(str(src / "data"))
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src / "data"))
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            sessionize_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch(full.iloc[:half])
+    run_batch(full.iloc[half:])
+
+    got = spark.read.parquet(out_dir).toPandas()
+    # last emitted row per user carries the cumulative totals
+    latest = got.sort_values(["user_id", "n_events"]).groupby("user_id").tail(1)
+    expected = _batch_sessions(full)
+    for _, r in latest.iterrows():
+        exp_sessions, exp_events = expected[int(r.user_id)]
+        assert int(r.n_events) == exp_events, r.user_id
+        assert int(r.n_sessions) == exp_sessions, r.user_id
+    assert set(latest.user_id.astype(int)) == set(expected)
