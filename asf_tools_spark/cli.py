@@ -14,7 +14,6 @@ engine's raster exchange format (core.tiles.grid_to_long).
 from __future__ import annotations
 
 import argparse
-import sys
 
 from pyspark.sql import functions as F
 

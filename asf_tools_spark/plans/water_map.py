@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators import tiling
-from ..operators.fuzzy_ops import interp_membership_col, membership_limits, slope_magnitude_col
+from ..operators.fuzzy_ops import interp_membership_col, slope_magnitude_col
 from ..operators.labeling import label_connected, remove_small_segments, segment_areas
 from ..functions.membership import zmf_col
 
