@@ -75,6 +75,41 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only: centroids are seed-deterministic driver
+    values): corpus assigned to inverted lists by nearest centroid; queries
+    probe their own + nearest lists; exact cosine rank within the probed
+    candidates. The scale path partitions the corpus by list_id."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    first = np.array(
+        [r.embedding for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    assigned = similarity.ivf_assign(emb, first, "vec_id").persist()
+    queries = assigned.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        F.col("list_id").alias("q_list"),
+    )
+    cand = F.broadcast(queries).join(
+        assigned.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "list_id"),
+        F.col("q_list") == F.col("list_id"),
+    ).where(F.col("q_id") != F.col("c_id"))
+    cos = similarity.dot_cols("q_vec", "c_vec") / (
+        similarity.norm_col("q_vec") * similarity.norm_col("c_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup (rows-only check: bucket membership depends on
     seed-deterministic hyperplanes not expressible in the oracle). The
@@ -264,6 +299,7 @@ def queries() -> dict:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)
         "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)
     }
 
