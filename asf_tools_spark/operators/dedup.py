@@ -13,12 +13,30 @@ DuckDB) and stays JVM-side — no Python workers anywhere in this module.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def hash8_col(c: Column, salt: str = "") -> Column:
-    """BIGINT in [0, 2^32): first 8 md5 hex digits (oracle.hash8_sql twin)."""
+def default_hash_family() -> str:
+    """Hash family for signature hashing, from ``SPARK_GRAFT_HASH_FAMILY``.
+
+    - ``md5`` (default): oracle-parity mode — byte-identical to the DuckDB
+      oracle's hash8_sql; used by the sf0.01 correctness battery.
+    - ``xxhash64``: the 100 TB scale path — the JVM's md5 provider is
+      effectively serialized (~7M hashes/s total regardless of cores), while
+      xxhash64 is lock-free and ~10x faster. Same distributional role,
+      different values (never crosses the oracle). bench.py sets this.
+    """
+    return os.environ.get("SPARK_GRAFT_HASH_FAMILY", "md5")
+
+
+def hash8_col(c: Column, salt: str = "", family: str | None = None) -> Column:
+    """BIGINT in [0, 2^32): first 8 md5 hex digits (oracle.hash8_sql twin),
+    or the xxhash64 equivalent in scale mode (see default_hash_family)."""
+    if (family or default_hash_family()) == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), c), F.lit(1 << 32))
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10).cast("long")
 
 
@@ -142,21 +160,29 @@ def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 16) -> 
 
 def hamming_near_pairs(sim: DataFrame, key: str, bits: int = 16, max_distance: int = 2) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, via bit_count on XOR.
-    Block on the top half of the fingerprint to avoid the full cross join
-    (pairs differing in <= max_distance bits agree on one half for
-    max_distance < bits/2 ... pigeonhole over two blocks)."""
-    lo_mask = (1 << (bits // 2)) - 1
+
+    Blocking: split the fingerprint into ``max_distance + 1`` contiguous bit
+    blocks and equi-join on (block_id, block_value). Pigeonhole: at most
+    ``max_distance`` differing bits spread over ``max_distance + 1`` blocks
+    leave at least one block identical, so recall is exact — two blocks only
+    guarantee distance <= 1 (a pair with one differing bit in each half
+    matches neither half)."""
+    n_blocks = max_distance + 1
+    base, rem = divmod(bits, n_blocks)
+    block_exprs, start = [], 0
+    for i in range(n_blocks):
+        ln = base + (1 if i < rem else 0)
+        block_exprs.append(F.struct(
+            F.lit(i).alias("blk_id"),
+            F.shiftright("simhash", start).bitwiseAND(F.lit((1 << ln) - 1)).alias("blk_val"),
+        ))
+        start += ln
     blocked = sim.select(
-        key, "simhash",
-        F.shiftright("simhash", bits // 2).alias("hi"),
-        F.col("simhash").bitwiseAND(F.lit(lo_mask)).alias("lo"),
-    )
-    pairs = None
-    for block in ("hi", "lo"):
-        a = blocked.select(F.col(key).alias("key_a"), F.col("simhash").alias("sh_a"), F.col(block).alias("blk"))
-        b = blocked.select(F.col(key).alias("key_b"), F.col("simhash").alias("sh_b"), F.col(block).alias("blk"))
-        p = a.join(b, "blk").where(F.col("key_a") < F.col("key_b")).drop("blk")
-        pairs = p if pairs is None else pairs.unionByName(p)
+        key, "simhash", F.explode(F.array(*block_exprs)).alias("b")
+    ).select(key, "simhash", F.col("b.blk_id").alias("blk_id"), F.col("b.blk_val").alias("blk_val"))
+    a = blocked.select(F.col(key).alias("key_a"), F.col("simhash").alias("sh_a"), "blk_id", "blk_val")
+    b = blocked.select(F.col(key).alias("key_b"), F.col("simhash").alias("sh_b"), "blk_id", "blk_val")
+    pairs = a.join(b, ["blk_id", "blk_val"]).where(F.col("key_a") < F.col("key_b")).drop("blk_id", "blk_val")
     return (
         pairs.distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))

@@ -61,35 +61,54 @@ def flow_direction(grid: DataFrame) -> DataFrame:
     return grid.join(best, ["row", "col"], "left")
 
 
-def flow_accumulation(flow: DataFrame, max_iters: int = 200, checkpoint_every: int = 5) -> DataFrame:
-    """Cells draining through each cell (incl. itself), by iterative
-    upstream-sum fixpoint: acc_{i+1}(c) = 1 + sum(acc_i(u) for u -> c).
-    Converges in longest-flow-path rounds; each round is one shuffle join +
-    aggregate. ``localCheckpoint`` truncates lineage (resumable)."""
-    edges = flow.where(F.col("to_row").isNotNull()).select(
-        "row", "col", "to_row", "to_col"
+def flow_accumulation(flow: DataFrame, max_iters: int = 64, checkpoint_every: int = 1) -> DataFrame:
+    """Cells draining through each cell (incl. itself) in **O(log
+    longest-path) rounds** by pointer-doubling prefix sums over the flow
+    tree (ref pysheds ``accumulation``; SURVEY §2.5 W6).
+
+    Invariant after round k (A = ``acc``, J = ``(to_row,to_col)``):
+
+    - ``A_k(v)`` = mass of cells within the last ``2^k`` upstream hops of v
+      (including v itself), starting from ``A_0(v) = 1``;
+    - ``J_k(u) = f^(2^k)(u)`` — the 2^k-th downstream successor (NULL once
+      the path falls off the tree at a sink).
+
+    Recurrence: ``A_{k+1}(v) = A_k(v) + Σ_{m: J_k(m)=v} A_k(m)`` — each
+    upstream cell u at distance d ∈ [2^k, 2^{k+1}) of v is counted exactly
+    once via the unique m on its path with dist(m, v) = 2^k; and
+    ``J_{k+1} = J_k ∘ J_k``. Terminates when every pointer is NULL, i.e.
+    after ⌈log2(longest flow path)⌉ + 1 rounds — thousands-of-cells drainage
+    paths cost ~12 shuffles instead of thousands. ``localCheckpoint``
+    truncates lineage every ``checkpoint_every`` rounds (resumability per
+    the north_rule); rounds are few, so the default checkpoints each round.
+    """
+    state = flow.select(
+        "row", "col", F.lit(1.0).alias("acc"), "to_row", "to_col"
     ).localCheckpoint(eager=True)
-    acc = flow.select("row", "col", F.lit(1.0).alias("acc"))
-    prev_total = -1.0
     for i in range(max_iters):
-        upstream = (
-            edges.join(acc, ["row", "col"])
-            .groupBy(F.col("to_row").alias("row"), F.col("to_col").alias("col"))
-            .agg(F.sum("acc").alias("up"))
-        )
-        new_acc = (
-            flow.select("row", "col")
-            .join(upstream, ["row", "col"], "left")
-            .select("row", "col", (F.lit(1.0) + F.coalesce("up", F.lit(0.0))).alias("acc"))
-        )
-        if (i + 1) % checkpoint_every == 0 or True:
-            new_acc = new_acc.localCheckpoint(eager=True)
-        total = new_acc.agg(F.sum("acc")).collect()[0][0]
-        acc = new_acc
-        if total == prev_total:
+        live = state.where(F.col("to_row").isNotNull())
+        if live.limit(1).count() == 0:
             break
-        prev_total = total
-    return acc
+        contrib = live.groupBy(
+            F.col("to_row").alias("row"), F.col("to_col").alias("col")
+        ).agg(F.sum("acc").alias("up"))
+        hop = state.select(
+            F.col("row").alias("to_row"), F.col("col").alias("to_col"),
+            F.col("to_row").alias("j_row"), F.col("to_col").alias("j_col"),
+        )
+        new_state = (
+            state.join(contrib, ["row", "col"], "left")
+            .join(hop, ["to_row", "to_col"], "left")
+            .select(
+                "row", "col",
+                (F.col("acc") + F.coalesce("up", F.lit(0.0))).alias("acc"),
+                F.col("j_row").alias("to_row"), F.col("j_col").alias("to_col"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_state = new_state.localCheckpoint(eager=True)
+        state = new_state
+    return state.select("row", "col", "acc")
 
 
 def compute_hand(

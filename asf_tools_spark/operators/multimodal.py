@@ -59,16 +59,25 @@ _DECODE_SCHEMA = StructType([
 
 
 def decode_and_featurize(
-    media: DataFrame, target: tuple[int, int] = (16, 16), fake: bool = False
+    media: DataFrame, target: tuple[int, int] = (16, 16), fake: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Decode -> resize -> feature-extract via ``mapInPandas`` (Arrow
     batches; one decode call per row inside a vectorized batch loop).
+
+    ``carry`` names extra input columns to pass through unchanged, so
+    downstream consumers get metadata + features in ONE pass instead of
+    re-executing the Python subtree through a self-join.
 
     STUB: real codecs are unavailable in this environment. With
     ``fake=True`` the decode is a deterministic sha256-derived byte grid so
     batch shapes, schema, and downstream features are real and testable.
     """
     th, tw = target
+    in_fields = {f.name: f for f in media.schema.fields}
+    out_schema = StructType(
+        list(_DECODE_SCHEMA.fields) + [in_fields[c] for c in carry]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,9 +97,12 @@ def decode_and_featurize(
                 out["width"].append(tw)
                 out["mean_intensity"].append(float(pixels.mean()))
                 out["histogram"].append(np.bincount(pixels.ravel() >> 6, minlength=4).tolist())
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in carry:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
 
-    return media.mapInPandas(run, schema=_DECODE_SCHEMA)
+    return media.mapInPandas(run, schema=out_schema)
 
 
 def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:

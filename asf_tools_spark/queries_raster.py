@@ -104,8 +104,11 @@ def q_confusion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pages import geotagged_documents
 
     pages = geotagged_documents(spark, sf_dir, cell_res=8)
-    pred = F.col("hand") < 8.0
-    obs = F.col("value") < 0.25
+    # Parity rule: round transcendental-derived columns (hand uses SIN/COS)
+    # on BOTH sides before thresholding — a 1-ulp JVM-vs-DuckDB difference at
+    # the 8.0 / 0.25 boundary would otherwise flip a count.
+    pred = F.round(F.col("hand"), 6) < 8.0
+    obs = F.round(F.col("value"), 6) < 0.25
     return pages.agg(
         F.sum((pred & obs).cast("long")).alias("tp"),
         F.sum((~pred & ~obs).cast("long")).alias("tn"),
@@ -265,8 +268,13 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "events")
     ev = spark.table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    marked = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    # Microsecond epoch, NOT unix_timestamp: the latter truncates to whole
+    # seconds, so a 1800.4s gap reads as 1800 and stays "same session" while
+    # the DuckDB oracle's fractional epoch(ts) splits it. Integer micros
+    # compare exactly (session tz is UTC, matching DuckDB's naive epoch).
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    marked = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
     return marked.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
@@ -294,10 +302,17 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check): synth media -> magic-byte
     sniff -> stub decode/featurize via mapInPandas."""
-    media = synth_media(spark, 2000)
-    sniffed = media.withColumn("container", sniff_media_type(F.col("payload")))
-    feats = decode_and_featurize(media, target=(8, 8), fake=True)
-    return sniffed.select("media_id", "kind", "container").join(feats, "media_id")
+    media = synth_media(spark, 2000).withColumn("container", sniff_media_type(F.col("payload")))
+    # ONE mapInPandas pass (kind/container carried through) — the former
+    # sniff⋈features self-join executed the Python subtree twice.  The
+    # histogram array is serialized to a string: the driver's canonicalizer
+    # hashes rows and array cells are unhashable.
+    feats = decode_and_featurize(media, target=(8, 8), fake=True, carry=("kind", "container"))
+    return feats.select(
+        "media_id", "kind", "container", "height", "width",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.array_join(F.transform("histogram", lambda x: x.cast("string")), ",").alias("histogram"),
+    )
 
 
 def _oracle_sqls() -> dict[str, str]:
@@ -340,10 +355,10 @@ def _oracle_sqls() -> dict[str, str]:
         FROM smoothed
     """
     sqls["confusion_counts"] = f"""
-        SELECT SUM(CASE WHEN hand < 8.0 AND value < 0.25 THEN 1 ELSE 0 END) AS tp,
-               SUM(CASE WHEN hand >= 8.0 AND value >= 0.25 THEN 1 ELSE 0 END) AS tn,
-               SUM(CASE WHEN hand < 8.0 AND value >= 0.25 THEN 1 ELSE 0 END) AS fp,
-               SUM(CASE WHEN hand >= 8.0 AND value < 0.25 THEN 1 ELSE 0 END) AS fn
+        SELECT SUM(CASE WHEN ROUND(hand, 6) < 8.0 AND ROUND(value, 6) < 0.25 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN ROUND(hand, 6) >= 8.0 AND ROUND(value, 6) >= 0.25 THEN 1 ELSE 0 END) AS tn,
+               SUM(CASE WHEN ROUND(hand, 6) < 8.0 AND ROUND(value, 6) >= 0.25 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN ROUND(hand, 6) >= 8.0 AND ROUND(value, 6) < 0.25 THEN 1 ELSE 0 END) AS fn
         FROM {docs} p
     """
     sqls["label_stats_nmad"] = f"""

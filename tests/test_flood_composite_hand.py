@@ -144,6 +144,23 @@ def test_flow_accumulation_matches_numpy(spark):
         assert got[rc] == v, rc
 
 
+def test_flow_accumulation_log_rounds_on_chain(spark):
+    """Pointer-doubling accumulation converges in O(log path) rounds: a
+    1,000-cell descending chain (longest flow path = 999 hops) must finish
+    within ceil(log2(999)) + 1 = 11 doubling rounds — the old upstream-sum
+    fixpoint needed ~999. acc(col) = col + 1 (everything upstream + self)."""
+    n = 1000
+    grid = spark.createDataFrame(
+        [(0, c, float(n - c)) for c in range(n)], "row int, col int, elev double"
+    )
+    flow = flow_direction(grid)
+    acc = flow_accumulation(flow, max_iters=11)
+    got = {r.col: r.acc for r in acc.collect()}
+    assert got[0] == 1.0 and got[n - 1] == float(n)
+    for c in (1, 17, 500, 998):
+        assert got[c] == float(c + 1)
+
+
 def test_calculate_hand_valley(spark):
     """V-shaped valley: channel accumulates everything; HAND = elevation
     above the channel profile."""

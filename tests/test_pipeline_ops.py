@@ -57,6 +57,34 @@ def test_simhash_hamming(docs_df):
     assert (0, 1) in near
 
 
+def test_hamming_blocking_recall_exact(spark):
+    """Pigeonhole recall: plant pairs at every distance d <= max_distance
+    with the differing bits deliberately SPREAD across the fingerprint
+    (one per half/third) — the pattern a 2-block scheme silently drops."""
+    bits, max_d = 16, 3
+    base = 0b1010011011001011
+    rows = [(0, base)]
+    planted = []
+    nid = 1
+    for d in range(1, max_d + 1):
+        # spread d flipped bits evenly across the word: positions i*bits//d
+        flipped = base
+        for i in range(d):
+            flipped ^= 1 << (i * bits // d)
+        rows.append((nid, flipped))
+        planted.append((0, nid, d))
+        nid += 1
+    # distance max_d+1 pair: must be excluded by the bit_count filter
+    far = base ^ sum(1 << (i * bits // (max_d + 1)) for i in range(max_d + 1))
+    rows.append((nid, far))
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.key_a, r.key_b): r.hamming
+           for r in dedup.hamming_near_pairs(sim, "doc_id", bits, max_d).collect()}
+    for a, b, d in planted:
+        assert got.get((a, b)) == d, f"planted pair at distance {d} missed"
+    assert (0, nid) not in got
+
+
 def test_embedding_near_dup_and_ann(spark):
     rng = np.random.default_rng(0)
     base = rng.normal(size=(20, 8)).astype(np.float32)
