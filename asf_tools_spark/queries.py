@@ -411,11 +411,12 @@ def _oracle_sqls() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import queries_raster, queries_text
+    from . import queries_grid, queries_raster, queries_text
 
     out = _base_queries()
     out.update(queries_text.queries())
     out.update(queries_raster.queries())
+    out.update(queries_grid.queries())
     return out
 
 
@@ -440,9 +441,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from . import queries_raster, queries_text
+    from . import queries_grid, queries_raster, queries_text
 
     out = _oracle_sqls()
     out.update(queries_text.oracle_sql())
     out.update(queries_raster.oracle_sql())
+    out.update(queries_grid.oracle_sql())
     return out

@@ -1,0 +1,230 @@
+"""Wave-3 query registry: the raster CORE under the DuckDB oracle.
+
+Round-1 verdict: W3 labeling, W1 slope, A11 segment areas, P4/P5 threshold
+classify and A12 EM were pytest-verified only — these are the operators the
+reference tests hardest (ref tests/hydrosar/test_water_map.py:41-66 golden
+raster; test_threshold.py:6-10). This module gives each a queries() entry
+whose result the driver compares row-for-row against an ANSI-SQL oracle:
+
+- the dense synthetic grid is emitted by one shared emitter in BOTH dialects
+  (Spark expression tree / DuckDB SQL), values rounded to 6dp before any
+  threshold per the repo parity rule;
+- connected components get a recursive-CTE min-reachability oracle (exact,
+  feasible at the 48x48 oracle scale; the Spark side is the production
+  tile+merge operator);
+- EM thresholds compare against the reference's golden fixture values
+  (ref tests/hydrosar/data/em_thresholds.npz re-expressed in
+  tests/fixtures/em_thresholds.parquet) as literal rows.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.fuzzy_ops import slope_magnitude_col
+from .operators.labeling import label_connected, segment_areas
+
+_H, _W = 48, 48
+_LABEL_TILE = (16, 16)  # 3x3 tiles -> real cross-tile merges at 48x48
+_FIXTURES = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+
+# ref water_map.py goldens (tests/hydrosar/conftest.py:12-13 transform)
+_EM_SCALING = 8.732284197109262
+
+
+def _grid_df(spark: SparkSession) -> DataFrame:
+    """Dense deterministic 48x48 grid: blobby transcendental field (rounded
+    6dp for cross-engine parity) + a modular validity mask."""
+    df = spark.range(_H * _W).select(
+        (F.col("id") / _W).cast("int").alias("row"),
+        (F.col("id") % _W).cast("int").alias("col"),
+    )
+    v = F.round(
+        F.sin(F.col("row") * F.lit(0.35)) * F.cos(F.col("col") * F.lit(0.21))
+        + F.sin((F.col("row") + F.col("col")) * F.lit(0.13)),
+        6,
+    )
+    valid = ((F.col("row") * 31 + F.col("col") * 17) % 11) != 0
+    return df.select("row", "col", v.alias("v"), valid.alias("valid"))
+
+
+def _grid_sql() -> str:
+    """The DuckDB twin of :func:`_grid_df` (bare literals are DOUBLE in
+    DuckDB; the Spark side uses F.lit floats, so no DECIMAL hazard)."""
+    return f"""(
+      SELECT row, col,
+             ROUND(SIN(row * 0.35) * COS(col * 0.21) + SIN((row + col) * 0.13), 6) AS v,
+             ((row * 31 + col * 17) % 11) <> 0 AS valid
+      FROM (
+        SELECT CAST(id // {_W} AS INT) AS row, CAST(id % {_W} AS INT) AS col
+        FROM generate_series(0, {_H * _W - 1}) t(id)
+      )
+    )"""
+
+
+_WATER_THR = -0.5
+
+
+def q_threshold_water_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5 (ref water_map.py:312-313 threshold classify; :149-157
+    format_raster_data): water = v <= thr AND valid, padded/invalid -> 255,
+    else uint8 0/1."""
+    g = _grid_df(spark)
+    water = (F.col("v") <= F.lit(_WATER_THR)) & F.col("valid")
+    formatted = F.when(~F.col("valid"), 255).otherwise(water.cast("int"))
+    return g.select("row", "col", formatted.alias("water"))
+
+
+def q_slope_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (ref water_map.py:93-97): np.gradient-along-rows slope in degrees
+    via window lead/lag (central differences inside, one-sided at edges)."""
+    g = _grid_df(spark).select("row", "col", F.col("v").alias("value"))
+    out = slope_magnitude_col(g, "value", pixel_size=30.0)
+    return out.select("row", "col", F.round("slope", 6).alias("slope"))
+
+
+def _water_grid(spark: SparkSession) -> DataFrame:
+    g = _grid_df(spark)
+    return g.select(
+        "row", "col", ((F.col("v") <= F.lit(_WATER_THR)) & F.col("valid")).alias("water")
+    )
+
+
+def _canonical_labels(spark: SparkSession) -> DataFrame:
+    """label_connected + canonical relabel: component id = min(row*W+col)
+    over the component, so ids are engine-independent."""
+    labeled = label_connected(_water_grid(spark), "water", _LABEL_TILE)
+    pid = F.col("row").cast("long") * _W + F.col("col")
+    comp = labeled.groupBy("label").agg(F.min(pid).alias("comp_id"))
+    return labeled.join(comp, "label").select("row", "col", "comp_id")
+
+
+def q_grid_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (ref water_map.py:170,352; flood_map.py:265 — skimage/ndimage
+    label, connectivity=2): per-tile pandas labeling + cross-tile union-find
+    merge, canonicalized to min-pixel-id components."""
+    return _canonical_labels(spark)
+
+
+def q_segment_areas_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (ref water_map.py:118 np.bincount of segments): pixel count per
+    connected component."""
+    return segment_areas(
+        _canonical_labels(spark).withColumnRenamed("comp_id", "label")
+    ).select(F.col("label").alias("comp_id"), "area")
+
+
+def _em_expected() -> list[tuple[int, float]]:
+    exp = pd.read_parquet(_FIXTURES / "em_thresholds.parquet")
+    return [(int(r.tile_id), round(float(r.threshold), 6)) for r in exp.itertuples()]
+
+
+def q_em_fixture_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (ref threshold.py:40-133 EM fit; water_map.py:84-90): per-tile EM
+    threshold on the reference's golden backscatter tiles (log10+30
+    transform per ref tests/hydrosar/conftest.py:12-13), via grouped-map
+    applyInPandas — compared against the golden threshold rows."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from .core.em import em_threshold
+
+    tiles = spark.read.parquet(str(_FIXTURES / "em_tiles.parquet"))
+    schema = StructType([
+        StructField("tile_id", LongType()),
+        StructField("threshold", DoubleType()),
+    ])
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.full((100, 100), np.nan)
+        mask = np.ones((100, 100), dtype=bool)
+        vals[pdf["row"], pdf["col"]] = pdf["value"]
+        mask[pdf["row"], pdf["col"]] = ~pdf["valid"].to_numpy()
+        tile = np.ma.MaskedArray(vals, mask=mask)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.ma.log10(tile) + 30.0
+        thr = em_threshold(np.ma.around(tile * _EM_SCALING).astype(int))
+        return pd.DataFrame({
+            "tile_id": [int(pdf["tile_id"].iloc[0])],
+            "threshold": [round(float(thr), 6)],
+        })
+
+    return tiles.groupBy("tile_id").applyInPandas(fit, schema=schema)
+
+
+def _oracle_sqls() -> dict[str, str]:
+    grid = _grid_sql()
+    water = f"""(
+      SELECT row, col, (v <= {_WATER_THR} AND valid) AS water FROM {grid} g
+    )"""
+    labels = f"""(
+      WITH RECURSIVE wet AS (
+        SELECT row, col, CAST(row * {_W} + col AS BIGINT) AS pid
+        FROM {water} w WHERE water
+      ),
+      e AS (
+        SELECT a.pid AS src, b.pid AS dst
+        FROM wet a JOIN wet b
+          ON ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1
+         AND a.pid <> b.pid
+      ),
+      reach(pid, r) AS (
+        SELECT pid, pid FROM wet
+        UNION
+        SELECT reach.pid, e.dst FROM reach JOIN e ON e.src = reach.r
+      )
+      SELECT w.row, w.col, m.comp_id
+      FROM wet w JOIN (SELECT pid, MIN(r) AS comp_id FROM reach GROUP BY pid) m
+        ON w.pid = m.pid
+    )"""
+    sqls: dict[str, str] = {}
+    sqls["threshold_water_map"] = f"""
+        SELECT row, col,
+               CASE WHEN NOT valid THEN 255
+                    WHEN v <= {_WATER_THR} THEN 1 ELSE 0 END AS water
+        FROM {grid} g
+    """
+    sqls["slope_rows"] = f"""
+        WITH d AS (
+          SELECT row, col, v AS value,
+                 LAG(v)  OVER (PARTITION BY col ORDER BY row) AS prev,
+                 LEAD(v) OVER (PARTITION BY col ORDER BY row) AS nxt
+          FROM {grid} g
+        )
+        SELECT row, col,
+               ROUND(ATAN(ABS(
+                 CASE WHEN prev IS NULL AND nxt IS NULL THEN 0.0
+                      WHEN prev IS NULL THEN nxt - value
+                      WHEN nxt IS NULL THEN value - prev
+                      ELSE (nxt - prev) / 2.0 END
+               ) / 30.0) / 3.141592653589793 * 180.0, 6) AS slope
+        FROM d
+    """
+    sqls["grid_labels"] = f"SELECT row, col, comp_id FROM {labels} l"
+    sqls["segment_areas_grid"] = f"""
+        SELECT comp_id, COUNT(*) AS area FROM {labels} l GROUP BY comp_id
+    """
+    values = ", ".join(f"({tid}, {thr!r})" for tid, thr in _em_expected())
+    sqls["em_fixture_thresholds"] = f"""
+        SELECT CAST(tile_id AS BIGINT) AS tile_id,
+               CAST(threshold AS DOUBLE) AS threshold
+        FROM (VALUES {values}) AS t(tile_id, threshold)
+    """
+    return sqls
+
+
+def queries() -> dict:
+    return {
+        "threshold_water_map": q_threshold_water_map,
+        "slope_rows": q_slope_rows,
+        "grid_labels": q_grid_labels,
+        "segment_areas_grid": q_segment_areas_grid,
+        "em_fixture_thresholds": q_em_fixture_thresholds,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracle_sqls()
