@@ -17,10 +17,139 @@ treated as nodata (no flow in or out).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 # D8 neighbor offsets in priority order (E, SE, S, SW, W, NW, N, NE)
 D8 = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+
+_COND_SCHEMA = StructType([
+    StructField("row", IntegerType()),
+    StructField("col", IntegerType()),
+    StructField("elev", DoubleType()),
+    StructField("f", DoubleType()),
+])
+
+_TILE_STRIDE = 1 << 31
+
+
+def condition_dem(
+    grid: DataFrame,
+    tile_shape: tuple[int, int] = (32, 32),
+    eps: float = 1e-5,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Distributed DEM conditioning: epsilon priority-flood depression
+    filling, the Spark stand-in for the pysheds chain fill_pits ->
+    fill_depressions -> resolve_flats
+    (ref src/asf_tools/hydrosar/hand/calculate.py:108-118).
+
+    Tiled halo-merge fixpoint (the standard parallel priority-flood shape):
+
+    - state: per-cell filled level ``f`` — elevation on the global grid
+      border (the drain), +inf elsewhere;
+    - per round: each tile receives the current ``f`` of the halo ring of
+      cells around it (only tile-EDGE cells cross tiles — a tiny fraction),
+      then re-solves the tile-local fill exactly with core.dem
+      ``priority_flood_fill`` seeded at every current upper bound;
+    - ``f`` is monotonically nonincreasing and converges to exactly the
+      full-array answer in O(tile-graph diameter) rounds — each round is one
+      halo shuffle + one Arrow-batched grouped-map, NOT one round per cell.
+
+    Returns (row, col, elev) with the FILLED elevations: every interior cell
+    gains a strictly lower neighbor (the +eps ramp), so ``flow_direction``
+    finds no spurious interior sinks and no flats. The reference likewise
+    computes flowdir and HAND on the inflated DEM (calculate.py:119-129).
+    """
+    from ..core.dem import priority_flood_fill
+
+    tr, tc = tile_shape
+    ext = grid.agg(
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+    ).collect()[0]
+    rmin, rmax, cmin, cmax = int(ext.r0), int(ext.r1), int(ext.c0), int(ext.c1)
+
+    on_border = (
+        (F.col("row") == rmin) | (F.col("row") == rmax)
+        | (F.col("col") == cmin) | (F.col("col") == cmax)
+    )
+    tile_key = (
+        F.floor(F.col("row") / tr).cast("long") * _TILE_STRIDE
+        + F.floor(F.col("col") / tc).cast("long")
+    )
+    state = grid.select(
+        "row", "col", F.col("elev").cast("double").alias("elev"),
+        F.when(on_border, F.col("elev").cast("double"))
+        .otherwise(F.lit(float("inf"))).alias("f"),
+    ).localCheckpoint(eager=True)
+
+    def solve_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        own = pdf[~pdf["is_halo"]]
+        if own.empty:
+            return pd.DataFrame(columns=["row", "col", "elev", "f"])
+        t0r = int(own["row"].min()) // tr * tr
+        t0c = int(own["col"].min()) // tc * tc
+        e = np.full((tr + 2, tc + 2), np.nan)
+        fc = np.full((tr + 2, tc + 2), np.inf)
+        rr = pdf["row"].to_numpy() - t0r + 1
+        cc = pdf["col"].to_numpy() - t0c + 1
+        e[rr, cc] = pdf["elev"].to_numpy()
+        fc[rr, cc] = pdf["f"].to_numpy()
+        # halo cells are fixed boundary conditions: pin elev to their current
+        # f so local relaxation can read through but never lower them
+        halo = pdf["is_halo"].to_numpy()
+        e[rr[halo], cc[halo]] = fc[rr[halo], cc[halo]]
+        seeds = [
+            (int(r), int(c), float(fc[r, c]))
+            for r, c in zip(rr, cc)
+            if np.isfinite(fc[r, c])
+        ]
+        filled = priority_flood_fill(e, eps=eps, seeds=seeds)
+        orow = own["row"].to_numpy()
+        ocol = own["col"].to_numpy()
+        newf = filled[orow - t0r + 1, ocol - t0c + 1]
+        return pd.DataFrame({
+            "row": orow, "col": ocol,
+            "elev": own["elev"].to_numpy(),
+            "f": np.minimum(newf, own["f"].to_numpy()),
+        })
+
+    for _ in range(max_rounds):
+        edge = state.where(
+            ((F.col("row") % tr).isin(0, tr - 1) | (F.col("col") % tc).isin(0, tc - 1))
+            & ~F.isnull("f") & (F.col("f") != float("inf"))
+        )
+        halos = None
+        for dr, dc in D8:
+            h = edge.select(
+                "row", "col", F.lit(None).cast("double").alias("elev"), "f",
+                (F.floor((F.col("row") + dr) / tr).cast("long") * _TILE_STRIDE
+                 + F.floor((F.col("col") + dc) / tc).cast("long")).alias("_lt"),
+            )
+            halos = h if halos is None else halos.unionByName(h)
+        halos = halos.withColumn("_own", tile_key).where(F.col("_lt") != F.col("_own")) \
+            .drop("_own").distinct().withColumn("is_halo", F.lit(True))
+        own = state.withColumn("_lt", tile_key).withColumn("is_halo", F.lit(False))
+        new_state = (
+            own.unionByName(halos)
+            .groupBy("_lt")
+            .applyInPandas(solve_tile, schema=_COND_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.alias("n")
+            .join(state.select("row", "col", F.col("f").alias("f_old")), ["row", "col"])
+            .where(F.col("f") < F.col("f_old"))
+            .limit(1)
+            .count()
+        )
+        state = new_state
+        if changed == 0:
+            break
+    return state.select("row", "col", F.col("f").alias("elev"))
 
 
 def flow_direction(grid: DataFrame) -> DataFrame:
@@ -154,8 +283,19 @@ def compute_hand(
     )
 
 
-def calculate_hand(grid: DataFrame, acc_threshold: float = 100.0) -> DataFrame:
-    """flowdir -> accumulation -> HAND (ref hand/calculate.py:108-129)."""
+def calculate_hand(
+    grid: DataFrame,
+    acc_threshold: float = 100.0,
+    condition: bool = False,
+    tile_shape: tuple[int, int] = (32, 32),
+) -> DataFrame:
+    """(condition ->) flowdir -> accumulation -> HAND
+    (ref hand/calculate.py:108-129). With ``condition=True`` the DEM is
+    depression-filled/flat-resolved first and — like the reference, which
+    feeds the inflated DEM to flowdir AND compute_hand — all downstream
+    steps use the conditioned elevations."""
+    if condition:
+        grid = condition_dem(grid, tile_shape=tile_shape)
     flow = flow_direction(grid).localCheckpoint(eager=True)
     acc = flow_accumulation(flow)
     return compute_hand(flow, acc, acc_threshold)

@@ -226,18 +226,20 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_flood_depth_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/flood estimators (ref flood_map.py:165-180): per-polygon numpy
-    (mean + 3*std) and logstat (exp of log-domain stats) water heights."""
+    (mean + 3*std) and logstat (exp of log-domain stats) water heights.
+
+    Join plan: cover-cell equi-join + bbox refine (spatial_join_polygons) —
+    a BroadcastHashJoin on cell_id, NOT a range-predicate
+    BroadcastNestedLoopJoin: the nested loop scans every page against every
+    box and goes cartesian at 100x polygons. Same rows (a page inside a box
+    always carries a cover cell of that box; the refine drops the rest).
+    """
+    from .operators.spatial_join import spatial_join_polygons
+
     pages = geotagged_documents(spark, sf_dir, cell_res=8)
-    joined = pages.join(
-        F.broadcast(
-            spark.sql(f"SELECT * FROM {boxes_values_sql(watershed_boxes())} b")
-        ),
-        (F.col("lat") >= F.col("min_lat"))
-        & (F.col("lat") <= F.col("max_lat"))
-        & (F.col("lon") >= F.col("min_lon"))
-        & (F.col("lon") <= F.col("max_lon")),
-        "inner",
-    ).where(F.col("hand") > 0)
+    joined = spatial_join_polygons(pages, watershed_boxes(), res=8, how="inner").where(
+        F.col("hand") > 0
+    )
     return joined.groupBy("poly_id").agg(
         F.round(F.avg("hand") + 3.0 * F.stddev_pop("hand"), 6).alias("wh_numpy"),
         F.round(

@@ -81,6 +81,17 @@ def test_headline_whole_stage_codegen(spark):
         assert marker not in plan
 
 
+def test_flood_depth_no_nested_loop(spark, sf_dir):
+    """flood_depth_simple: cover-cell equi-join (BroadcastHashJoin), never a
+    range-predicate BroadcastNestedLoopJoin — the nested loop is a
+    cartesian-family scan that explodes at 100x polygons."""
+    from asf_tools_spark.queries import q_flood_depth_simple
+
+    plan = plan_of(q_flood_depth_simple(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_minhash_single_shuffle(spark, sf_dir):
     """MinHash signatures: one explode + one aggregate — exactly one
     exchange (the groupBy), no joins."""

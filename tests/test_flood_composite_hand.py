@@ -161,6 +161,53 @@ def test_flow_accumulation_log_rounds_on_chain(spark):
         assert got[c] == float(c + 1)
 
 
+def test_condition_dem_matches_priority_flood_oracle(spark):
+    """Distributed tiled halo-merge fill == full-array numpy priority-flood
+    on a pitted, flat-riddled synthetic DEM (tiles 8x8 -> real halo merges
+    across a 4x4 tile graph)."""
+    from asf_tools_spark.core.dem import priority_flood_fill
+    from asf_tools_spark.operators.hand import condition_dem
+
+    rng = np.random.default_rng(11)
+    h, w = 32, 32
+    elev = rng.uniform(10, 20, (h, w))
+    elev[10:14, 10:14] = 1.0   # deep interior depression (4x4)
+    elev[20:23, 5:12] = 15.0   # perfectly flat shelf
+    elev[5, 25] = 0.5          # single-cell pit
+
+    expected = priority_flood_fill(elev, eps=1e-5)
+    grid = spark.createDataFrame(
+        [(r, c, float(elev[r, c])) for r in range(h) for c in range(w)],
+        "row int, col int, elev double",
+    )
+    got = {(r.row, r.col): r.elev for r in condition_dem(grid, (8, 8), eps=1e-5).collect()}
+    for (r, c), e in np.ndenumerate(expected):
+        assert np.isclose(got[(r, c)], e, rtol=0, atol=1e-12), (r, c, got[(r, c)], e)
+
+
+def test_conditioned_dem_has_no_interior_sinks(spark):
+    """After conditioning, every non-border cell has a strictly lower
+    neighbor (the +eps ramp) — the pit and the flat both drain."""
+    from asf_tools_spark.operators.hand import condition_dem
+
+    rng = np.random.default_rng(3)
+    h, w = 24, 24
+    elev = rng.uniform(10, 20, (h, w))
+    elev[8:12, 8:12] = 2.0
+    elev[15:18, 3:9] = 12.0  # flat
+    grid = spark.createDataFrame(
+        [(r, c, float(elev[r, c])) for r in range(h) for c in range(w)],
+        "row int, col int, elev double",
+    )
+    flow = flow_direction(condition_dem(grid, (8, 8)))
+    sinks = [
+        (r.row, r.col)
+        for r in flow.collect()
+        if r.to_row is None and 0 < r.row < h - 1 and 0 < r.col < w - 1
+    ]
+    assert sinks == []
+
+
 def test_calculate_hand_valley(spark):
     """V-shaped valley: channel accumulates everything; HAND = elevation
     above the channel profile."""
