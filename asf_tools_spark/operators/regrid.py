@@ -56,7 +56,59 @@ def regrid(
             .where("rk = 1")
             .select("row", "col", "value")
         )
+    if method == "lanczos":
+        return _regrid_lanczos(src, row_scale, col_scale, row_off, col_off)
     raise ValueError(f"unknown method {method}")
+
+
+_LANCZOS_A = 3  # kernel radius, matching GDAL's lanczos (the ref default,
+# prepare.py:53-86 resampling_method='lanczos')
+
+
+def _lanczos_w(t, a: int = _LANCZOS_A):
+    """Windowed sinc L(t) = sinc(t)·sinc(t/a) for |t| < a — pure Catalyst."""
+    pi_t = F.lit(float(np.pi)) * t
+    val = (F.sin(pi_t) / pi_t) * (F.sin(pi_t / a) / (pi_t / a))
+    return F.when(F.abs(t) < 1e-12, 1.0).when(F.abs(t) < a, val).otherwise(0.0)
+
+
+def _regrid_lanczos(
+    src: DataFrame, row_scale: float, col_scale: float, row_off: float, col_off: float
+) -> DataFrame:
+    """Separable Lanczos-3 remap as a scatter + weighted aggregate.
+
+    Each source pixel is exploded into the destination pixels whose centers
+    (mapped back to source coordinates) fall within the a=3 kernel support —
+    ≤ (2a·scale+1)² candidates per pixel, all JVM-side (sequence/explode +
+    sin expressions), then one groupBy(dst) computing Σw·v / Σw (edge-
+    normalized, like GDAL). Kernel distances are measured between pixel
+    CENTERS in source coordinates — exact for identity/upsampling warps (the
+    reference's HAND-onto-scene-grid case); for heavy downsampling use
+    'average' (Lanczos without kernel rescaling aliases there by design).
+    """
+    a = _LANCZOS_A
+    sr = F.col("row") + 0.5
+    sc = F.col("col") + 0.5
+    r_lo = F.ceil((sr - a) * row_scale + row_off - 0.5).cast("int")
+    r_hi = F.floor((sr + a) * row_scale + row_off - 0.5).cast("int")
+    c_lo = F.ceil((sc - a) * col_scale + col_off - 0.5).cast("int")
+    c_hi = F.floor((sc + a) * col_scale + col_off - 0.5).cast("int")
+    cand = (
+        src.select("row", "col", "value",
+                   F.explode(F.sequence(r_lo, r_hi)).alias("dst_row"),
+                   c_lo.alias("_clo"), c_hi.alias("_chi"))
+        .select("row", "col", "value", "dst_row",
+                F.explode(F.sequence(F.col("_clo"), F.col("_chi"))).alias("dst_col"))
+    )
+    t_r = (F.col("dst_row") + 0.5 - row_off) / row_scale - (F.col("row") + 0.5)
+    t_c = (F.col("dst_col") + 0.5 - col_off) / col_scale - (F.col("col") + 0.5)
+    w = _lanczos_w(t_r) * _lanczos_w(t_c)
+    return (
+        cand.withColumn("_w", w)
+        .where(F.col("_w") != 0.0)
+        .groupBy(F.col("dst_row").alias("row"), F.col("dst_col").alias("col"))
+        .agg((F.sum(F.col("_w") * F.col("value")) / F.sum("_w")).alias("value"))
+    )
 
 
 _FILL_SCHEMA = StructType([

@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -84,9 +85,17 @@ def cosine_topk_lsh(
     q = queries.select(F.col(key).alias("q_id"), F.col(vec_col).alias("q_vec")).withColumn(
         "bucket", _hyperplane_bucket("q_vec", planes)
     )
+    # probe every bucket within `multiprobe` flipped bits (Hamming ball) —
+    # C(n_planes, <=multiprobe) probes per query, the recall/cost knob
+    from itertools import combinations
+
     probes = [F.col("bucket")]
-    if multiprobe >= 1:
-        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    for nbits in range(1, min(multiprobe, n_planes) + 1):
+        for idxs in combinations(range(n_planes), nbits):
+            m = 0
+            for i in idxs:
+                m |= 1 << i
+            probes.append(F.col("bucket").bitwiseXOR(F.lit(m)))
     q = q.withColumn("probe", F.explode(F.array(*probes))).drop("bucket")
 
     cand = F.broadcast(q).join(corpus, q["probe"] == corpus["bucket"]).where(
@@ -104,19 +113,57 @@ def cosine_topk_lsh(
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray, key: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", jvm_max_centroids: int = 16) -> DataFrame:
     """Coarse IVF list assignment: nearest centroid by cosine (centroids are
-    a small seed-deterministic sample or k-means output, shipped as
-    literals). Partitioning the corpus by ``list_id`` co-locates each
-    inverted list — the probe join then touches only nprobe lists."""
-    best_id = F.lit(-1)
-    best_cos = F.lit(-2.0)
-    n = norm_col(vec_col)
-    for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        cn = float(np.linalg.norm(c))
-        cos = dot_cols(F.col(vec_col), lit) / (n * F.lit(cn))
-        cond = cos > best_cos
-        best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-        best_cos = F.when(cond, cos).otherwise(best_cos)
-    return emb.withColumn("list_id", best_id).withColumn("list_cosine", best_cos)
+    a small seed-deterministic sample or k-means output). Partitioning the
+    corpus by ``list_id`` co-locates each inverted list — the probe join
+    then touches only nprobe lists.
+
+    Two NARROW (no-shuffle) physical paths, chosen by centroid count:
+
+    - <= ``jvm_max_centroids``: literal when-chain of zip_with/aggregate dot
+      products — whole-stage codegen, zero Python;
+    - larger (the k ~ sqrt(N) regime, where a when-chain blows up codegen):
+      one Arrow-batched pandas UDF doing a single BLAS matmul argmax per
+      batch against the broadcast centroid matrix.
+
+    Both paths produce identical assignments (ties break to the lowest
+    list_id).
+    """
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if len(centroids) <= jvm_max_centroids:
+        # stage each cosine as a NAMED column, then argmax via array_max of
+        # (cos, -i) structs — a when-chain would embed the running best
+        # subtree twice per level (exponential expression tree, the known
+        # codegen stall); this stays linear in k. Tie-break: max(-i) = min i,
+        # matching numpy argmax (first max wins).
+        staged = emb.withColumn("_vn", norm_col(vec_col))
+        for i, c in enumerate(centroids):
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            cn = float(np.linalg.norm(c))
+            staged = staged.withColumn(
+                f"_cos_{i}", dot_cols(F.col(vec_col), lit) / (F.col("_vn") * F.lit(cn))
+            )
+        best = F.array_max(F.array(*[
+            F.struct(F.col(f"_cos_{i}").alias("cos"), F.lit(-i).alias("ni"))
+            for i in range(len(centroids))
+        ]))
+        out = staged.withColumn("list_id", -best["ni"]).withColumn("list_cosine", best["cos"])
+        return out.drop("_vn", *[f"_cos_{i}" for i in range(len(centroids))])
+
+    cmat = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("struct<list_id:int,list_cosine:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cmat.T  # (batch, k) — one BLAS call
+        best = sims.argmax(axis=1)  # argmax takes the FIRST max: lowest id
+        return pd.DataFrame({
+            "list_id": best.astype(np.int32),
+            "list_cosine": sims[np.arange(len(best)), best],
+        })
+
+    out = emb.withColumn("_a", assign(F.col(vec_col)))
+    return out.select(*emb.columns, F.col("_a.list_id").alias("list_id"),
+                      F.col("_a.list_cosine").alias("list_cosine"))

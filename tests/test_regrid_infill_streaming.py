@@ -76,6 +76,66 @@ def test_regrid_nearest_upsample(spark):
     assert out[(0, 0)] == 1.0 and out[(2, 2)] == 4.0
 
 
+def _lanczos_np(t: np.ndarray, a: int = 3) -> np.ndarray:
+    t = np.asarray(t, dtype=float)
+    out = np.zeros_like(t)
+    zero = np.abs(t) < 1e-12
+    inside = (np.abs(t) < a) & ~zero
+    pt = np.pi * t[inside]
+    out[inside] = np.sin(pt) / pt * (np.sin(pt / a) / (pt / a))
+    out[zero] = 1.0
+    return out
+
+
+def _regrid_lanczos_np(arr, row_scale, col_scale, row_off=0.0, col_off=0.0, a=3):
+    """Full numpy oracle mirroring the operator's candidate enumeration and
+    weighted aggregate."""
+    num, den = {}, {}
+    h, w = arr.shape
+    for r in range(h):
+        for c in range(w):
+            sr, sc = r + 0.5, c + 0.5
+            r_lo = int(np.ceil((sr - a) * row_scale + row_off - 0.5))
+            r_hi = int(np.floor((sr + a) * row_scale + row_off - 0.5))
+            c_lo = int(np.ceil((sc - a) * col_scale + col_off - 0.5))
+            c_hi = int(np.floor((sc + a) * col_scale + col_off - 0.5))
+            for dr in range(r_lo, r_hi + 1):
+                for dc in range(c_lo, c_hi + 1):
+                    tr = (dr + 0.5 - row_off) / row_scale - sr
+                    tc = (dc + 0.5 - col_off) / col_scale - sc
+                    wgt = float(_lanczos_np(np.array([tr]))[0] * _lanczos_np(np.array([tc]))[0])
+                    if wgt != 0.0:
+                        num[(dr, dc)] = num.get((dr, dc), 0.0) + wgt * arr[r, c]
+                        den[(dr, dc)] = den.get((dr, dc), 0.0) + wgt
+    return {k: num[k] / den[k] for k in num}
+
+
+def test_regrid_lanczos_matches_numpy_oracle(spark):
+    """S6 kernel fidelity (ref prepare.py:53-86 Lanczos warp): the scattered
+    weighted aggregate equals the dense numpy Lanczos on a 2x upsample."""
+    rng = np.random.default_rng(7)
+    arr = rng.uniform(0, 50, (12, 10))
+    rows = [(r, c, float(arr[r, c])) for r in range(12) for c in range(10)]
+    src = spark.createDataFrame(rows, "row int, col int, value double")
+    got = {(r.row, r.col): r.value for r in regrid(src, 2.0, 2.0, method="lanczos").collect()}
+    exp = _regrid_lanczos_np(arr, 2.0, 2.0)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert np.isclose(got[k], v, rtol=0, atol=1e-9), (k, got[k], v)
+
+
+def test_regrid_lanczos_identity_is_exact(spark):
+    """Identity warp: kernel distances are integers, sinc zeros everywhere
+    but t=0 — Lanczos reproduces the source exactly."""
+    arr = np.arange(30, dtype=float).reshape(5, 6) * 1.7
+    rows = [(r, c, float(arr[r, c])) for r in range(5) for c in range(6)]
+    src = spark.createDataFrame(rows, "row int, col int, value double")
+    got = {(r.row, r.col): r.value for r in regrid(src, 1.0, 1.0, method="lanczos").collect()}
+    for r in range(5):
+        for c in range(6):
+            assert np.isclose(got[(r, c)], arr[r, c], rtol=0, atol=1e-12)
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     """availableNow file-source stream == batch computation on same data."""
     from asf_tools_spark.sources.pages import geotag_pages, synth_pages
