@@ -73,7 +73,11 @@ def label_connected(
         )
 
     labeled = g.groupBy("_lt").applyInPandas(per_tile, schema=_LABEL_SCHEMA)
-    labeled = labeled.persist()
+    # EAGER materialization, not a lazy persist: the edge-pair job below
+    # reads `labeled` through 5 union branches — against a lazy cache those
+    # branches race and re-execute the (expensive) upstream chain up to 5x.
+    # The checkpoint also truncates lineage before the iterative merge.
+    labeled = labeled.localCheckpoint(eager=True)
 
     # boundary pixels: on any tile edge
     on_edge = (

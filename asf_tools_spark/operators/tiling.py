@@ -100,27 +100,32 @@ _EM_SCHEMA = StructType([
 
 def em_thresholds_for_tiles(grid: DataFrame, selected: np.ndarray, scaling: float,
                             tile_shape: tuple[int, int]) -> DataFrame:
-    """Grouped-map EM per selected tile. Only the <=5 selected tiles reach
-    the Python worker (semi-join prunes first — the reference's
-    'compute EM only on selected tiles' optimization, SURVEY §4)."""
+    """Grouped-map EM over the selected tiles. Only the <=5 selected tiles
+    reach the Python worker (semi-join prunes first — the reference's
+    'compute EM only on selected tiles' optimization, SURVEY §4), and they
+    ship as ONE group (<= 5 x tile_pixels rows): five separate groups paid
+    five Python worker round-trips for ~100 ms of numpy each."""
     tr, tc = tile_shape
     sel = [int(t) for t in selected]
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = np.full((tr, tc), np.nan)
-        mask = np.ones((tr, tc), dtype=bool)
-        r_in = pdf["row"].to_numpy() % tr
-        c_in = pdf["col"].to_numpy() % tc
-        vals[r_in, c_in] = pdf["value"].to_numpy()
-        mask[r_in, c_in] = ~pdf["valid"].to_numpy()
-        tile = np.ma.MaskedArray(vals, mask=mask)
-        test_tile = np.ma.around(tile * scaling).astype(int)
-        thr = em_threshold(test_tile) / scaling
-        return pd.DataFrame({"tile_id": [int(pdf["tile_id"].iloc[0])], "threshold": [thr]})
+        tids, thrs = [], []
+        for tid, g in pdf.groupby("tile_id"):
+            vals = np.full((tr, tc), np.nan)
+            mask = np.ones((tr, tc), dtype=bool)
+            r_in = g["row"].to_numpy() % tr
+            c_in = g["col"].to_numpy() % tc
+            vals[r_in, c_in] = g["value"].to_numpy()
+            mask[r_in, c_in] = ~g["valid"].to_numpy()
+            tile = np.ma.MaskedArray(vals, mask=mask)
+            test_tile = np.ma.around(tile * scaling).astype(int)
+            tids.append(int(tid))
+            thrs.append(em_threshold(test_tile) / scaling)
+        return pd.DataFrame({"tile_id": tids, "threshold": thrs})
 
     return (
         grid.where(F.col("tile_id").isin(sel))
-        .groupBy("tile_id")
+        .groupBy(F.lit(1).alias("_all"))
         .applyInPandas(fit, schema=_EM_SCHEMA)
     )
 

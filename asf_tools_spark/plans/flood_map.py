@@ -121,7 +121,13 @@ def make_flood_map_grid(
     iterative_bounds: tuple[int, int] = (0, 15),
 ) -> DataFrame:
     """Full pipeline -> (row, col, label, water_height, flood_depth);
-    clamped at 0 (ref :295-302; the -1 nodata fill is a sink concern)."""
+    clamped at 0 (ref :295-302; the -1 nodata fill is a sink concern).
+
+    DELIBERATE DIVERGENCE from the reference: we estimate a water height for
+    EVERY label. The reference's loop ``for ll in range(1, num_labels)``
+    (ref flood_map.py:273) never reaches the last label, silently leaving
+    its depth 0 — an upstream off-by-one (labels are 1..num_labels
+    inclusive), not a semantic choice, so we do not replicate it."""
     labeled = flood_labels(water, known_water, vv_valid, tile_shape).persist()
     heights = estimate_water_heights(
         labeled, hand, estimator, water_level_sigma, iterative_bounds

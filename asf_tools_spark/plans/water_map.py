@@ -183,7 +183,8 @@ def _fuzzy_refinement(
             F.col("area") >= 3, 1.0 - zmf_col(F.col("area").cast("double"), 3.0, 10.0)
         ).otherwise(F.lit(0.0)),
     ).select("label", "seg_mem")
-    px = labeled.join(seg_mem, "label").select("row", "col", "seg_mem")
+    # seg_mem is one row per label (tiny) — broadcast, never shuffle px
+    px = labeled.join(F.broadcast(seg_mem), "label").select("row", "col", "seg_mem")
 
     px = px.join(wpix, ["row", "col"]).join(
         hand_sloped.select("row", "col", "hand", "slope"), ["row", "col"], "left"
