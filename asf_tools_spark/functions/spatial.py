@@ -59,6 +59,45 @@ def subtile_col(row: str, col: str, tile_shape: tuple[int, int]) -> Column:
     return F.expr(tiles.subtile_id_sql(row, col, tile_shape)).alias("subtile_id")
 
 
+def fill_missing_tiles(
+    spark,
+    existing,  # DataFrame with a tile_name column (the tiles already built)
+    lat_range: tuple[int, int] = (-85, 85),
+    lon_range: tuple[int, int] = (-180, 180),
+    tile_size: tuple[int, int] = (5, 5),
+    fill_value: int = 0,
+    pixel_size: float = 0.00009009009,
+):
+    """ref watermasking/fill_missing_tiles.py:14-91: enumerate the lat/lon
+    tile lattice over the dataset bounds, and for every tile NOT in the
+    catalog emit a constant-fill tile row carrying the name, the fill value
+    and the GDAL-style geotransform (origin + pixel size). The reference
+    materializes a 55,500^2 byte raster per tile; as a table the fill is a
+    constant column and the sink expands it — the anti-join against the
+    catalog is the actual query.
+    """
+    th, tw = tile_size
+    n_lat = (lat_range[1] - lat_range[0]) // th
+    n_lon = (lon_range[1] - lon_range[0]) // tw
+    lattice = spark.range(n_lat * n_lon).select(
+        (F.lit(lat_range[0]) + (F.col("id") / n_lon).cast("int") * th).alias("lat"),
+        (F.lit(lon_range[0]) + (F.col("id") % n_lon).cast("int") * tw).alias("lon"),
+    )
+    named = lattice.select(
+        tile_name_col(F.col("lat").cast("double"), F.col("lon").cast("double"), postfix="")
+        .alias("tile_name"),
+        "lat", "lon",
+    )
+    missing = named.join(existing.select("tile_name"), "tile_name", "left_anti")
+    return missing.select(
+        "tile_name",
+        F.col("lon").cast("double").alias("xmin"),
+        F.col("lat").cast("double").alias("ymin"),
+        F.lit(float(pixel_size)).alias("pixel_size"),
+        F.lit(int(fill_value)).alias("fill_value"),
+    )
+
+
 def tile_name_col(lat: Column, lon: Column, is_worldcover: bool = False, postfix: str = ".tif") -> Column:
     """Zero-padded tile-name string (ref watermasking/utils.py:7-28) as a
     concat/lpad expression."""

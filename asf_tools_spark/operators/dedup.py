@@ -194,16 +194,25 @@ def hamming_near_pairs(sim: DataFrame, key: str, bits: int = 16, max_distance: i
 def embedding_near_dup(
     emb: DataFrame, key: str, vec_col: str = "embedding",
     n_planes: int = 8, seed: int = 42, dim: int | None = None,
-    cosine_threshold: float = 0.9,
+    cosine_threshold: float = 0.9, n_tables: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine: random-hyperplane LSH bucket
-    (sign bits of plane dot products) then exact cosine within buckets.
-    Planes are seed-deterministic numpy, shipped as literal arrays; the dot
-    products are `F.zip_with`+`F.aggregate` — JVM-side, no Python."""
+    """Near-dup pairs by embedding cosine: banded multi-table random-
+    hyperplane LSH, then exact cosine within buckets.
+
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each:
+    candidates collide in ANY table (recall knob), while per-table bucket
+    count stays 2^n_planes (collision-size knob). A single table caps at
+    2^n_planes buckets, whose per-bucket self-joins go quadratic at corpus
+    scale — raise n_planes to shrink buckets and n_tables to restore
+    recall; the join volume is Σ_tables Σ_buckets |bucket|², never |corpus|².
+
+    Planes are seed-deterministic numpy shipped as literal arrays; all dot
+    products are `F.zip_with`+`F.aggregate` — JVM-side, no Python.
+    """
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
 
     def dot_with(plane: np.ndarray) -> Column:
         lit = F.array(*[F.lit(float(x)) for x in plane])
@@ -212,16 +221,24 @@ def embedding_near_dup(
             F.lit(0.0), lambda acc, x: acc + x,
         )
 
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        bucket = bucket.bitwiseOR(
-            F.when(dot_with(planes[i]) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-        )
-    bucketed = emb.select(key, vec_col, bucket.alias("bucket"))
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            bucket = bucket.bitwiseOR(
+                F.when(dot_with(planes[t, i]) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+            )
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    bucketed = emb.select(
+        key, vec_col, F.explode(F.array(*tables)).alias("tb")
+    ).select(key, vec_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket"))
 
-    a = bucketed.select(F.col(key).alias("key_a"), F.col(vec_col).alias("va"), "bucket")
-    b = bucketed.select(F.col(key).alias("key_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("key_a") < F.col("key_b"))
+    a = bucketed.select(F.col(key).alias("key_a"), F.col(vec_col).alias("va"), "t", "bucket")
+    b = bucketed.select(F.col(key).alias("key_b"), F.col(vec_col).alias("vb"), "t", "bucket")
+    pairs = (
+        a.join(b, ["t", "bucket"]).where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "va", "vb").distinct()
+    )
 
     def dot(x: str, y: str) -> Column:
         return F.aggregate(

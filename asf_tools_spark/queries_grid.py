@@ -118,6 +118,28 @@ def q_segment_areas_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("label").alias("comp_id"), "area")
 
 
+_HOLE_MOD = 37  # scattered single-pixel NaN holes: (row*7+col*13) % 37 == 0
+
+
+def q_gaussian_infill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (ref hand/calculate.py:25-37 fill_nan / astropy
+    interpolate_replace_nans): Gaussian-kernel weighted-mean NaN infill via
+    the distributed per-tile + halo operator. Holes are scattered single
+    pixels (density 1/37), so ONE kernel pass fills everything and the
+    fixpoint equals the single-pass SQL oracle (join against the kernel
+    offsets, Σw·v/Σw over non-NaN neighbors)."""
+    from .operators.regrid import fill_nan_distributed
+
+    g = _grid_df(spark)
+    hole = ((F.col("row") * 7 + F.col("col") * 13) % _HOLE_MOD) == 0
+    grid = g.select(
+        "row", "col",
+        F.when(hole, F.lit(float("nan"))).otherwise(F.col("v")).alias("value"),
+    )
+    out = fill_nan_distributed(grid, (_H, _W), tile_shape=(16, 16), stddev=1.0)
+    return out.select("row", "col", F.round("value", 6).alias("value"))
+
+
 def _em_expected() -> list[tuple[int, float]]:
     exp = pd.read_parquet(_FIXTURES / "em_thresholds.parquet")
     return [(int(r.tile_id), round(float(r.threshold), 6)) for r in exp.itertuples()]
@@ -207,6 +229,30 @@ def _oracle_sqls() -> dict[str, str]:
     sqls["segment_areas_grid"] = f"""
         SELECT comp_id, COUNT(*) AS area FROM {labels} l GROUP BY comp_id
     """
+    from .core.infill import gaussian_kernel
+
+    k = gaussian_kernel(1.0)
+    half = k.shape[0] // 2
+    krows = ", ".join(
+        f"({dr - half}, {dc - half}, CAST({float(k[dr, dc])!r} AS DOUBLE))"
+        for dr in range(k.shape[0]) for dc in range(k.shape[1])
+    )
+    sqls["gaussian_infill"] = f"""
+        WITH g AS (
+          SELECT row, col, v, ((row * 7 + col * 13) % {_HOLE_MOD}) = 0 AS hole
+          FROM {grid} q
+        ),
+        kernel(dr, dc, w) AS (SELECT * FROM (VALUES {krows})),
+        hole_fill AS (
+          SELECT h.row, h.col, SUM(k.w * n.v) / SUM(k.w) AS fv
+          FROM g h
+          JOIN kernel k ON h.hole
+          JOIN g n ON n.row = h.row + k.dr AND n.col = h.col + k.dc AND NOT n.hole
+          GROUP BY h.row, h.col
+        )
+        SELECT g.row, g.col, ROUND(COALESCE(f.fv, g.v), 6) AS value
+        FROM g LEFT JOIN hole_fill f ON f.row = g.row AND f.col = g.col
+    """
     values = ", ".join(f"({tid}, {thr!r})" for tid, thr in _em_expected())
     sqls["em_fixture_thresholds"] = f"""
         SELECT CAST(tile_id AS BIGINT) AS tile_id,
@@ -223,6 +269,7 @@ def queries() -> dict:
         "grid_labels": q_grid_labels,
         "segment_areas_grid": q_segment_areas_grid,
         "em_fixture_thresholds": q_em_fixture_thresholds,
+        "gaussian_infill": q_gaussian_infill,
     }
 
 

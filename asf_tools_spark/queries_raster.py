@@ -315,6 +315,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fill_missing_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ref watermasking/fill_missing_tiles.py:14-91: 5-degree tile lattice
+    over (-30..30, -90..90) anti-joined against the catalog of tiles that
+    already exist (tile names of the 5-degree-snapped document geotags) —
+    each missing tile emits its name + origin + constant fill."""
+    from .functions.spatial import fill_missing_tiles, tile_name_col
+    from .sources.pages import geotagged_documents
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    lat0, lon0 = -30, -90
+    inb = (
+        (F.col("lat") >= lat0) & (F.col("lat") < 30)
+        & (F.col("lon") >= lon0) & (F.col("lon") < 90)
+    )
+    lat5 = (F.floor((F.col("lat") - lat0) / 5) * 5 + lat0).cast("double")
+    lon5 = (F.floor((F.col("lon") - lon0) / 5) * 5 + lon0).cast("double")
+    existing = pages.where(inb).select(
+        tile_name_col(lat5, lon5, postfix="").alias("tile_name")
+    ).distinct()
+    return fill_missing_tiles(
+        spark, existing, (-30, 30), (-90, 90), (5, 5), fill_value=255
+    )
+
+
 def _oracle_sqls() -> dict[str, str]:
     from . import oracle
 
@@ -466,6 +490,33 @@ def _oracle_sqls() -> dict[str, str]:
                               '_[A-Z]+\\.tif$', '_area.tif') AS area_raster
         FROM part
     """
+    tn5 = """
+        CASE WHEN lat >= 0 THEN 'n' || lpad(CAST(CAST(FLOOR(lat) AS BIGINT) AS VARCHAR), 2, '0')
+             ELSE 's' || lpad(CAST(CAST(FLOOR(ABS(lat)) AS BIGINT) AS VARCHAR), 2, '0') END ||
+        CASE WHEN lon >= 0 THEN 'e' || lpad(CAST(CAST(FLOOR(lon) AS BIGINT) AS VARCHAR), 3, '0')
+             ELSE 'w' || lpad(CAST(CAST(FLOOR(ABS(lon)) AS BIGINT) AS VARCHAR), 3, '0') END
+    """
+    sqls["fill_missing_tiles"] = f"""
+        WITH lattice AS (
+          SELECT CAST(-30 + (i // 36) * 5 AS DOUBLE) AS lat,
+                 CAST(-90 + (i % 36) * 5 AS DOUBLE) AS lon
+          FROM generate_series(0, {12 * 36 - 1}) t(i)
+        ),
+        named AS (SELECT {tn5} AS tile_name, lat, lon FROM lattice),
+        existing AS (
+          SELECT DISTINCT {tn5} AS tile_name FROM (
+            SELECT CAST(FLOOR((lat + 30) / 5) * 5 - 30 AS DOUBLE) AS lat,
+                   CAST(FLOOR((lon + 90) / 5) * 5 - 90 AS DOUBLE) AS lon
+            FROM {docs} p
+            WHERE lat >= -30 AND lat < 30 AND lon >= -90 AND lon < 90
+          )
+        )
+        SELECT n.tile_name, n.lon AS xmin, n.lat AS ymin,
+               CAST(0.00009009009 AS DOUBLE) AS pixel_size,
+               CAST(255 AS INT) AS fill_value
+        FROM named n LEFT JOIN existing e ON n.tile_name = e.tile_name
+        WHERE e.tile_name IS NULL
+    """
     sqls["bbox_filename_filter"] = f"""
         WITH named AS (SELECT doc_id, {tn} AS tn FROM {docs} p),
         parsed AS (
@@ -496,7 +547,10 @@ def queries() -> dict:
         "confusion_counts": q_confusion_counts,
         "label_stats_nmad": q_label_stats_nmad,
         "mosaic_weighted": q_mosaic_weighted,
-        "media_features": q_media_features,  # rows-only: binary payloads not in oracle views
+        "fill_missing_tiles": q_fill_missing_tiles,
+        # rows-only: binary payloads can't cross the oracle (DuckDB 1.0
+        # sha256 is VARCHAR-only; payload bytes are non-UTF8)
+        "media_features": q_media_features,
     }
 
 
