@@ -144,6 +144,9 @@ def make_water_map_grid(
                 membership_threshold=membership_threshold,
             )
         )
+        # (measured: eagerly checkpointing each fuzzy output here adds a job
+        # per polarization and does NOT help — the combined labeling job
+        # executes each chain exactly once already)
 
     combined = (
         fuzzy_maps[0].select("row", "col")

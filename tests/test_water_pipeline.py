@@ -3,6 +3,7 @@
 reproduce it stage for stage on a synthetic dual-pol scene)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from asf_tools_spark.core import watermap_mirror as mirror
@@ -121,6 +122,35 @@ def test_distributed_labeling_matches_core(spark):
         else:
             mapping[e] = g_
     assert len(set(mapping.values())) == len(mapping), "two components merged"
+
+
+def test_distributed_merge_stress_10k_equivalences(spark):
+    """Stress the no-driver merge: 256x256 at 30% water over 8x8 tiles
+    (1,024 tiles) produces >10k cross-tile boundary equivalences; the
+    iterative min-propagation must produce exactly the numpy components."""
+    from asf_tools_spark.core.labeling import label_components
+
+    rng = np.random.default_rng(4)
+    flag = rng.random((256, 256)) < 0.3
+    expected = label_components(flag)
+
+    pts = np.argwhere(flag)
+    pdf = pd.DataFrame({
+        "row": pts[:, 0].astype("int32"), "col": pts[:, 1].astype("int32"), "flag": True
+    })
+    base = spark.createDataFrame(pdf)
+    out = label_connected(base, "flag", (8, 8), merge_on_driver=False)
+    got = {(r.row, r.col): r.label for r in out.collect()}
+    assert len(got) == int(flag.sum())
+
+    def canon(p):
+        groups = {}
+        for k, v in p.items():
+            groups.setdefault(v, set()).add(k)
+        return sorted(tuple(sorted(s)) for s in groups.values())
+
+    exp_p = {(int(r), int(c)): int(expected[r, c]) for r, c in pts}
+    assert canon(got) == canon(exp_p)
 
 
 def test_distributed_labeling_distributed_merge(spark):
