@@ -118,6 +118,16 @@ def q_segment_areas_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("label").alias("comp_id"), "area")
 
 
+def q_label_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (ref flood_map.py:266 ndimage.find_objects): per-component
+    bounding boxes — groupBy(label).agg(min/max row/col) over the canonical
+    connected components."""
+    return _canonical_labels(spark).groupBy("comp_id").agg(
+        F.min("row").alias("min_row"), F.max("row").alias("max_row"),
+        F.min("col").alias("min_col"), F.max("col").alias("max_col"),
+    )
+
+
 _HOLE_MOD = 37  # scattered single-pixel NaN holes: (row*7+col*13) % 37 == 0
 
 
@@ -229,6 +239,11 @@ def _oracle_sqls() -> dict[str, str]:
     sqls["segment_areas_grid"] = f"""
         SELECT comp_id, COUNT(*) AS area FROM {labels} l GROUP BY comp_id
     """
+    sqls["label_bboxes"] = f"""
+        SELECT comp_id, MIN(row) AS min_row, MAX(row) AS max_row,
+               MIN(col) AS min_col, MAX(col) AS max_col
+        FROM {labels} l GROUP BY comp_id
+    """
     from .core.infill import gaussian_kernel
 
     k = gaussian_kernel(1.0)
@@ -268,6 +283,7 @@ def queries() -> dict:
         "slope_rows": q_slope_rows,
         "grid_labels": q_grid_labels,
         "segment_areas_grid": q_segment_areas_grid,
+        "label_bboxes": q_label_bboxes,
         "em_fixture_thresholds": q_em_fixture_thresholds,
         "gaussian_infill": q_gaussian_infill,
     }

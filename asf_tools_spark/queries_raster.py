@@ -79,24 +79,31 @@ def q_histogram_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_reverse_cdf_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (ref flood_map.py:34-38): reverse-CDF 95% threshold over a
-    100-bin density histogram."""
+    100-bin density histogram — fully distributed (no driver scalars), so
+    the DuckDB oracle can reproduce it exactly: histogram -> reverse
+    cumulative mass -> searchsorted('left', 0.95) -> flipped bin edge."""
     _register(spark, sf_dir, "events")
     ev = spark.table("events").where(F.col("value").isNotNull()).select("value")
-    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"), F.count("*").alias("n")).collect()[0]
-    lo, hi, n = float(mm.lo), float(mm.hi), int(mm.n)
-    width = (hi - lo) / 100.0
-    b = F.least(F.floor((F.col("value") - lo) / width).cast("int"), F.lit(99))
-    hist = ev.select(b.alias("bin")).groupBy("bin").count()
-    # density = count / (n * width); reverse cdf over bins desc
+    mm = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"), F.count("*").alias("n")
+    )
+    binned = ev.crossJoin(mm).select(
+        "lo", "hi", "n",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 100.0)).cast("int"),
+            F.lit(99),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("bin", "lo", "hi", "n").count()
     w = Window.orderBy(F.col("bin").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    rcdf = hist.select(
-        "bin", (F.col("count") / (n * width) * width).alias("dmass")
-    ).withColumn("rcdf", F.sum("dmass").over(w))
-    # searchsorted(rcdf_asc, 0.95, 'left') = count of entries < 0.95;
-    # flipped bin_edges index i -> edge = hi - i*width
-    i = rcdf.where(F.col("rcdf") < 0.95).count()
-    thr = float(round(hi - i * width) + 1)
-    return spark.range(1).select(F.lit(thr).alias("pw_threshold"))
+    rcdf = hist.withColumn("rcdf", F.sum(F.col("count") / F.col("n")).over(w))
+    # i = #bins with rcdf < 0.95 (searchsorted 'left'); edge = hi - i*width
+    return rcdf.groupBy("lo", "hi").agg(
+        F.sum((F.col("rcdf") < 0.95).cast("int")).alias("i")
+    ).select(
+        (F.round(F.col("hi") - F.col("i") * ((F.col("hi") - F.col("lo")) / 100.0), 0) + 1.0)
+        .alias("pw_threshold")
+    )
 
 
 def q_confusion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +497,24 @@ def _oracle_sqls() -> dict[str, str]:
                               '_[A-Z]+\\.tif$', '_area.tif') AS area_raster
         FROM part
     """
+    sqls["reverse_cdf_threshold"] = """
+        WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+        mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM ev),
+        binned AS (
+          SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 100.0)) AS INT), 99) AS bin,
+                 lo, hi, n
+          FROM ev, mm
+        ),
+        hist AS (SELECT bin, lo, hi, n, COUNT(*) AS c FROM binned GROUP BY 1, 2, 3, 4),
+        r AS (
+          SELECT bin, lo, hi,
+                 SUM(c * 1.0 / n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS rcdf
+          FROM hist
+        )
+        SELECT ROUND(hi - SUM(CASE WHEN rcdf < 0.95 THEN 1 ELSE 0 END)
+                          * ((hi - lo) / 100.0), 0) + 1.0 AS pw_threshold
+        FROM r GROUP BY lo, hi
+    """
     tn5 = """
         CASE WHEN lat >= 0 THEN 'n' || lpad(CAST(CAST(FLOOR(lat) AS BIGINT) AS VARCHAR), 2, '0')
              ELSE 's' || lpad(CAST(CAST(FLOOR(ABS(lat)) AS BIGINT) AS VARCHAR), 2, '0') END ||
@@ -543,7 +568,7 @@ def queries() -> dict:
         "cell_rollup": q_cell_rollup,
         "epsg_vote": q_epsg_vote,
         "histogram_smooth": q_histogram_smooth,
-        "reverse_cdf_threshold": q_reverse_cdf_threshold,  # rows-only: scalar derived driver-side
+        "reverse_cdf_threshold": q_reverse_cdf_threshold,
         "confusion_counts": q_confusion_counts,
         "label_stats_nmad": q_label_stats_nmad,
         "mosaic_weighted": q_mosaic_weighted,
