@@ -17,6 +17,52 @@ def _batch_sessions(df: pd.DataFrame, gap: int = 1800) -> dict[int, tuple[int, i
     return out
 
 
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state persists through the checkpoint:
+    a batch-2 re-crawl of a batch-1 page (same text, inside the watermark)
+    must NOT re-emit; distinct texts all emit exactly once."""
+    from asf_tools_spark.streaming.dedup import stream_dedup
+
+    base = pd.Timestamp("2024-03-01")
+    b1 = pd.DataFrame({
+        "url": [f"u{i}" for i in range(6)],
+        "warc_ts": [base + pd.Timedelta(minutes=i) for i in range(6)],
+        "text": ["alpha", "beta", "gamma", "alpha", "delta", "beta"],
+    })
+    b2 = pd.DataFrame({
+        "url": [f"v{i}" for i in range(4)],
+        "warc_ts": [base + pd.Timedelta(minutes=10 + i) for i in range(4)],
+        "text": ["alpha", "epsilon", "gamma", "zeta"],  # 2 re-crawls, 2 new
+    })
+    src = tmp_path / "dsrc"
+    out_dir, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+    src.mkdir()
+
+    def run_batch(pdf: pd.DataFrame) -> None:
+        spark.createDataFrame(pdf).write.mode("append").parquet(str(src / "data"))
+        stream = spark.readStream.schema("url string, warc_ts timestamp, text string").parquet(
+            str(src / "data")
+        )
+        q = (
+            stream_dedup(stream, watermark="24 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch(b1)
+    run_batch(b2)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got["text"]) == ["alpha", "beta", "delta", "epsilon", "gamma", "zeta"]
+    # first-seen wins: 'alpha' emitted from batch 1, not the v0 re-crawl
+    assert set(got[got.text == "alpha"].url) <= {"u0", "u3"}
+
+
 def test_sessionize_state_across_batches(spark, tmp_path):
     from asf_tools_spark.streaming.sessionize import sessionize_stream
 
