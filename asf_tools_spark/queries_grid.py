@@ -150,6 +150,47 @@ def q_gaussian_infill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row", "col", F.round("value", 6).alias("value"))
 
 
+_ACC_THR = 20.0
+
+
+def _flow_df(spark: SparkSession):
+    from .operators.hand import flow_direction
+
+    g = _grid_df(spark).select("row", "col", F.col("v").alias("elev"))
+    return flow_direction(g)
+
+
+def q_flow_direction_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6a (ref hand/calculate.py:119-120 pysheds flowdir): steepest-descent
+    D8 direction over the deterministic grid; sinks keep NULL targets.
+    Elevations are pre-rounded (6dp), so the drop comparisons are identical
+    IEEE arithmetic in both engines."""
+    return _flow_df(spark).select("row", "col", "to_row", "to_col")
+
+
+def q_flow_accum_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6b (ref calculate.py:122-123 accumulation): cells draining through
+    each cell (incl. itself) — pointer-doubling on the Spark side, recursive
+    path closure + count on the oracle side."""
+    from .operators.hand import flow_accumulation
+
+    return flow_accumulation(_flow_df(spark)).select(
+        "row", "col", F.col("acc").cast("double").alias("acc")
+    )
+
+
+def q_hand_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6c (ref calculate.py:129 compute_hand): height above the first
+    drainage cell (acc > thr) on each cell's flow path; never-draining
+    cells stay NULL."""
+    from .operators.hand import compute_hand, flow_accumulation
+
+    flow = _flow_df(spark).localCheckpoint(eager=True)
+    acc = flow_accumulation(flow)
+    out = compute_hand(flow, acc, acc_threshold=_ACC_THR)
+    return out.select("row", "col", F.round("hand", 6).alias("hand"))
+
+
 def _em_expected() -> list[tuple[int, float]]:
     exp = pd.read_parquet(_FIXTURES / "em_thresholds.parquet")
     return [(int(r.tile_id), round(float(r.threshold), 6)) for r in exp.itertuples()]
@@ -268,6 +309,77 @@ def _oracle_sqls() -> dict[str, str]:
         SELECT g.row, g.col, ROUND(COALESCE(f.fv, g.v), 6) AS value
         FROM g LEFT JOIN hole_fill f ON f.row = g.row AND f.col = g.col
     """
+    from .operators.hand import D8
+
+    offs = ", ".join(
+        f"({i}, {dr}, {dc}, CAST({1.4142135623730951 if dr and dc else 1.0!r} AS DOUBLE))"
+        for i, (dr, dc) in enumerate(D8)
+    )
+    flow = f"""(
+      WITH eg AS (SELECT row, col, v AS elev FROM {grid} gg),
+      offs(d8, dr, dc, dist) AS (SELECT * FROM (VALUES {offs})),
+      nbr AS (
+        SELECT a.row, a.col, o.d8, b.row AS nrow, b.col AS ncol,
+               (a.elev - b.elev) / o.dist AS drop
+        FROM eg a CROSS JOIN offs o
+        JOIN eg b ON b.row = a.row + o.dr AND b.col = a.col + o.dc
+        WHERE (a.elev - b.elev) / o.dist > 0
+      ),
+      best AS (
+        SELECT row, col, nrow, ncol,
+               ROW_NUMBER() OVER (PARTITION BY row, col ORDER BY drop DESC, d8 ASC) AS rk
+        FROM nbr
+      )
+      SELECT g2.row, g2.col, g2.elev, b.nrow AS to_row, b.ncol AS to_col
+      FROM eg g2 LEFT JOIN best b ON b.row = g2.row AND b.col = g2.col AND b.rk = 1
+    )"""
+    sqls["flow_direction_grid"] = f"SELECT row, col, to_row, to_col FROM {flow} f"
+    sqls["flow_accum_grid"] = f"""
+        WITH RECURSIVE fl AS (SELECT * FROM {flow} f0),
+        reach(sr, sc, r, c) AS (
+          SELECT row, col, row, col FROM fl
+          UNION
+          SELECT reach.sr, reach.sc, f.to_row, f.to_col
+          FROM reach JOIN fl f ON f.row = reach.r AND f.col = reach.c
+          WHERE f.to_row IS NOT NULL
+        )
+        SELECT r AS row, c AS col, CAST(COUNT(*) AS DOUBLE) AS acc
+        FROM reach GROUP BY r, c
+    """
+    sqls["hand_grid"] = f"""
+        WITH RECURSIVE fl AS (SELECT * FROM {flow} f0),
+        reach(sr, sc, r, c) AS (
+          SELECT row, col, row, col FROM fl
+          UNION
+          SELECT reach.sr, reach.sc, f.to_row, f.to_col
+          FROM reach JOIN fl f ON f.row = reach.r AND f.col = reach.c
+          WHERE f.to_row IS NOT NULL
+        ),
+        acc AS (SELECT r, c, COUNT(*) AS acc FROM reach GROUP BY r, c),
+        drain AS (SELECT r, c FROM acc WHERE acc > {_ACC_THR!r}),
+        walk(sr, sc, r, c, k) AS (
+          SELECT row, col, row, col, 0 FROM fl
+          UNION ALL
+          SELECT walk.sr, walk.sc, f.to_row, f.to_col, walk.k + 1
+          FROM walk JOIN fl f ON f.row = walk.r AND f.col = walk.c
+          WHERE f.to_row IS NOT NULL
+        ),
+        hits AS (
+          SELECT w.sr, w.sc, w.k, w.r, w.c
+          FROM walk w JOIN drain d ON d.r = w.r AND d.c = w.c
+        ),
+        first_hit AS (SELECT sr, sc, MIN(k) AS k0 FROM hits GROUP BY sr, sc),
+        resolved AS (
+          SELECT h.sr, h.sc, e2.elev AS drain_elev
+          FROM first_hit fh
+          JOIN hits h ON h.sr = fh.sr AND h.sc = fh.sc AND h.k = fh.k0
+          JOIN fl e2 ON e2.row = h.r AND e2.col = h.c
+        )
+        SELECT g3.row, g3.col,
+               CASE WHEN r2.drain_elev IS NULL THEN NULL
+                    ELSE ROUND(GREATEST(g3.elev - r2.drain_elev, 0.0), 6) END AS hand
+        FROM {flow} g3 LEFT JOIN resolved r2 ON r2.sr = g3.row AND r2.sc = g3.col
+    """
     values = ", ".join(f"({tid}, {thr!r})" for tid, thr in _em_expected())
     sqls["em_fixture_thresholds"] = f"""
         SELECT CAST(tile_id AS BIGINT) AS tile_id,
@@ -286,6 +398,9 @@ def queries() -> dict:
         "label_bboxes": q_label_bboxes,
         "em_fixture_thresholds": q_em_fixture_thresholds,
         "gaussian_infill": q_gaussian_infill,
+        "flow_direction_grid": q_flow_direction_grid,
+        "flow_accum_grid": q_flow_accum_grid,
+        "hand_grid": q_hand_grid,
     }
 
 
