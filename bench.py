@@ -90,6 +90,29 @@ def main() -> None:
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # full water-map pipeline datapoint (500x600 scene; the 1000x1500 number
+    # lives in BENCH/BASELINE.md via scripts/bench_watermap.py)
+    watermap = {}
+    if not os.environ.get("BENCH_SKIP_WATERMAP") and not os.environ.get("BENCH_SKIP_QUERIES"):
+        import scripts.bench_watermap as BW
+        from asf_tools_spark.operators.tiling import long_grid_df
+        from asf_tools_spark.plans.water_map import make_water_map_grid
+
+        wr, wc = 500, 600
+        vv, vh, hand = BW.synth_scene(wr, wc)
+        vv_g = long_grid_df(spark, vv, (100, 100)).persist()
+        vh_g = long_grid_df(spark, vh, (100, 100)).persist()
+        hand_g = long_grid_df(spark, hand, (100, 100)).persist()
+        vv_g.count(), vh_g.count(), hand_g.count()
+        t0 = time.time()
+        wm = make_water_map_grid(vv_g, vh_g, hand_g, (wr, wc), tile_shape=(100, 100))
+        n_water = wm["water_map"].count()
+        dt = time.time() - t0
+        watermap = {
+            "px": wr * wc, "water_px": int(n_water),
+            "elapsed_sec": round(dt, 2), "px_per_sec": round(wr * wc / dt, 1),
+        }
+
     result = {
         "metric": "spatial_join_tile_assignment_pages_per_sec",
         "value": headline["pages_per_sec"],
@@ -98,6 +121,7 @@ def main() -> None:
         "headline_pages": n_pages,
         "cpus": cpus,
         "queries": queries,
+        "watermap": watermap,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     spark.stop()
