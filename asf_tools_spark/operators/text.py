@@ -53,6 +53,20 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer classes (the GPT-2-style split reduced to ASCII
+# classes that Java regex and RE2 treat identically): letter runs, digit
+# runs, and single non-alphanumeric marks.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer pieces — the standard
+    LLM-corpus budget proxy (whitespace counts undercount punctuation-heavy
+    and digit-heavy text). Pure Catalyst: regexp_extract_all + size."""
+    norm = normalize_text(text)
+    return F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_RE), 0))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / punctuation / stopword features + a [0,1] quality
     score (the usual web-text heuristics: too-short, low stopword density,

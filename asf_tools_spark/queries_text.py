@@ -62,6 +62,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token budget per document (letter runs, digit
+    runs, single marks) next to the whitespace count — the corpus-budget
+    pair every training pipeline reports."""
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        text.token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
+        text.bpe_token_count_col(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     return text.fingerprint(spark.table("documents"), "doc_id")
@@ -259,6 +272,14 @@ def _oracle_sqls() -> dict[str, str]:
                      ) / 3.0, 6) AS quality_score
         FROM feat
     """
+    sqls["bpe_token_count"] = f"""
+        WITH n AS (SELECT doc_id, {_norm_sql("text")} AS t FROM documents)
+        SELECT doc_id,
+               CASE WHEN LENGTH(t) = 0 THEN 0
+                    ELSE LENGTH(t) - LENGTH(REPLACE(t, ' ', '')) + 1 END AS ws_tokens,
+               CAST(LEN(regexp_extract_all(t, '{text.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+        FROM n
+    """
     sqls["fingerprint"] = f"""
         SELECT doc_id, md5(nt) AS md5_fp,
                MIN({_hash8("w", "fp-")}) AS min_shingle_fp
@@ -297,6 +318,7 @@ def queries() -> dict:
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)

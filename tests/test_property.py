@@ -73,3 +73,28 @@ def test_label_components_random_grids(seed):
         b = lab[max(0, dr): h + min(0, dr) or h, max(0, dc): w + min(0, dc) or w]
         both = (a > 0) & (b > 0)
         assert (a[both] == b[both]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000))
+def test_priority_flood_fixpoint_properties(seed):
+    """eps=0 priority-flood satisfies the depression-fill fixpoint:
+    border F == elev; interior F == max(elev, min over D8 neighbors of F);
+    and F >= elev everywhere."""
+    from asf_tools_spark.core.dem import _D8, priority_flood_fill
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(4, 9)), int(rng.integers(4, 9))
+    elev = rng.uniform(0, 10, (h, w))
+    if rng.random() < 0.5:
+        r0, c0 = rng.integers(1, h - 1), rng.integers(1, w - 1)
+        elev[r0, c0] = -5.0  # plant a pit
+    F = priority_flood_fill(elev, eps=0.0)
+    assert np.all(F >= elev - 1e-12)
+    for r in range(h):
+        for c in range(w):
+            if r in (0, h - 1) or c in (0, w - 1):
+                assert F[r, c] == elev[r, c]
+            else:
+                nmin = min(F[r + dr, c + dc] for dr, dc in _D8)
+                assert np.isclose(F[r, c], max(elev[r, c], nmin)), (r, c)
