@@ -99,6 +99,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("quality_score", F.round(score, 6))
 
 
+def winnow_fingerprints(
+    df: DataFrame, key: str, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, public
+    literature): hash every character k-gram of the normalized text with a
+    rolling window of ``window`` consecutive k-gram hashes, keep each
+    window's minimum, emit the distinct selected hashes per document.
+    Guarantees every match of length >= k + window - 1 shares a
+    fingerprint — the plagiarism/near-dup detector the min-shingle
+    fingerprint approximates at 1 hash/doc.
+
+    All Catalyst: sequence/explode over positions, substring, the shared
+    hash8 family, and a min over a forward row frame.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import hash8_col
+
+    norm = normalize_text(F.col(text_col))
+    grams = df.select(
+        key,
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length(norm) - k + 1, F.lit(0)))).alias("pos"),
+        norm.alias("_n"),
+    ).select(key, "pos", hash8_col(F.substring(F.col("_n"), F.col("pos"), k), "wn-").alias("h"),
+             (F.length("_n") - k + 1).alias("_ng"))
+    w = Window.partitionBy(key).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .where(F.col("pos") <= F.col("_ng") - window + 1)
+        .select(key, F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def fingerprint(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     """Content fingerprints: full md5 of normalized text + a winnowed
     shingle fingerprint (min word-shingle hash — a 1-hash MinHash, the

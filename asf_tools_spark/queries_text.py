@@ -75,6 +75,16 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (rolling k-gram hash, window-min) fingerprint set per doc —
+    matches of length >= k+window-1 share a fingerprint by construction."""
+    _register(spark, sf_dir, "documents")
+    # restrict to the first 120 docs: the oracle explodes every character
+    # position, and the full sf0.01 table is the same plan at 4x rows
+    d = spark.table("documents").where(F.col("doc_id") < 120)
+    return text.winnow_fingerprints(d, "doc_id", k=8, window=4)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     return text.fingerprint(spark.table("documents"), "doc_id")
@@ -280,6 +290,31 @@ def _oracle_sqls() -> dict[str, str]:
                CAST(LEN(regexp_extract_all(t, '{text.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
         FROM n
     """
+    sqls["winnow_fingerprint"] = f"""
+        WITH n AS (
+          SELECT doc_id, {_norm_sql("text")} AS t FROM documents WHERE doc_id < 120
+        ),
+        pos AS (
+          -- DuckDB 1.0 generate_series takes constants only: 4096 safely
+          -- exceeds every document's normalized length (max 577 across the
+          -- testdata sfs); the WHERE below trims per-document
+          SELECT p FROM generate_series(1, 4096) s(p)
+        ),
+        grams AS (
+          SELECT doc_id, p AS pos,
+                 {_hash8("substr(t, p, 8)", "wn-")} AS h,
+                 LENGTH(t) - 8 + 1 AS ng
+          FROM n CROSS JOIN pos
+          WHERE p <= LENGTH(t) - 8 + 1
+        ),
+        wins AS (
+          SELECT doc_id, pos, ng,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM grams
+        )
+        SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE pos <= ng - 4 + 1
+    """
     sqls["fingerprint"] = f"""
         SELECT doc_id, md5(nt) AS md5_fp,
                MIN({_hash8("w", "fp-")}) AS min_shingle_fp
@@ -319,6 +354,7 @@ def queries() -> dict:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "bpe_token_count": q_bpe_token_count,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)

@@ -57,6 +57,30 @@ def test_simhash_hamming(docs_df):
     assert (0, 1) in near
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer guarantee: any shared substring of length >= k + window - 1
+    (= 11 here) yields at least one shared fingerprint; disjoint texts
+    share none."""
+    from asf_tools_spark.operators.text import winnow_fingerprints
+
+    common = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (0, f"aaa {common} bbb ccc ddd eee"),
+            (1, f"zzz yyy {common} xxx www"),
+            (2, "completely different content with no overlap at all qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", k=8, window=4)
+    sets = {r.doc_id: set() for r in fps.collect()}
+    for r in fps.collect():
+        sets[r.doc_id].add(r.fp)
+    assert sets[0] & sets[1], "shared 25-char substring must share a fingerprint"
+    assert not (sets[0] & sets[2])
+    assert not (sets[1] & sets[2])
+
+
 def test_hamming_blocking_recall_exact(spark):
     """Pigeonhole recall: plant pairs at every distance d <= max_distance
     with the differing bits deliberately SPREAD across the fingerprint
