@@ -92,6 +92,44 @@ def test_flood_depth_no_nested_loop(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin — every
+# one is a tiny-literal replication, never a big-x-big scan:
+#   candidate_intersection  1-row global-median aggregate join
+#   ann_cosine_topk         deliberate brute-force baseline (broadcast queries)
+#   epsg_vote               1-row x 1-row final combine
+#   histogram_smooth        5-row smoothing-kernel replication
+#   reverse_cdf_threshold   1-row min/max/count scalar join
+#   flow_direction_grid     8-row D8 offset replication (stencil)
+_BNLJ_ALLOWED = {
+    "candidate_intersection", "ann_cosine_topk", "epsg_vote",
+    "histogram_smooth", "reverse_cdf_threshold", "flow_direction_grid",
+}
+
+# These queries execute eagerly while BUILDING (driver-side selection /
+# iterative fixpoints / fixture loads) — skipped to keep the sweep fast;
+# each is tiny and covered by its own oracle row.
+_EAGER_BUILD = {
+    "grid_labels", "segment_areas_grid", "label_bboxes", "gaussian_infill",
+    "flow_accum_grid", "hand_grid", "em_fixture_thresholds", "ivf_topk",
+}
+
+
+def test_registry_sweep_no_accidental_nested_loops(spark, sf_dir):
+    """Every registry query's physical plan must be free of CartesianProduct
+    and of BroadcastNestedLoopJoin outside the justified allowlist — the
+    guardrail that caught flood_depth_simple's big-x-boxes nested loop."""
+    from asf_tools_spark.queries import queries
+
+    for name, fn in queries().items():
+        if name in _EAGER_BUILD:
+            continue
+        plan = plan_of(fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in _BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_minhash_single_shuffle(spark, sf_dir):
     """MinHash signatures: one explode + one aggregate — exactly one
     exchange (the groupBy), no joins."""
