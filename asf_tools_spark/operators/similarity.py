@@ -112,6 +112,54 @@ def cosine_topk_lsh(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame, k: int = 8, n_iters: int = 3, key: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 0,
+) -> np.ndarray:
+    """Distributed Lloyd k-means for IVF coarse centroids.
+
+    Assignment is the narrow ivf_assign path (no shuffle); the update is one
+    posexplode + two-level aggregate whose result (k x dim component means)
+    is tiny and collects to the driver — centroids are driver state by
+    design, exactly like the reference's scalar decisions. Deterministic
+    farthest-point init (kmeans++-style, argmax instead of sampling): seed
+    with the smallest seeded-xxhash64 vector, then k-1 times add the corpus
+    vector least similar to its nearest centroid — random init can
+    double-seed one cluster and orphan another; farthest-point cannot on
+    separated data. Empty lists keep their previous centroid.
+    """
+    first = (
+        emb.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
+        .limit(1).select(vec_col).collect()
+    )
+    cents = [list(first[0][0])]
+    for _ in range(k - 1):
+        assigned = ivf_assign(emb, np.array(cents, dtype=np.float64), key, vec_col)
+        far = (
+            assigned.orderBy(F.col("list_cosine").asc(), F.col(key).asc())
+            .limit(1).select(vec_col).collect()
+        )
+        cents.append(list(far[0][0]))
+    centroids = np.array(cents, dtype=np.float64)
+    for _ in range(n_iters):
+        assigned = ivf_assign(emb, centroids, key, vec_col)
+        comp = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        nxt = centroids.copy()
+        seen = {}
+        for r in comp:
+            seen.setdefault(int(r.list_id), {})[int(r.pos)] = (float(r.s), int(r.n))
+        for lid, cols in seen.items():
+            for pos, (s, n) in cols.items():
+                nxt[lid, pos] = s / n
+        centroids = nxt
+    return centroids
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray, key: str = "vec_id",
                vec_col: str = "embedding", jvm_max_centroids: int = 16) -> DataFrame:
     """Coarse IVF list assignment: nearest centroid by cosine (centroids are

@@ -99,20 +99,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only: centroids are seed-deterministic driver
-    values): corpus assigned to inverted lists by nearest centroid; queries
-    probe their own + nearest lists; exact cosine rank within the probed
+    """IVF-bucketed ANN (rows-only: centroids are k-means driver state, not
+    expressible in the oracle): deterministic farthest-point-init k-means
+    coarse centroids; corpus assigned to inverted lists by nearest centroid;
+    queries probe their own list; exact cosine rank within the probed
     candidates. The scale path partitions the corpus by list_id."""
-    import numpy as np
     from pyspark.sql.window import Window
 
     _register(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    first = np.array(
-        [r.embedding for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()],
-        dtype=np.float64,
-    )
-    assigned = similarity.ivf_assign(emb, first, "vec_id").persist()
+    cents = similarity.kmeans_fit(emb, k=8, n_iters=2, seed=0)
+    assigned = similarity.ivf_assign(emb, cents, "vec_id").persist()
     queries = assigned.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
         F.col("list_id").alias("q_list"),

@@ -65,6 +65,28 @@ def test_ivf_assignment_paths_agree(planted):
     assert jvm == udf and len(jvm) == 200
 
 
+def test_kmeans_recovers_planted_clusters(spark):
+    """8 planted clusters, k=8, 3 Lloyd iterations: every cluster's members
+    land in one list, and the 8 lists are distinct (perfect recovery on
+    well-separated data)."""
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(8, 16)) * 4.0
+    rows, vid = [], 0
+    for ci in range(8):
+        for _ in range(25):
+            v = base[ci] + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = similarity.kmeans_fit(emb, k=8, n_iters=3)
+    assert cent.shape == (8, 16)
+    assigned = similarity.ivf_assign(emb, cent)
+    got = {r.vec_id: r.list_id for r in assigned.select("vec_id", "list_id").collect()}
+    lists_per_cluster = [{got[ci * 25 + j] for j in range(25)} for ci in range(8)]
+    assert all(len(s) == 1 for s in lists_per_cluster)
+    assert len({next(iter(s)) for s in lists_per_cluster}) == 8
+
+
 def test_ivf_recall_floor_on_planted(planted):
     """IVF nprobe=1 over 40-cluster planted data: querying a vector probes
     its own list; cluster mates share the list almost always."""
