@@ -140,6 +140,33 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, key: str) -> DataFra
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, key: str,
+    key_a: str = "key_a", key_b: str = "key_b",
+) -> DataFrame:
+    """Transitive near-dup clusters + keep-list — the step that turns
+    verified pairs into an actual dedup decision.
+
+    Connected components over the pair graph via the same BSP min-label
+    propagation + pointer jumping used for raster labeling
+    (labeling._merge_labels_distributed — O(log diameter) rounds); docs in
+    no pair are their own singleton cluster. Output: (key, cluster_id,
+    keep) where cluster_id = min key in the component and keep marks the
+    representative. At corpus scale everything is joins/aggregates on the
+    (small) pair graph plus one broadcast-scale join back to the corpus.
+    """
+    from .labeling import _merge_labels_distributed
+
+    labeled = docs.select(F.col(key).alias("_k"), F.col(key).alias("label"))
+    edges = pairs.select(F.col(key_a).alias("label"), F.col(key_b).alias("nbr_label")).distinct()
+    merged = _merge_labels_distributed(labeled, edges)
+    return merged.select(
+        F.col("_k").alias(key),
+        F.col("label").alias("cluster_id"),
+        (F.col("_k") == F.col("label")).alias("keep"),
+    )
+
+
 def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 16) -> DataFrame:
     """(key, simhash): b-bit sign-sum fingerprint over word hashes.
 

@@ -42,6 +42,21 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup DECISION: MinHash -> LSH candidates ->
+    exact-Jaccard verify (>= 0.8) -> transitive clusters (BSP connected
+    components) -> keep-list. Every document gets (cluster_id, keep)."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    sh = dedup.word_shingles(docs, "doc_id")
+    verified = dedup.jaccard_on_pairs(pairs, sh, "doc_id").where(
+        F.round("jaccard", 6) >= 0.8
+    )
+    return dedup.near_dup_clusters(docs.select("doc_id"), verified, "doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     return dedup.simhash(spark.table("documents"), "doc_id", bits=SIMHASH_BITS)
@@ -198,11 +213,8 @@ def _occ_sql(text_expr: str, needle: str) -> str:
     return f"(LENGTH({text_expr}) - LENGTH(REPLACE({text_expr}, '{n}', ''))) / {len(needle)}"
 
 
-def _oracle_sqls() -> dict[str, str]:
-    sqls: dict[str, str] = {}
-    sqls["minhash_signatures"] = f"SELECT * FROM {_minhash_sql()} m"
-    sqls["lsh_pairs"] = _lsh_pairs_sql()
-    sqls["jaccard_pairs"] = f"""
+def _jaccard_sql() -> str:
+    return f"""
         WITH pairs AS ({_lsh_pairs_sql()}),
         sh AS (SELECT * FROM {_shingles_sql()} s),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -218,6 +230,30 @@ def _oracle_sqls() -> dict[str, str]:
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.key_a
         JOIN sizes sb ON sb.doc_id = i.key_b
+    """
+
+
+def _oracle_sqls() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+    sqls["minhash_signatures"] = f"SELECT * FROM {_minhash_sql()} m"
+    sqls["lsh_pairs"] = _lsh_pairs_sql()
+    sqls["jaccard_pairs"] = _jaccard_sql()
+    sqls["dedup_clusters"] = f"""
+        WITH RECURSIVE verified AS (
+          SELECT key_a, key_b FROM ({_jaccard_sql()}) j WHERE jaccard >= 0.8
+        ),
+        e AS (
+          SELECT key_a AS a, key_b AS b FROM verified
+          UNION
+          SELECT key_b AS a, key_a AS b FROM verified
+        ),
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.d, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT d AS doc_id, MIN(r) AS cluster_id, d = MIN(r) AS keep
+        FROM reach GROUP BY d
     """
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -347,6 +383,7 @@ def queries() -> dict:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
