@@ -63,6 +63,41 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     assert set(got[got.text == "alpha"].url) <= {"u0", "u3"}
 
 
+def test_streaming_near_dup_cross_batch(spark, tmp_path):
+    """The incremental LSH band store finds a near-dup whose two copies
+    arrive in DIFFERENT micro-batches (invisible to per-batch LSH)."""
+    from asf_tools_spark.streaming.near_dup import start_near_dup
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_a = "the quick brown fox jumps over the lazy dog again and again!"
+    b1 = pd.DataFrame({
+        "url": ["a1", "a2", "a3"],
+        "text": [text_a, "completely different words here entirely", "third unrelated document text body"],
+    })
+    b2 = pd.DataFrame({
+        "url": ["b1", "b2"],
+        "text": [near_a, "yet another unrelated piece of content"],
+    })
+    src = tmp_path / "ndsrc"
+    src.mkdir()
+    store, pairs_dir, ckpt = (str(tmp_path / d) for d in ("ndstore", "ndpairs", "ndckpt"))
+
+    def run_batch(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(str(src / "data"))
+        stream = spark.readStream.schema("url string, text string").parquet(str(src / "data"))
+        q = start_near_dup(stream, store, pairs_dir, ckpt, key="url")
+        q.awaitTermination(180)
+
+    run_batch(b1)
+    run_batch(b2)
+
+    got = spark.read.parquet(pairs_dir)
+    pair_set = {(r.key_a, r.key_b) for r in got.collect()}
+    assert ("a1", "b1") in pair_set, pair_set  # cross-batch near-dup found
+    # band store accumulated both batches
+    assert spark.read.parquet(store).select("url").distinct().count() == 5
+
+
 def test_sessionize_state_across_batches(spark, tmp_path):
     from asf_tools_spark.streaming.sessionize import sessionize_stream
 
