@@ -77,6 +77,35 @@ def minhash_signatures(df: DataFrame, key: str, text_col: str = "text", n_hashes
     return sh.groupBy(key).agg(*aggs)
 
 
+def band_rows(sigs: DataFrame, key: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(key, band_id, band_val) LSH band rows — the ONE banding encoding
+    (concat of the band's signature values), shared by the batch candidate
+    join and the streaming band store so they can never disagree."""
+    cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        cols.append(F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *parts).alias("band_val")))
+    return sigs.select(key, F.explode(F.array(*cols)).alias("bv")).select(
+        key, F.col("bv.band_id").alias("band_id"), F.col("bv.band_val").alias("band_val")
+    )
+
+
+def identical_signature_edges(sigs: DataFrame, key: str) -> DataFrame:
+    """(key_a=rep, key_b=member) edges linking every document to the min-key
+    representative of its identical-signature group — LINEAR in group size.
+    lsh_candidate_pairs collapses these groups before the bucket join (the
+    right call: pairing them is quadratic waste), so any consumer building
+    CLUSTERS from candidate pairs must add these edges back or collapsed
+    members silently survive dedup as singletons."""
+    sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
+    reps = sigs.groupBy(*sig_cols).agg(F.min(key).alias("_rep"))
+    return (
+        sigs.join(reps, sig_cols)
+        .where(F.col(key) != F.col("_rep"))
+        .select(F.col("_rep").alias("key_a"), F.col(key).alias("key_b"))
+    )
+
+
 def collapse_identical_signatures(sigs: DataFrame, key: str) -> DataFrame:
     """Exact-duplicate collapse before near-dup search: documents with
     identical full MinHash signatures form one group represented by the min
@@ -103,14 +132,7 @@ def lsh_candidate_pairs(
     """
     if collapse_identical:
         sigs = collapse_identical_signatures(sigs, key)
-    n = bands * rows_per_band
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *parts).alias("band_val")))
-    banded = sigs.select(key, F.explode(F.array(*band_cols)).alias("bv")).select(
-        key, F.col("bv.band_id").alias("band_id"), F.col("bv.band_val").alias("band_val")
-    )
+    banded = band_rows(sigs, key, bands, rows_per_band)
     a = banded.select(F.col(key).alias("key_a"), "band_id", "band_val")
     b = banded.select(F.col(key).alias("key_b"), "band_id", "band_val")
     return (
@@ -262,9 +284,11 @@ def embedding_near_dup(
 
     a = bucketed.select(F.col(key).alias("key_a"), F.col(vec_col).alias("va"), "t", "bucket")
     b = bucketed.select(F.col(key).alias("key_b"), F.col(vec_col).alias("vb"), "t", "bucket")
+    # dedup multi-table collisions on the KEYS only — va/vb are determined
+    # by the keys, and .distinct() would shuffle the full embedding arrays
     pairs = (
         a.join(b, ["t", "bucket"]).where(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "va", "vb").distinct()
+        .select("key_a", "key_b", "va", "vb").dropDuplicates(["key_a", "key_b"])
     )
 
     def dot(x: str, y: str) -> Column:

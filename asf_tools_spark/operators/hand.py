@@ -39,7 +39,7 @@ def condition_dem(
     grid: DataFrame,
     tile_shape: tuple[int, int] = (32, 32),
     eps: float = 1e-5,
-    max_rounds: int = 64,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Distributed DEM conditioning: epsilon priority-flood depression
     filling, the Spark stand-in for the pysheds chain fill_pits ->
@@ -71,6 +71,10 @@ def condition_dem(
         F.min("col").alias("c0"), F.max("col").alias("c1"),
     ).collect()[0]
     rmin, rmax, cmin, cmax = int(ext.r0), int(ext.r1), int(ext.c0), int(ext.c1)
+    if max_rounds is None:
+        # fill information crosses one tile layer per round: the tile-graph
+        # semi-perimeter bounds border-to-anywhere propagation
+        max_rounds = ((rmax - rmin) // tr + 1) + ((cmax - cmin) // tc + 1) + 2
 
     on_border = (
         (F.col("row") == rmin) | (F.col("row") == rmax)
@@ -117,9 +121,12 @@ def condition_dem(
             "f": np.minimum(newf, own["f"].to_numpy()),
         })
 
+    converged = False
     for _ in range(max_rounds):
+        # pmod, not %: Java % is negative for negative coordinates, which
+        # would silently stop tiles at negative row/col from exporting halos
         edge = state.where(
-            ((F.col("row") % tr).isin(0, tr - 1) | (F.col("col") % tc).isin(0, tc - 1))
+            (F.pmod(F.col("row"), tr).isin(0, tr - 1) | F.pmod(F.col("col"), tc).isin(0, tc - 1))
             & ~F.isnull("f") & (F.col("f") != float("inf"))
         )
         halos = None
@@ -148,7 +155,15 @@ def condition_dem(
         )
         state = new_state
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"condition_dem did not converge within max_rounds={max_rounds}; "
+            "a partially-filled DEM (interior f may still be +inf) would "
+            "silently corrupt flow_direction/HAND — raise max_rounds or "
+            "enlarge tile_shape"
+        )
     return state.select("row", "col", F.col("f").alias("elev"))
 
 

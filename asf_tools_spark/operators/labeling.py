@@ -79,12 +79,11 @@ def label_connected(
     # The checkpoint also truncates lineage before the iterative merge.
     labeled = labeled.localCheckpoint(eager=True)
 
-    # boundary pixels: on any tile edge
+    # boundary pixels: on any tile edge (pmod: Java % is negative for
+    # negative coordinates and would miss edges of negative-index tiles)
     on_edge = (
-        (F.col("row") % tr == 0)
-        | (F.col("row") % tr == tr - 1)
-        | (F.col("col") % tc == 0)
-        | (F.col("col") % tc == tc - 1)
+        F.pmod(F.col("row"), tr).isin(0, tr - 1)
+        | F.pmod(F.col("col"), tc).isin(0, tc - 1)
     )
     b = labeled.where(on_edge).select("row", "col", "label")
 

@@ -98,18 +98,30 @@ def spatial_join_polygons(
     return refined
 
 
-def salted_count(df: DataFrame, key: str, salt_buckets: int = 32, salt_by: str | None = None) -> DataFrame:
+def salted_count(
+    df: DataFrame, key: str, salt_buckets: int = 32, salt_by: str | None = None,
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
     """Two-phase salted aggregation: count per ``key`` robust to mega-key
-    skew. Phase 1 aggregates (key, salt) partials; phase 2 sums the (tiny)
-    partials. AQE splits skewed *joins* but not aggregations — hence manual
-    salting (SURVEY §4)."""
+    skew, optionally carrying extra sums (``sum_cols``: output alias ->
+    input column, summed through BOTH phases so means fall out at the final
+    phase without a second pass). Phase 1 aggregates (key, salt) partials;
+    phase 2 sums the (tiny) partials. AQE splits skewed *joins* but not
+    aggregations — hence manual salting (SURVEY §4)."""
     salt_src = F.col(salt_by) if salt_by else F.monotonically_increasing_id()
+    sum_cols = sum_cols or {}
+    partial_aggs = [F.count(F.lit(1)).alias("_partial")] + [
+        F.sum(src).alias(f"_p_{alias}") for alias, src in sum_cols.items()
+    ]
+    final_aggs = [F.sum("_partial").alias("n_pages")] + [
+        F.sum(f"_p_{alias}").alias(alias) for alias in sum_cols
+    ]
     return (
         df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(salt_buckets)))
         .groupBy(key, "_salt")
-        .agg(F.count(F.lit(1)).alias("_partial"))
+        .agg(*partial_aggs)
         .groupBy(key)
-        .agg(F.sum("_partial").alias("n_pages"))
+        .agg(*final_aggs)
     )
 
 

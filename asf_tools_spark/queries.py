@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 from . import oracle
 from .core import tiles
 from .functions.membership import zmf_sql
-from .operators.spatial_join import knn_join
+from .operators.spatial_join import knn_join, salted_count
 from .plans.assignments import tile_assignments
 from .sources.pages import geotagged_documents
 from .sources.polygons import boxes_values_sql, watershed_boxes
@@ -62,14 +62,10 @@ def q_cell_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean falls out at the final phase (a separate means groupBy would scan
     the page table twice)."""
     pages = geotagged_documents(spark, sf_dir, cell_res=8)
-    partial = (
-        pages.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(16)))
-        .groupBy("cell_id", "_salt")
-        .agg(F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sv"))
-    )
-    return partial.groupBy("cell_id").agg(
-        F.sum("_n").alias("n_pages"),
-        F.round(F.sum("_sv") / F.sum("_n"), 6).alias("mean_value"),
+    out = salted_count(pages, "cell_id", salt_buckets=16, salt_by="doc_id",
+                       sum_cols={"_sv": "value"})
+    return out.select(
+        "cell_id", "n_pages", F.round(F.col("_sv") / F.col("n_pages"), 6).alias("mean_value")
     )
 
 

@@ -45,7 +45,12 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup DECISION: MinHash -> LSH candidates ->
     exact-Jaccard verify (>= 0.8) -> transitive clusters (BSP connected
-    components) -> keep-list. Every document gets (cluster_id, keep)."""
+    components) -> keep-list. Every document gets (cluster_id, keep).
+
+    Identical-signature groups are added back as rep->member edges:
+    lsh_candidate_pairs deliberately collapses them before the bucket join,
+    so without these edges a collapsed member would survive as a singleton
+    with keep=true."""
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
     sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
@@ -53,8 +58,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.word_shingles(docs, "doc_id")
     verified = dedup.jaccard_on_pairs(pairs, sh, "doc_id").where(
         F.round("jaccard", 6) >= 0.8
-    )
-    return dedup.near_dup_clusters(docs.select("doc_id"), verified, "doc_id")
+    ).select("key_a", "key_b")
+    ident = dedup.identical_signature_edges(sigs, "doc_id")
+    edges = verified.unionByName(ident).distinct()
+    return dedup.near_dup_clusters(docs.select("doc_id"), edges, "doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,14 +245,26 @@ def _oracle_sqls() -> dict[str, str]:
     sqls["minhash_signatures"] = f"SELECT * FROM {_minhash_sql()} m"
     sqls["lsh_pairs"] = _lsh_pairs_sql()
     sqls["jaccard_pairs"] = _jaccard_sql()
+    sig_cols = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
+    sig_eq = " AND ".join(f"s.sig_{i} = r.sig_{i}" for i in range(N_MINHASH))
     sqls["dedup_clusters"] = f"""
         WITH RECURSIVE verified AS (
           SELECT key_a, key_b FROM ({_jaccard_sql()}) j WHERE jaccard >= 0.8
         ),
+        sigs AS (SELECT * FROM {_minhash_sql()} m),
+        reps AS (SELECT {sig_cols}, MIN(doc_id) AS rep FROM sigs GROUP BY {sig_cols}),
+        ident AS (
+          SELECT r.rep AS key_a, s.doc_id AS key_b
+          FROM sigs s JOIN reps r ON {sig_eq}
+          WHERE s.doc_id <> r.rep
+        ),
+        allp AS (
+          SELECT key_a, key_b FROM verified UNION SELECT key_a, key_b FROM ident
+        ),
         e AS (
-          SELECT key_a AS a, key_b AS b FROM verified
+          SELECT key_a AS a, key_b AS b FROM allp
           UNION
-          SELECT key_b AS a, key_a AS b FROM verified
+          SELECT key_b AS a, key_a AS b FROM allp
         ),
         reach(d, r) AS (
           SELECT doc_id, doc_id FROM documents

@@ -6,17 +6,23 @@ maintains an append-only **LSH band store** via ``foreachBatch``:
 
 per micro-batch:
   1. MinHash signatures of the new pages (same operators.dedup expressions
-     as batch — stream and batch agree on what a near-dup is);
-  2. banded bucket rows for the batch;
-  3. equi-join batch bands against the ACCUMULATED band store ->
-     cross-batch candidate pairs (plus within-batch pairs);
-  4. append the batch's bands to the store.
+     as batch — stream and batch agree on what a near-dup is, and the band
+     encoding is the SHARED ``dedup.band_rows`` helper, so batch and stream
+     can never disagree on buckets);
+  2. within-batch candidate pairs (``lsh_candidate_pairs``) PLUS the
+     rep->member pairs of identical-signature groups — the candidate join
+     collapses those groups by design, and both copies of such a pair live
+     in this batch, so the store join could never recover them;
+  3. batch bands equi-joined against the ACCUMULATED band store ->
+     cross-batch candidate pairs;
+  4. the batch's bands appended to the store, PARTITIONED BY
+     (band_id, bucket = pmod(xxhash64(band_val), n_buckets)) — the bucket
+     column rides in the join key so each trigger's store scan prunes to
+     matching partitions instead of reading the whole corpus's bands.
 
-The store is partitioned by (band_id, band bucket hash) parquet — at crawl
-scale the join touches only matching buckets (partition pruning), and the
-store grows O(docs x bands), never O(docs²). Candidate pairs still need the
-exact-Jaccard verify (operators.dedup.jaccard_on_pairs) downstream, exactly
-like the batch pipeline.
+The store grows O(docs x bands), never O(docs²). Candidate pairs still need
+the exact-Jaccard verify (operators.dedup.jaccard_on_pairs) downstream,
+exactly like the batch pipeline.
 """
 
 from __future__ import annotations
@@ -25,17 +31,13 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+from ..operators.dedup import band_rows, identical_signature_edges, lsh_candidate_pairs, minhash_signatures
+
+N_STORE_BUCKETS = 64
 
 
-def _bands(sigs: DataFrame, key: str, bands: int, rows_per_band: int) -> DataFrame:
-    cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        cols.append(F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *parts).alias("band_val")))
-    return sigs.select(key, F.explode(F.array(*cols)).alias("bv")).select(
-        key, F.col("bv.band_id").alias("band_id"), F.col("bv.band_val").alias("band_val")
-    )
+def _with_bucket(bands: DataFrame) -> DataFrame:
+    return bands.withColumn("bucket", F.pmod(F.xxhash64("band_val"), F.lit(N_STORE_BUCKETS)))
 
 
 class NearDupIndexer:
@@ -57,17 +59,25 @@ class NearDupIndexer:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sigs = minhash_signatures(batch_df, self.key, self.text_col, self.n_hashes)
-        new_bands = _bands(sigs, self.key, self.bands, self.rows_per_band).persist()
+        new_bands = _with_bucket(
+            band_rows(sigs, self.key, self.bands, self.rows_per_band)
+        ).persist()
 
-        # within-batch pairs (the batch pipeline verbatim)
-        pairs = lsh_candidate_pairs(sigs, self.key, self.bands, self.rows_per_band)
+        # within-batch pairs: the batch pipeline + the identical-signature
+        # rep->member pairs the candidate join collapses away
+        pairs = (
+            lsh_candidate_pairs(sigs, self.key, self.bands, self.rows_per_band)
+            .unionByName(identical_signature_edges(sigs, self.key))
+            .distinct()
+        )
 
-        # cross-batch pairs: new bands vs the accumulated store
+        # cross-batch pairs: new bands vs the accumulated store; the bucket
+        # join key prunes the partitioned store scan
         if os.path.isdir(self.store_dir):
             store = spark.read.parquet(self.store_dir)
             cross = (
                 new_bands.alias("n")
-                .join(store.alias("s"), ["band_id", "band_val"])
+                .join(store.alias("s"), ["band_id", "bucket", "band_val"])
                 .where(F.col(f"n.{self.key}") != F.col(f"s.{self.key}"))
                 .select(
                     F.least(F.col(f"n.{self.key}"), F.col(f"s.{self.key}")).alias("key_a"),
@@ -78,7 +88,7 @@ class NearDupIndexer:
             pairs = pairs.unionByName(cross).distinct()
 
         pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.pairs_dir)
-        new_bands.write.mode("append").parquet(self.store_dir)
+        new_bands.write.mode("append").partitionBy("band_id", "bucket").parquet(self.store_dir)
         new_bands.unpersist()
 
 

@@ -57,6 +57,30 @@ def test_simhash_hamming(docs_df):
     assert (0, 1) in near
 
 
+def test_near_dup_clusters_include_collapsed_signature_members(spark):
+    """Docs with identical MinHash signatures (same shingle SET, different
+    text) are collapsed by lsh_candidate_pairs before the bucket join; the
+    cluster builder must add the rep->member edges back or the member
+    survives dedup as a keep=true singleton."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "delta gamma beta alpha"),   # same shingle set as 0
+            (2, "totally different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=2, rows_per_band=4)
+    assert pairs.count() == 0  # the collapse hides the (0,1) pair by design
+    edges = dedup.identical_signature_edges(sigs, "doc_id")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup.near_dup_clusters(docs.select("doc_id"), edges, "doc_id").collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)  # collapsed member is deduplicated
+    assert out[2] == (2, True)
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Schleimer guarantee: any shared substring of length >= k + window - 1
     (= 11 here) yields at least one shared fingerprint; disjoint texts
