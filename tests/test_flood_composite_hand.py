@@ -185,6 +185,29 @@ def test_condition_dem_matches_priority_flood_oracle(spark):
         assert np.isclose(got[(r, c)], e, rtol=0, atol=1e-12), (r, c, got[(r, c)], e)
 
 
+def test_condition_dem_negative_coordinates(spark):
+    """Grids with negative row/col (tile keys are floor-based, edge masks
+    pmod-based): same fill as the coordinate-shifted numpy oracle — plain
+    Java % would stop negative-index tiles from exporting halos."""
+    from asf_tools_spark.core.dem import priority_flood_fill
+    from asf_tools_spark.operators.hand import condition_dem
+
+    rng = np.random.default_rng(13)
+    h, w = 24, 24
+    elev = rng.uniform(10, 20, (h, w))
+    elev[9:12, 9:12] = 1.0
+    expected = priority_flood_fill(elev, eps=1e-5)
+    off = -16  # tiles at indices -2..0 with 8x8 tiles
+    grid = spark.createDataFrame(
+        [(r + off, c + off, float(elev[r, c])) for r in range(h) for c in range(w)],
+        "row int, col int, elev double",
+    )
+    got = {(r.row - off, r.col - off): r.elev
+           for r in condition_dem(grid, (8, 8), eps=1e-5).collect()}
+    for (r, c), e in np.ndenumerate(expected):
+        assert np.isclose(got[(r, c)], e, rtol=0, atol=1e-12), (r, c)
+
+
 def test_conditioned_dem_has_no_interior_sinks(spark):
     """After conditioning, every non-border cell has a strictly lower
     neighbor (the +eps ramp) — the pit and the flat both drain."""

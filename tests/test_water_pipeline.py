@@ -124,6 +124,36 @@ def test_distributed_labeling_matches_core(spark):
     assert len(set(mapping.values())) == len(mapping), "two components merged"
 
 
+def test_labeling_negative_coordinates(spark):
+    """Connected components on a grid with negative row/col: the pmod edge
+    mask and floor-based tile keys must merge across negative-index tiles."""
+    from asf_tools_spark.core.labeling import label_components
+
+    rng = np.random.default_rng(8)
+    flag = rng.random((30, 30)) < 0.35
+    expected = label_components(flag)
+    off = -13
+    pts = np.argwhere(flag)
+    base = spark.createDataFrame(
+        pd.DataFrame({
+            "row": (pts[:, 0] + off).astype("int32"),
+            "col": (pts[:, 1] + off).astype("int32"),
+            "flag": True,
+        })
+    )
+    out = label_connected(base, "flag", (10, 10))
+    got = {(r.row - off, r.col - off): r.label for r in out.collect()}
+
+    def canon(p):
+        groups = {}
+        for k, v in p.items():
+            groups.setdefault(v, set()).add(k)
+        return sorted(tuple(sorted(s)) for s in groups.values())
+
+    exp_p = {(int(r), int(c)): int(expected[r, c]) for r, c in pts}
+    assert canon(got) == canon(exp_p)
+
+
 def test_distributed_merge_stress_10k_equivalences(spark):
     """Stress the no-driver merge: 256x256 at 30% water over 8x8 tiles
     (1,024 tiles) produces >10k cross-tile boundary equivalences; the
