@@ -150,6 +150,29 @@ def q_gaussian_infill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row", "col", F.round("value", 6).alias("value"))
 
 
+def q_flood_depth_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full flood-depth plan (ref flood_map.py:183-331 via
+    plans.flood_map.make_flood_map_grid): water mask -> distributed
+    labeling -> per-label 'numpy' estimator (nanmean + 3*nanstd inside the
+    grouped UDF) -> depth = max(wh - hand, 0). The oracle recomputes the
+    same thing as AVG + 3*STDDEV_POP per recursive-CTE component. Labels
+    canonicalized to min pixel id."""
+    from .plans.flood_map import make_flood_map_grid
+
+    g = _grid_df(spark)
+    water = g.where((F.col("v") <= F.lit(_WATER_THR)) & F.col("valid")).select("row", "col")
+    vv_valid = g.select("row", "col", "valid")
+    hand_df = g.select("row", "col", (F.col("v") + 2.5).alias("value"))
+    out = make_flood_map_grid(water, None, vv_valid, hand_df, _LABEL_TILE, estimator="numpy")
+    pid = F.col("row").cast("long") * _W + F.col("col")
+    comp = out.groupBy("label").agg(F.min(pid).alias("comp_id"))
+    return out.join(comp, "label").select(
+        "row", "col", "comp_id",
+        F.round("water_height", 6).alias("water_height"),
+        F.round("flood_depth", 6).alias("flood_depth"),
+    )
+
+
 _ACC_THR = 20.0
 
 
@@ -285,6 +308,21 @@ def _oracle_sqls() -> dict[str, str]:
                MIN(col) AS min_col, MAX(col) AS max_col
         FROM {labels} l GROUP BY comp_id
     """
+    sqls["flood_depth_grid"] = f"""
+        WITH lab AS (SELECT row, col, comp_id FROM {labels} l),
+        px AS (
+          SELECT lab.row, lab.col, lab.comp_id, g.v + 2.5 AS hand
+          FROM lab JOIN {grid} g ON g.row = lab.row AND g.col = lab.col
+        ),
+        heights AS (
+          SELECT comp_id, AVG(hand) + 3.0 * STDDEV_POP(hand) AS wh
+          FROM px GROUP BY comp_id
+        )
+        SELECT px.row, px.col, px.comp_id,
+               ROUND(h.wh, 6) AS water_height,
+               ROUND(GREATEST(h.wh - px.hand, 0.0), 6) AS flood_depth
+        FROM px JOIN heights h ON h.comp_id = px.comp_id
+    """
     from .core.infill import gaussian_kernel
 
     k = gaussian_kernel(1.0)
@@ -401,6 +439,7 @@ def queries() -> dict:
         "flow_direction_grid": q_flow_direction_grid,
         "flow_accum_grid": q_flow_accum_grid,
         "hand_grid": q_hand_grid,
+        "flood_depth_grid": q_flood_depth_grid,
     }
 
 
