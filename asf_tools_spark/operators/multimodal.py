@@ -105,6 +105,51 @@ def decode_and_featurize(
     return media.mapInPandas(run, schema=out_schema)
 
 
+_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("mean_intensity", DoubleType()),
+])
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 30, stride: int = 10,
+    target: tuple[int, int] = (8, 8), fake: bool = False,
+) -> DataFrame:
+    """Frame sampling for video payloads: every ``stride``-th frame of the
+    first ``n_frames`` is decoded and featurized via ``mapInPandas`` —
+    one output row per (media, sampled frame).
+
+    STUB: video codecs are unavailable in this container; with ``fake=True``
+    frame t decodes to a deterministic sha256(payload || t) byte grid so the
+    row-explosion shape, Arrow batching and downstream schema are real. A
+    real deployment swaps the two marked lines for a demuxer call.
+    """
+    th, tw = target
+    idxs = list(range(0, n_frames, max(stride, 1)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "mean_intensity": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for t in idxs:
+                    if not fake:
+                        raise NotImplementedError(
+                            "video codecs are not available in this build; "
+                            "pass fake=True for the deterministic stub decode"
+                        )
+                    # FAKE FRAME DECODE (deterministic): sha256(payload||t)
+                    digest = hashlib.sha256(bytes(payload) + t.to_bytes(4, "big")).digest()
+                    reps = (th * tw) // len(digest) + 1
+                    pixels = np.frombuffer((digest * reps)[: th * tw], dtype=np.uint8)
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(t)
+                    out["mean_intensity"].append(float(pixels.mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
 def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
     """Deterministic media table: payload bytes derived from the id, with a
     mix of sniffable magic headers."""

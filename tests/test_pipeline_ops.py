@@ -57,6 +57,21 @@ def test_simhash_hamming(docs_df):
     assert (0, 1) in near
 
 
+def test_sample_frames_shape_and_determinism(spark):
+    from asf_tools_spark.operators.multimodal import sample_frames
+
+    media = synth_media(spark, 8)
+    frames = sample_frames(media, n_frames=30, stride=10, fake=True).collect()
+    assert len(frames) == 8 * 3  # frames 0, 10, 20 per media
+    by_key = {(r.media_id, r.frame_idx): r.mean_intensity for r in frames}
+    assert set(fi for _, fi in by_key) == {0, 10, 20}
+    again = {(r.media_id, r.frame_idx): r.mean_intensity
+             for r in sample_frames(media, 30, 10, fake=True).collect()}
+    assert by_key == again  # deterministic stub decode
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        sample_frames(media, 30, 10, fake=False).collect()
+
+
 def test_near_dup_clusters_include_collapsed_signature_members(spark):
     """Docs with identical MinHash signatures (same shingle SET, different
     text) are collapsed by lsh_candidate_pairs before the bucket join; the
