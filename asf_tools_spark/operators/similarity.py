@@ -112,6 +112,38 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_probe_lists(
+    queries: DataFrame, centroids: np.ndarray, nprobe: int = 2,
+    key: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(key, list_id, probe_rank) — each query's ``nprobe`` nearest inverted
+    lists (IVF's recall knob; nprobe=1 is ivf_assign's single list). Staged
+    per-centroid cosines + array_sort + slice: one narrow projection, no
+    shuffle, no Python."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    staged = queries.withColumn("_vn", norm_col(vec_col))
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        cn = float(np.linalg.norm(c))
+        staged = staged.withColumn(
+            f"_cos_{i}", dot_cols(F.col(vec_col), lit) / (F.col("_vn") * F.lit(cn))
+        )
+    arr = F.array_sort(F.array(*[
+        F.struct(F.col(f"_cos_{i}").alias("cos"), F.lit(-i).alias("ni"))
+        for i in range(len(centroids))
+    ]))  # ascending by (cos, -i): the LAST nprobe are the nearest lists
+    n = min(nprobe, len(centroids))
+    top = F.reverse(F.slice(arr, -n, n))
+    return staged.select(
+        *queries.columns,
+        F.posexplode(top).alias("probe_rank0", "_s"),
+    ).select(
+        *queries.columns,
+        (-F.col("_s.ni")).alias("list_id"),
+        (F.col("probe_rank0") + 1).alias("probe_rank"),
+    )
+
+
 def kmeans_fit(
     emb: DataFrame, k: int = 8, n_iters: int = 3, key: str = "vec_id",
     vec_col: str = "embedding", seed: int = 0,

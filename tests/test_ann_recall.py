@@ -87,6 +87,24 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len({next(iter(s)) for s in lists_per_cluster}) == 8
 
 
+def test_ivf_probe_lists_nprobe(planted):
+    """nprobe probing: rank-1 probe == ivf_assign's list; nprobe lists are
+    distinct and ordered by centroid cosine."""
+    emb, base = planted
+    cent = base[:12]
+    q = emb.where(F.col("vec_id") < 6)
+    probes = similarity.ivf_probe_lists(q, cent, nprobe=3).collect()
+    assign = {r.vec_id: r.list_id for r in
+              similarity.ivf_assign(q, cent, jvm_max_centroids=16).select("vec_id", "list_id").collect()}
+    by_q = {}
+    for r in probes:
+        by_q.setdefault(r.vec_id, {})[r.probe_rank] = r.list_id
+    assert set(by_q) == set(assign)
+    for qid, ranks in by_q.items():
+        assert len(ranks) == 3 and len(set(ranks.values())) == 3
+        assert ranks[1] == assign[qid]
+
+
 def test_ivf_recall_floor_on_planted(planted):
     """IVF nprobe=1 over 40-cluster planted data: querying a vector probes
     its own list; cluster mates share the list almost always."""
