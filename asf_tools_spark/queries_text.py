@@ -120,6 +120,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k on int8-quantized embeddings (array<tinyint>, the 4-8x
+    memory lever): quantization + integer dot products are exact across
+    engines, so this path gets a full oracle."""
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qemb = similarity.quantize_embeddings(emb).select(
+        "vec_id", F.col("q_vec").alias("embedding"))
+    queries = qemb.where(F.col("vec_id") < 3)
+    out = similarity.cosine_topk_bruteforce(qemb, queries, k=5)
+    return out.select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only: centroids are k-means driver state, not
     expressible in the oracle): deterministic farthest-point-init k-means
@@ -377,6 +390,33 @@ def _oracle_sqls() -> dict[str, str]:
         ) t
         GROUP BY doc_id, md5(nt)
     """
+    sqls["ann_topk_int8"] = """
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+          FROM embeddings
+        ),
+        qv AS (
+          SELECT vec_id,
+                 list_transform(e, x -> ROUND(x / mx * 127.0)) AS q
+          FROM base
+        ),
+        qs AS (SELECT vec_id AS q_id, q AS qq FROM qv WHERE vec_id < 3),
+        cs AS (SELECT vec_id AS c_id, q AS cq FROM qv),
+        scored AS (
+          SELECT q.q_id, c.c_id,
+                 list_dot_product(q.qq, c.cq)
+                   / (SQRT(list_dot_product(q.qq, q.qq)) * SQRT(list_dot_product(c.cq, c.cq)))
+                   AS cosine
+          FROM qs q CROSS JOIN cs c WHERE q.q_id <> c.c_id
+        ),
+        ranked AS (
+          SELECT q_id, c_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 5
+    """
     sqls["ann_cosine_topk"] = """
         WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
         c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -410,6 +450,7 @@ def queries() -> dict:
         "winnow_fingerprint": q_winnow_fingerprint,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_topk_int8": q_ann_topk_int8,
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)
         "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)
     }
