@@ -102,7 +102,7 @@ def test_flood_depth_no_nested_loop(spark, sf_dir):
 #   reverse_cdf_threshold   1-row min/max/count scalar join
 #   flow_direction_grid     8-row D8 offset replication (stencil)
 _BNLJ_ALLOWED = {
-    "candidate_intersection", "ann_cosine_topk", "epsg_vote",
+    "candidate_intersection", "ann_cosine_topk", "ann_topk_int8", "epsg_vote",
     "histogram_smooth", "reverse_cdf_threshold", "flow_direction_grid",
 }
 
