@@ -122,11 +122,12 @@ def quantize_embeddings(
     quantized arrays directly (no dequantize); the scale column is kept for
     consumers that need magnitudes back. Pure Catalyst transform."""
     mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    safe_mx = F.when(mx > 0.0, mx).otherwise(F.lit(1.0))  # all-zero vectors stay zero
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.round(x.cast("double") / mx * 127.0).cast("tinyint"),
+        lambda x: F.round(x.cast("double") / safe_mx * 127.0).cast("tinyint"),
     )
-    return emb.withColumn(out_col, q).withColumn(f"{out_col}_scale", mx / 127.0)
+    return emb.withColumn(out_col, q).withColumn(f"{out_col}_scale", safe_mx / 127.0)
 
 
 def ivf_probe_lists(
