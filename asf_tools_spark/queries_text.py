@@ -398,7 +398,7 @@ def _oracle_sqls() -> dict[str, str]:
         ),
         qv AS (
           SELECT vec_id,
-                 list_transform(e, x -> ROUND(x / mx * 127.0)) AS q
+                 list_transform(e, x -> ROUND(x / (CASE WHEN mx > 0 THEN mx ELSE 1.0 END) * 127.0)) AS q
           FROM base
         ),
         qs AS (SELECT vec_id AS q_id, q AS qq FROM qv WHERE vec_id < 3),
