@@ -49,6 +49,15 @@ def sniff_media_type(payload: Column) -> Column:
     return out
 
 
+
+def _fake_pixels(seed_bytes: bytes, th: int, tw: int) -> np.ndarray:
+    """THE deterministic stub decode: sha256 stream expanded to a th x tw
+    uint8 grid — single definition shared by every fake codec path."""
+    digest = hashlib.sha256(seed_bytes).digest()
+    reps = (th * tw) // len(digest) + 1
+    return np.frombuffer((digest * reps)[: th * tw], dtype=np.uint8)
+
+
 _DECODE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("height", IntegerType()),
@@ -89,9 +98,7 @@ def decode_and_featurize(
                         "pass fake=True for the deterministic stub decode"
                     )
                 # FAKE DECODE (deterministic): sha256 stream -> byte grid
-                digest = hashlib.sha256(bytes(payload)).digest()
-                reps = (th * tw) // len(digest) + 1
-                pixels = np.frombuffer((digest * reps)[: th * tw], dtype=np.uint8).reshape(th, tw)
+                pixels = _fake_pixels(bytes(payload), th, tw).reshape(th, tw)
                 out["media_id"].append(int(mid))
                 out["height"].append(th)
                 out["width"].append(tw)
@@ -139,9 +146,7 @@ def sample_frames(
                             "pass fake=True for the deterministic stub decode"
                         )
                     # FAKE FRAME DECODE (deterministic): sha256(payload||t)
-                    digest = hashlib.sha256(bytes(payload) + t.to_bytes(4, "big")).digest()
-                    reps = (th * tw) // len(digest) + 1
-                    pixels = np.frombuffer((digest * reps)[: th * tw], dtype=np.uint8)
+                    pixels = _fake_pixels(bytes(payload) + t.to_bytes(4, "big"), th, tw)
                     out["media_id"].append(int(mid))
                     out["frame_idx"].append(t)
                     out["mean_intensity"].append(float(pixels.mean()))

@@ -42,7 +42,13 @@ def cosine_topk_bruteforce(
         queries.select(F.col(key).alias("q_id"), F.col(vec_col).alias("q_vec"))
     )
     joined = emb.select(F.col(key).alias("c_id"), F.col(vec_col).alias("c_vec")).crossJoin(q)
-    joined = joined.where(F.col("q_id") != F.col("c_id"))
+    # zero-norm vectors have no defined cosine; without this filter they
+    # produce NaN, which Spark's (and DuckDB's) DESC ordering ranks FIRST —
+    # a zero vector would become everyone's top neighbor
+    joined = joined.where(
+        (F.col("q_id") != F.col("c_id"))
+        & (norm_col("q_vec") > 0.0) & (norm_col("c_vec") > 0.0)
+    )
     cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
@@ -99,7 +105,8 @@ def cosine_topk_lsh(
     q = q.withColumn("probe", F.explode(F.array(*probes))).drop("bucket")
 
     cand = F.broadcast(q).join(corpus, q["probe"] == corpus["bucket"]).where(
-        F.col("q_id") != F.col("c_id")
+        (F.col("q_id") != F.col("c_id"))
+        & (norm_col("q_vec") > 0.0) & (norm_col("c_vec") > 0.0)  # NaN-cosine guard
     )
     cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -130,35 +137,69 @@ def quantize_embeddings(
     return emb.withColumn(out_col, q).withColumn(f"{out_col}_scale", safe_mx / 127.0)
 
 
-def ivf_probe_lists(
-    queries: DataFrame, centroids: np.ndarray, nprobe: int = 2,
-    key: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """(key, list_id, probe_rank) — each query's ``nprobe`` nearest inverted
-    lists (IVF's recall knob; nprobe=1 is ivf_assign's single list). Staged
-    per-centroid cosines + array_sort + slice: one narrow projection, no
-    shuffle, no Python."""
-    centroids = np.asarray(centroids, dtype=np.float64)
-    staged = queries.withColumn("_vn", norm_col(vec_col))
+def _staged_cosines(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+    """One NAMED column per centroid cosine (_cos_i) plus _vn — shared by
+    ivf_assign's JVM path and ivf_probe_lists so the (cos, -i) tie-break
+    stays bit-identical. Named columns, never a when-chain: a chain embeds
+    the running-best subtree twice per level (exponential expression tree,
+    the known codegen stall)."""
+    staged = df.withColumn("_vn", norm_col(vec_col))
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
         cn = float(np.linalg.norm(c))
         staged = staged.withColumn(
             f"_cos_{i}", dot_cols(F.col(vec_col), lit) / (F.col("_vn") * F.lit(cn))
         )
-    arr = F.array_sort(F.array(*[
-        F.struct(F.col(f"_cos_{i}").alias("cos"), F.lit(-i).alias("ni"))
-        for i in range(len(centroids))
-    ]))  # ascending by (cos, -i): the LAST nprobe are the nearest lists
+    return staged
+
+
+def _cos_structs(k: int):
+    return [F.struct(F.col(f"_cos_{i}").alias("cos"), F.lit(-i).alias("ni")) for i in range(k)]
+
+
+def ivf_probe_lists(
+    queries: DataFrame, centroids: np.ndarray, nprobe: int = 2,
+    vec_col: str = "embedding", jvm_max_centroids: int = 16,
+) -> DataFrame:
+    """(<query columns>, list_id, probe_rank) — each query's ``nprobe``
+    nearest inverted lists (IVF's recall knob; nprobe=1 is ivf_assign's
+    single list). Same two physical paths as ivf_assign: staged cosines +
+    array_sort + slice (JVM, <= jvm_max_centroids) or a BLAS pandas-UDF
+    arg-top-n for the k ~ sqrt(N) regime where k x dim literal plans bloat
+    codegen. Both tie-break to the lowest list id."""
+    centroids = np.asarray(centroids, dtype=np.float64)
     n = min(nprobe, len(centroids))
-    top = F.reverse(F.slice(arr, -n, n))
-    return staged.select(
-        *queries.columns,
-        F.posexplode(top).alias("probe_rank0", "_s"),
+    if len(centroids) <= jvm_max_centroids:
+        staged = _staged_cosines(queries, centroids, vec_col)
+        arr = F.array_sort(F.array(*_cos_structs(len(centroids))))
+        # ascending by (cos, -i): the LAST n are the nearest lists
+        top = F.reverse(F.slice(arr, -n, n))
+        return staged.select(
+            *queries.columns,
+            F.posexplode(top).alias("probe_rank0", "_s"),
+        ).select(
+            *queries.columns,
+            (-F.col("_s.ni")).alias("list_id"),
+            (F.col("probe_rank0") + 1).alias("probe_rank"),
+        )
+
+    cmat = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def top_lists(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cmat.T
+        # stable sort on -sims: ties resolve to the lowest list id, matching
+        # the (cos, -i) struct ordering of the JVM path
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    out = queries.withColumn("_tl", top_lists(F.col(vec_col)))
+    return out.select(
+        *queries.columns, F.posexplode("_tl").alias("probe_rank0", "list_id")
     ).select(
-        *queries.columns,
-        (-F.col("_s.ni")).alias("list_id"),
-        (F.col("probe_rank0") + 1).alias("probe_rank"),
+        *queries.columns, "list_id", (F.col("probe_rank0") + 1).alias("probe_rank")
     )
 
 
@@ -230,22 +271,11 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, key: str = "vec_id",
     """
     centroids = np.asarray(centroids, dtype=np.float64)
     if len(centroids) <= jvm_max_centroids:
-        # stage each cosine as a NAMED column, then argmax via array_max of
-        # (cos, -i) structs — a when-chain would embed the running best
-        # subtree twice per level (exponential expression tree, the known
-        # codegen stall); this stays linear in k. Tie-break: max(-i) = min i,
-        # matching numpy argmax (first max wins).
-        staged = emb.withColumn("_vn", norm_col(vec_col))
-        for i, c in enumerate(centroids):
-            lit = F.array(*[F.lit(float(x)) for x in c])
-            cn = float(np.linalg.norm(c))
-            staged = staged.withColumn(
-                f"_cos_{i}", dot_cols(F.col(vec_col), lit) / (F.col("_vn") * F.lit(cn))
-            )
-        best = F.array_max(F.array(*[
-            F.struct(F.col(f"_cos_{i}").alias("cos"), F.lit(-i).alias("ni"))
-            for i in range(len(centroids))
-        ]))
+        # argmax via array_max of (cos, -i) structs over the shared staged
+        # cosines. Tie-break: max(-i) = min i, matching numpy argmax
+        # (first max wins).
+        staged = _staged_cosines(emb, centroids, vec_col)
+        best = F.array_max(F.array(*_cos_structs(len(centroids))))
         out = staged.withColumn("list_id", -best["ni"]).withColumn("list_cosine", best["cos"])
         return out.drop("_vn", *[f"_cos_{i}" for i in range(len(centroids))])
 

@@ -94,13 +94,17 @@ def _water_grid(spark: SparkSession) -> DataFrame:
     )
 
 
-def _canonical_labels(spark: SparkSession) -> DataFrame:
-    """label_connected + canonical relabel: component id = min(row*W+col)
-    over the component, so ids are engine-independent."""
-    labeled = label_connected(_water_grid(spark), "water", _LABEL_TILE)
+def _canonicalize(labeled: DataFrame) -> DataFrame:
+    """Canonical relabel: component id = min(row*W+col) over the component,
+    so ids are engine-independent — ONE definition for every grid query."""
     pid = F.col("row").cast("long") * _W + F.col("col")
     comp = labeled.groupBy("label").agg(F.min(pid).alias("comp_id"))
-    return labeled.join(comp, "label").select("row", "col", "comp_id")
+    return labeled.join(comp, "label")
+
+
+def _canonical_labels(spark: SparkSession) -> DataFrame:
+    labeled = label_connected(_water_grid(spark), "water", _LABEL_TILE)
+    return _canonicalize(labeled).select("row", "col", "comp_id")
 
 
 def q_grid_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,9 +168,7 @@ def q_flood_depth_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vv_valid = g.select("row", "col", "valid")
     hand_df = g.select("row", "col", (F.col("v") + 2.5).alias("value"))
     out = make_flood_map_grid(water, None, vv_valid, hand_df, _LABEL_TILE, estimator="numpy")
-    pid = F.col("row").cast("long") * _W + F.col("col")
-    comp = out.groupBy("label").agg(F.min(pid).alias("comp_id"))
-    return out.join(comp, "label").select(
+    return _canonicalize(out).select(
         "row", "col", "comp_id",
         F.round("water_height", 6).alias("water_height"),
         F.round("flood_depth", 6).alias("flood_depth"),

@@ -408,7 +408,9 @@ def _oracle_sqls() -> dict[str, str]:
                  list_dot_product(q.qq, c.cq)
                    / (SQRT(list_dot_product(q.qq, q.qq)) * SQRT(list_dot_product(c.cq, c.cq)))
                    AS cosine
-          FROM qs q CROSS JOIN cs c WHERE q.q_id <> c.c_id
+          FROM qs q CROSS JOIN cs c
+          WHERE q.q_id <> c.c_id
+            AND list_dot_product(q.qq, q.qq) > 0 AND list_dot_product(c.cq, c.cq) > 0
         ),
         ranked AS (
           SELECT q_id, c_id, cosine,
@@ -425,7 +427,9 @@ def _oracle_sqls() -> dict[str, str]:
                  list_dot_product(q.qv, c.cv)
                    / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.cv, c.cv)))
                    AS cosine
-          FROM q CROSS JOIN c WHERE q.q_id <> c.c_id
+          FROM q CROSS JOIN c
+          WHERE q.q_id <> c.c_id
+            AND list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(c.cv, c.cv) > 0
         ),
         ranked AS (
           SELECT q_id, c_id, cosine,
