@@ -121,6 +121,18 @@ def test_ivf_probe_lists_nprobe(planted):
         assert ranks[1] == assign[qid]
 
 
+def test_ivf_probe_paths_agree(planted):
+    """JVM staged-cosine probing and the BLAS pandas-UDF fallback produce
+    identical (list_id, probe_rank) sets, tie-breaks included."""
+    emb, base = planted
+    q = emb.where(F.col("vec_id") < 8)
+    jvm = {(r.vec_id, r.probe_rank): r.list_id for r in
+           similarity.ivf_probe_lists(q, base[:12], nprobe=3, jvm_max_centroids=16).collect()}
+    udf = {(r.vec_id, r.probe_rank): r.list_id for r in
+           similarity.ivf_probe_lists(q, base[:12], nprobe=3, jvm_max_centroids=2).collect()}
+    assert jvm == udf and len(jvm) == 8 * 3
+
+
 def test_ivf_recall_floor_on_planted(planted):
     """IVF nprobe=1 over 40-cluster planted data: querying a vector probes
     its own list; cluster mates share the list almost always."""
