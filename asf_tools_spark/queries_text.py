@@ -69,6 +69,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(spark.table("documents"), "doc_id", bits=SIMHASH_BITS)
 
 
+def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 2 via the
+    max_distance+1-block pigeonhole blocking. The oracle is the EXHAUSTIVE
+    O(n²) scan — so this row passing proves the blocking loses no pair."""
+    _register(spark, sf_dir, "documents")
+    sim = dedup.simhash(spark.table("documents"), "doc_id", bits=SIMHASH_BITS)
+    return dedup.hamming_near_pairs(sim, "doc_id", bits=SIMHASH_BITS, max_distance=2)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     out = text.language_scores(spark.table("documents"))
@@ -294,12 +303,22 @@ def _oracle_sqls() -> dict[str, str]:
     bits = " | ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
-    sqls["simhash"] = f"""
+    simhash_sql = f"""
         WITH h AS (
           SELECT doc_id, {_hash8("shingle", "simhash-")} AS h FROM {_shingles_sql()} s
         ),
         sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    """
+    sqls["simhash"] = simhash_sql
+    # EXHAUSTIVE O(n^2) oracle vs Spark's pigeonhole-blocked pairs: passing
+    # proves the blocking misses nothing at max_distance=2
+    sqls["hamming_pairs"] = f"""
+        WITH sh AS ({simhash_sql})
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """
     spaced = f"' ' || {_norm_sql('text')} || ' '"
     score_cols = []
@@ -448,6 +467,7 @@ def queries() -> dict:
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "hamming_pairs": q_hamming_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "bpe_token_count": q_bpe_token_count,
