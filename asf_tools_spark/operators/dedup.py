@@ -1,14 +1,19 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-All hashing is the engine's shared md5-based ``hash8`` (oracle-checkable in
-DuckDB) and stays JVM-side — no Python workers anywhere in this module.
+All hashing is the engine's shared ``hash8`` family and stays JVM-side —
+no Python workers anywhere in this module. Two hash families (see
+:func:`default_hash_family`): md5 (oracle parity with DuckDB) and xxhash64
+(the scale path — the JVM md5 provider serializes at ~7M hashes/s).
 
 - exact dedup: md5 fingerprint groupBy (hash-groupBy; salting unnecessary —
   fingerprints are uniform)
 - MinHash + LSH: word shingles -> k min-hashes -> banded bucket join
-- SimHash: per-word hash sign-sums over b bits
+- SimHash: per-word hash sign-sums over b bits; Hamming pairs via
+  pigeonhole (max_distance+1)-block joins
 - n-gram Jaccard: exact verification on LSH candidate pairs
-- embedding near-dup: random-hyperplane LSH buckets -> exact cosine
+- near_dup_clusters: verified pairs (+ identical-signature rep edges) ->
+  BSP connected components -> keep-list
+- embedding near-dup: banded multi-table hyperplane LSH -> exact cosine
 """
 
 from __future__ import annotations
