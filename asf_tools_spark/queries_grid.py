@@ -154,6 +154,37 @@ def q_gaussian_infill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row", "col", F.round("value", 6).alias("value"))
 
 
+def q_mask_union_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/J6 (ref water_map.py:350 np.logical_or; flood_map.py:255
+    known-water overlay): full-outer union of two pixel masks with
+    bool_or — the combine step of every dual-pol / known-water merge."""
+    g = _grid_df(spark)
+    m1 = g.where((F.col("v") <= F.lit(_WATER_THR)) & F.col("valid")).select("row", "col")
+    m2 = g.where((F.col("row") * 5 + F.col("col") * 3) % 17 == 0).select("row", "col")
+    return (
+        m1.withColumn("src", F.lit(1))
+        .unionByName(m2.withColumn("src", F.lit(2)))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+    )
+
+
+def q_scaling_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (ref water_map.py:300): global Gaussian scaling
+    256 / (mean + 3*std) over the scene — one scalar aggregate row."""
+    _register_li(spark, sf_dir)
+    g = F.log10("l_extendedprice") + 30.0
+    return (
+        spark.table("lineitem").where(F.col("l_extendedprice") > 0)
+        .select(g.alias("g"))
+        .agg(F.round(256.0 / (F.avg("g") + 3.0 * F.stddev_pop("g")), 6).alias("scaling"))
+    )
+
+
+def _register_li(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+
+
 def q_flood_depth_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full flood-depth plan (ref flood_map.py:183-331 via
     plans.flood_map.make_flood_map_grid): water mask -> distributed
@@ -310,6 +341,17 @@ def _oracle_sqls() -> dict[str, str]:
                MIN(col) AS min_col, MAX(col) AS max_col
         FROM {labels} l GROUP BY comp_id
     """
+    sqls["mask_union_grid"] = f"""
+        WITH m1 AS (SELECT row, col FROM {grid} g WHERE v <= {_WATER_THR} AND valid),
+        m2 AS (SELECT row, col FROM {grid} g WHERE (row * 5 + col * 3) % 17 = 0),
+        u AS (SELECT row, col FROM m1 UNION ALL SELECT row, col FROM m2)
+        SELECT row, col, COUNT(*) AS n_sources FROM u GROUP BY row, col
+    """
+    sqls["scaling_factor"] = """
+        SELECT ROUND(256.0 / (AVG(LOG10(l_extendedprice) + 30.0)
+                              + 3.0 * STDDEV_POP(LOG10(l_extendedprice) + 30.0)), 6) AS scaling
+        FROM lineitem WHERE l_extendedprice > 0
+    """
     sqls["flood_depth_grid"] = f"""
         WITH lab AS (SELECT row, col, comp_id FROM {labels} l),
         px AS (
@@ -442,6 +484,8 @@ def queries() -> dict:
         "flow_accum_grid": q_flow_accum_grid,
         "hand_grid": q_hand_grid,
         "flood_depth_grid": q_flood_depth_grid,
+        "mask_union_grid": q_mask_union_grid,
+        "scaling_factor": q_scaling_factor,
     }
 
 
