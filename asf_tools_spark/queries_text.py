@@ -64,6 +64,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(docs.select("doc_id"), edges, "doc_id")
 
 
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH candidate recall vs EXHAUSTIVE truth: true pairs = all
+    doc pairs with exact Jaccard >= 0.5 (full O(n^2) shingle join — the
+    oracle recomputes it identically, so the recall NUMBER itself is
+    cross-engine verified); found = banded LSH candidates among them."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sh = dedup.word_shingles(docs, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("key_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("key_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle").where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b").agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "key_a", "sz": "sz_a"}), "key_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "key_b", "sz": "sz_b"}), "key_b")
+        .where(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")) >= 0.5)
+        .select("key_a", "key_b")
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
+    # collapse OFF: recall is against raw pairs, incl. identical-signature ones
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND,
+                                     collapse_identical=False)
+    found = truth.join(cand, ["key_a", "key_b"], "left_semi")
+    return truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found"))
+    ).select(
+        "n_true", "n_found",
+        F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     return dedup.simhash(spark.table("documents"), "doc_id", bits=SIMHASH_BITS)
@@ -267,6 +301,43 @@ def _oracle_sqls() -> dict[str, str]:
     sqls["minhash_signatures"] = f"SELECT * FROM {_minhash_sql()} m"
     sqls["lsh_pairs"] = _lsh_pairs_sql()
     sqls["jaccard_pairs"] = _jaccard_sql()
+    nb = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"CAST(sig_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        nb.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_val FROM sigs")
+    banded_nc = " UNION ALL ".join(nb)
+    sqls["lsh_recall_report"] = f"""
+        WITH sigs AS (SELECT * FROM {_minhash_sql()} m),
+        banded AS ({banded_nc}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+          FROM banded a JOIN banded b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        ),
+        sh AS (SELECT * FROM {_shingles_sql()} s),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+          SELECT i.key_a, i.key_b FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.key_a
+          JOIN sizes sb ON sb.doc_id = i.key_b
+          WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5
+        ),
+        found AS (
+          SELECT t.* FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand c WHERE c.key_a = t.key_a AND c.key_b = t.key_b)
+        )
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM found) AS n_found,
+               ROUND((SELECT COUNT(*) FROM found) * 1.0
+                     / (SELECT COUNT(*) FROM truth), 6) AS recall
+    """
     sig_cols = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
     sig_eq = " AND ".join(f"s.sig_{i} = r.sig_{i}" for i in range(N_MINHASH))
     sqls["dedup_clusters"] = f"""
@@ -464,6 +535,7 @@ def queries() -> dict:
     return {
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
+        "lsh_recall_report": q_lsh_recall_report,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,

@@ -104,6 +104,7 @@ def test_flood_depth_no_nested_loop(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "candidate_intersection", "ann_cosine_topk", "ann_topk_int8", "epsg_vote",
     "histogram_smooth", "reverse_cdf_threshold", "flow_direction_grid",
+    "lsh_recall_report",  # 1-row x 1-row final aggregate combine
 }
 
 # These queries execute eagerly while BUILDING (driver-side selection /
