@@ -46,14 +46,38 @@ def hand_tile_stats(grid: DataFrame, hand_threshold: float, tile_pixels: int) ->
     )
 
 
+# Above this many tiles the exact driver-side selection (one collected row
+# per tile) is replaced by the distributed ladder: a 100k x 100k scene at
+# 100 x 100 tiles is 10^6 stats rows — never collect that to the driver.
+DRIVER_EXACT_MAX_TILES = 100_000
+
+
 def select_hand_tiles(grid: DataFrame, hand_threshold: float, hand_fraction: float,
-                      tile_pixels: int) -> np.ndarray:
-    """Distributed stats + exact driver-side selection (one row per tile)."""
+                      tile_pixels: int, n_tiles: int | None = None) -> np.ndarray:
+    """Distributed stats + exact driver-side selection (one row per tile).
+    Above DRIVER_EXACT_MAX_TILES callers should switch to
+    ``hand_candidate_tiles_df`` and keep the candidate set distributed."""
     stats = hand_tile_stats(grid, hand_threshold, tile_pixels).orderBy("tile_id").collect()
     tile_ids = np.array([r.tile_id for r in stats])
     fracs = np.array([r.low_frac for r in stats])
     all_zero = not any(r.any_nonzero for r in stats)
     return select_hand_tiles_from_stats(tile_ids, fracs, all_zero, hand_fraction)
+
+
+def hand_candidate_tiles_df(grid: DataFrame, hand_threshold: float, hand_fraction: float,
+                            tile_pixels: int, check_all_zero: bool = True) -> DataFrame:
+    """Distributed select_hand_tiles: candidate tile ids as a DataFrame —
+    no O(n_tiles) collect. The reference's all-zero guard costs one scalar
+    aggregate job when enabled."""
+    stats = hand_tile_stats(grid, hand_threshold, tile_pixels)
+    if check_all_zero:
+        nz = stats.agg(F.max("any_nonzero").alias("nz")).collect()[0].nz
+        if not nz:
+            raise ValueError(
+                "All pixels in scene have a HAND value of 0.0 (all water); "
+                "scene is not a good candidate for water mapping."
+            )
+    return stats.where(F.col("low_frac") > F.lit(hand_fraction)).select("tile_id")
 
 
 def backscatter_tile_stats(grid: DataFrame, tile_shape: tuple[int, int]) -> DataFrame:
@@ -80,16 +104,89 @@ def backscatter_tile_stats(grid: DataFrame, tile_shape: tuple[int, int]) -> Data
 
 def select_backscatter_tiles(grid: DataFrame, hand_candidates: np.ndarray,
                              tile_shape: tuple[int, int], n_tiles: int) -> np.ndarray:
-    """Distributed per-tile stats + exact reference selection ladder
-    (ref water_map.py:62-81 via core.selection)."""
-    stats = backscatter_tile_stats(grid, tile_shape).collect()
-    sub_std = np.full(n_tiles, np.nan)
-    medians = np.ma.masked_all(n_tiles)
-    for r in stats:
-        sub_std[r.tile_id] = r.sub_std if r.sub_std is not None else np.nan
-        if r.tile_median is not None:
-            medians[r.tile_id] = r.tile_median
-    return select_backscatter_tiles_from_stats(sub_std, medians, hand_candidates)
+    """Per-tile stats + reference selection ladder (ref water_map.py:62-81).
+
+    n_tiles <= DRIVER_EXACT_MAX_TILES: exact driver path (collect one stats
+    row per tile, run core.selection's literal numpy ladder). Above the
+    guard: the distributed re-expression (``backscatter_selection_df``) —
+    only the <=5 winning rows ever reach the driver."""
+    if n_tiles <= DRIVER_EXACT_MAX_TILES:
+        stats = backscatter_tile_stats(grid, tile_shape).collect()
+        sub_std = np.full(n_tiles, np.nan)
+        medians = np.ma.masked_all(n_tiles)
+        for r in stats:
+            sub_std[r.tile_id] = r.sub_std if r.sub_std is not None else np.nan
+            if r.tile_median is not None:
+                medians[r.tile_id] = r.tile_median
+        return select_backscatter_tiles_from_stats(sub_std, medians, hand_candidates)
+    spark = grid.sparkSession
+    hand = spark.createDataFrame(
+        pd.DataFrame({"tile_id": np.asarray(hand_candidates, dtype=np.int64)})
+    )
+    sel = backscatter_selection_df(backscatter_tile_stats(grid, tile_shape), hand)
+    return np.array([int(r.tile_id) for r in sel.collect()], dtype=np.int64)
+
+
+def backscatter_selection_df(stats: DataFrame, hand: DataFrame) -> DataFrame:
+    """The reference's 95th->5th percentile relaxation ladder
+    (ref water_map.py:62-81) as ONE distributed plan, no O(n_tiles) collect.
+
+    Key identity: the ladder walks thresholds t_95 >= ... >= t_5 (percentiles
+    of tile_variance over ALL tiles, np.nanpercentile linear interpolation =
+    Spark exact ``percentile``) and stops at the first with
+    |{potential candidates with variance > t}| >= 5. count(v > t) is
+    monotone non-increasing in t, so the chosen threshold is exactly the
+    LARGEST ladder value strictly below the 5th-largest potential-candidate
+    variance — one percentile aggregate + one top-5 instead of a 91-step
+    driver loop. Ties in sub_std break by higher tile_id, matching
+    np.argsort(stable)[::-1].
+
+    ``stats``: (tile_id, sub_std, tile_median); ``hand``: (tile_id,)
+    candidate ids. Returns <=5 rows (tile_id, sub_std) ordered like the
+    reference (sub_std desc). Note: tile_median is > 0 by construction
+    (median over valid > 0 pixels), so the variance division cannot hit
+    Spark's divide-by-zero -> NULL vs numpy's inf divergence.
+    """
+    v = F.col("sub_std") / F.col("tile_median")
+    sv = stats.withColumn("variance", F.when(v.isNotNull() & ~F.isnan(v), v))
+    hand_ids = hand.select("tile_id")
+
+    # percentile thresholds over ALL tiles (nanpercentile semantics: NaN
+    # variances were nulled above and percentile() ignores nulls)
+    ladder = sv.agg(
+        F.percentile("variance", F.array(*[F.lit(p / 100.0) for p in range(5, 96)])).alias("ths")
+    ).select(F.explode("ths").alias("t"))
+
+    # potential candidates = hand ∩ (median < masked-median of hand medians)
+    lm = (
+        sv.join(hand_ids, "tile_id", "left_semi")
+        .agg(F.median("tile_median").alias("lm"))
+    )
+    potential = (
+        sv.join(hand_ids, "tile_id", "left_semi")
+        .crossJoin(F.broadcast(lm))
+        .where((F.col("tile_median") < F.col("lm")) & F.col("variance").isNotNull())
+    )
+
+    # 5th-largest candidate variance (v5); k < 5 candidates -> no selection
+    top5 = (
+        potential.select("variance")
+        .orderBy(F.col("variance").desc())
+        .limit(5)
+        .agg(F.min("variance").alias("v5"), F.count(F.lit(1)).alias("k"))
+    )
+    chosen = (
+        ladder.crossJoin(F.broadcast(top5))
+        .where((F.col("k") >= 5) & (F.col("t") < F.col("v5")))
+        .agg(F.max("t").alias("th"))
+    )
+    return (
+        potential.crossJoin(F.broadcast(chosen))
+        .where(F.col("variance") > F.col("th"))  # th NULL -> empty, like the ladder exhausting
+        .orderBy(F.col("sub_std").desc(), F.col("tile_id").desc())
+        .limit(5)
+        .select("tile_id", "sub_std")
+    )
 
 
 _EM_SCHEMA = StructType([

@@ -34,11 +34,14 @@ def q_epsg_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         hcount.join(top, hcount["count"] == top["m"]).agg(F.min("h").alias("th"))
     )
     zones = codes.select((F.col("code") % 100).alias("z"))
-    n = zones.count()
+    # median rank (n-1)//2+1 computed inside the plan (no eager count():
+    # one job, not two). Unpartitioned windows are fine: zones is tiny by
+    # construction (one row per scene/nation), never a data-scale column.
     zw = Window.orderBy(F.col("z").asc())
     target_z = (
         zones.withColumn("rk", F.row_number().over(zw))
-        .where(F.col("rk") == (n - 1) // 2 + 1)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .where(F.col("rk") == F.floor((F.col("n") - 1) / 2) + 1)
         .select(F.col("z").alias("tz"))
     )
     return target_h.crossJoin(target_z).select((F.col("th") + F.col("tz")).alias("target_epsg"))
@@ -386,10 +389,12 @@ def _oracle_sqls() -> dict[str, str]:
         FROM smoothed
     """
     sqls["confusion_counts"] = f"""
-        SELECT SUM(CASE WHEN ROUND(hand, 6) < 8.0 AND ROUND(value, 6) < 0.25 THEN 1 ELSE 0 END) AS tp,
-               SUM(CASE WHEN ROUND(hand, 6) >= 8.0 AND ROUND(value, 6) >= 0.25 THEN 1 ELSE 0 END) AS tn,
-               SUM(CASE WHEN ROUND(hand, 6) < 8.0 AND ROUND(value, 6) >= 0.25 THEN 1 ELSE 0 END) AS fp,
-               SUM(CASE WHEN ROUND(hand, 6) >= 8.0 AND ROUND(value, 6) < 0.25 THEN 1 ELSE 0 END) AS fn
+        -- CAST AS BIGINT: DuckDB SUM(INTEGER) is HUGEINT, which Arrow fetches as
+        -- decimal128 and hash-mismatches Spark's int64 even when values agree.
+        SELECT CAST(SUM(CASE WHEN ROUND(hand, 6) < 8.0 AND ROUND(value, 6) < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN ROUND(hand, 6) >= 8.0 AND ROUND(value, 6) >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(SUM(CASE WHEN ROUND(hand, 6) < 8.0 AND ROUND(value, 6) >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN ROUND(hand, 6) >= 8.0 AND ROUND(value, 6) < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS fn
         FROM {docs} p
     """
     sqls["label_stats_nmad"] = f"""
@@ -468,7 +473,8 @@ def _oracle_sqls() -> dict[str, str]:
                       THEN 1 ELSE 0 END AS new_session
           FROM events
         )
-        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        -- CAST AS BIGINT: DuckDB SUM(INTEGER) is HUGEINT (Arrow decimal128) vs Spark int64.
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM marked GROUP BY user_id
     """
     from .core.cells import cell_layered_select

@@ -19,6 +19,7 @@ def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
 N_MINHASH = 8
 BANDS, ROWS_PER_BAND = 2, 4  # stricter bands: testdata vocab is tiny (31 words)
 SIMHASH_BITS = 16
+RECALL_SAMPLE = 400  # deterministic doc_id slice bounding the O(n^2) truth join
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,11 +67,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured LSH candidate recall vs EXHAUSTIVE truth: true pairs = all
-    doc pairs with exact Jaccard >= 0.5 (full O(n^2) shingle join — the
-    oracle recomputes it identically, so the recall NUMBER itself is
-    cross-engine verified); found = banded LSH candidates among them."""
+    doc pairs with exact Jaccard >= 0.5 (O(n^2) shingle join — the oracle
+    recomputes it identically, so the recall NUMBER itself is cross-engine
+    verified); found = banded LSH candidates among them.
+
+    The truth join is bounded to the deterministic slice
+    doc_id < RECALL_SAMPLE (like winnow_fingerprint's doc_id < 120): the
+    recall estimate stays cross-engine-verified but the quadratic term is
+    constant in sf instead of the bench's scale-killer (137s at sf0.1 in r2)."""
     _register(spark, sf_dir, "documents")
-    docs = spark.table("documents")
+    docs = spark.table("documents").where(F.col("doc_id") < RECALL_SAMPLE)
     sh = dedup.word_shingles(docs, "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("doc_id").alias("key_a"), "shingle")
@@ -309,14 +315,14 @@ def _oracle_sqls() -> dict[str, str]:
         nb.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_val FROM sigs")
     banded_nc = " UNION ALL ".join(nb)
     sqls["lsh_recall_report"] = f"""
-        WITH sigs AS (SELECT * FROM {_minhash_sql()} m),
+        WITH sigs AS (SELECT * FROM {_minhash_sql()} m WHERE m.doc_id < {RECALL_SAMPLE}),
         banded AS ({banded_nc}),
         cand AS (
           SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
           FROM banded a JOIN banded b
             ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         ),
-        sh AS (SELECT * FROM {_shingles_sql()} s),
+        sh AS (SELECT * FROM {_shingles_sql()} s WHERE s.doc_id < {RECALL_SAMPLE}),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS i

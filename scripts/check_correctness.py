@@ -2,16 +2,25 @@
 queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01; compare
 row count, schema (column names), and an order-insensitive value hash.
 
+Round-3 hardening (VERDICT r2 item 2): the oracle side is fetched via
+Arrow (like the driver), typed strictly — a DuckDB HUGEINT/DECIMAL column
+(e.g. a bare SUM(INTEGER)) surfaces as decimal128 and is *rejected by a
+lint* before compare, so the mirror can no longer pass where the driver
+hash-fails on int-vs-Decimal. Ints are hashed as ints (no int->float
+normalization leniency).
+
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, ".")
 
@@ -40,8 +49,24 @@ def _norm(v):
             return "nan"
         return round(v, 9)
     if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
+        # Strict: int stays int. A Decimal('5') on the oracle side must NOT
+        # collide with Spark's 5 — that's exactly the driver's behavior.
+        return v
+    if isinstance(v, decimal.Decimal):
+        return v  # repr differs from int/float -> hash mismatch, as intended
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
     return str(v)
+
+
+def _arrow_type_lint(tbl: pa.Table) -> list[str]:
+    """Columns whose Arrow type would diverge from any Spark-collectable type."""
+    bad = []
+    for field in tbl.schema:
+        t = field.type
+        if pa.types.is_decimal(t):
+            bad.append(f"{field.name}:{t}")
+    return bad
 
 
 def main() -> int:
@@ -74,13 +99,19 @@ def main() -> int:
             print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
-            res = con.execute(os_[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(os_[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
             failures += 1
             continue
+        lint = _arrow_type_lint(otbl)
+        if lint:
+            print(f"FAIL {name}: oracle emits decimal128 columns {lint} "
+                  f"(HUGEINT/DECIMAL — CAST AS BIGINT/DOUBLE in the oracle SQL)")
+            failures += 1
+            continue
+        ocols = otbl.column_names
+        orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
         status = []
         if len(srows) != len(orows):
             status.append(f"rows {len(srows)} != {len(orows)}")
