@@ -199,8 +199,21 @@ def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 16) -> 
 
     bit j of hash(word) contributes +1/-1; simhash bit j = (sum > 0).
     Single explode + one aggregate with b conditional sums (JVM-side).
+
+    bits <= 32 draws word bits from the shared 32-bit ``hash8`` family
+    (md5 oracle parity); bits up to 64 — the 100 TB scale width, where
+    16-bit blocking degenerates into huge buckets — draws from the full
+    64-bit ``xxhash64`` (no DuckDB twin, so 64-bit queries are
+    rows-only/pytest-verified). Bit 63 is the sign bit of the packed
+    signed long.
     """
-    sh = word_shingles(df, key, text_col).withColumn("h", hash8_col(F.col("shingle"), "simhash-"))
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits={bits} must be in [1, 64]")
+    if bits <= 32:
+        h = hash8_col(F.col("shingle"), "simhash-")
+    else:
+        h = F.xxhash64(F.lit("simhash-"), F.col("shingle"))
+    sh = word_shingles(df, key, text_col).withColumn("h", h)
     sums = [
         F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{j}")
         for j in range(bits)
@@ -208,7 +221,8 @@ def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 16) -> 
     agg = sh.groupBy(key).agg(*sums)
     out = F.lit(0).cast("long")
     for j in range(bits):
-        out = out.bitwiseOR(F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"))
+        bitval = F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))  # j=63: sign bit
+        out = out.bitwiseOR(F.when(F.col(f"s{j}") > 0, bitval).otherwise(F.lit(0)).cast("long"))
     return agg.select(key, out.alias("simhash"))
 
 
@@ -220,15 +234,28 @@ def hamming_near_pairs(sim: DataFrame, key: str, bits: int = 16, max_distance: i
     ``max_distance`` differing bits spread over ``max_distance + 1`` blocks
     leave at least one block identical, so recall is exact — two blocks only
     guarantee distance <= 1 (a pair with one differing bit in each half
-    matches neither half)."""
+    matches neither half).
+
+    ``bits=64`` is the scale width: 16-bit fingerprints at max_distance=2
+    put 5-6 bits per block (<= 64 distinct buckets — degenerate, quadratic
+    buckets at corpus scale), while 64-bit blocks carry 21-22 bits each
+    (~2M bucket values), keeping the candidate join sub-quadratic."""
     n_blocks = max_distance + 1
+    if n_blocks > bits:
+        # every block must carry >= 1 bit; a zero-length block has mask 0,
+        # collides everything, and silently degenerates to a cross join
+        raise ValueError(f"max_distance={max_distance} requires max_distance + 1 <= bits={bits}")
     base, rem = divmod(bits, n_blocks)
     block_exprs, start = [], 0
     for i in range(n_blocks):
         ln = base + (1 if i < rem else 0)
+        if ln >= 64:  # single 64-bit block (max_distance=0): the raw value
+            val = F.col("simhash")
+        else:
+            val = F.shiftright("simhash", start).bitwiseAND(F.lit((1 << ln) - 1))
         block_exprs.append(F.struct(
             F.lit(i).alias("blk_id"),
-            F.shiftright("simhash", start).bitwiseAND(F.lit((1 << ln) - 1)).alias("blk_val"),
+            val.alias("blk_val"),
         ))
         start += ln
     blocked = sim.select(

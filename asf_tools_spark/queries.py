@@ -435,8 +435,9 @@ _REGISTRY_TAIL = [
     # trivial string fns / generic TPC-H demos, D-green twice (r1+r2):
     "tile_name", "area_raster_name", "convert_scale",
     "orders_by_segment", "pricing_summary",
-    # rows-only by design (seeded hyperplanes / k-means / codec stub):
-    "ivf_topk", "embedding_near_dup", "media_features",
+    # rows-only by design (seeded hyperplanes / k-means / codec stub /
+    # 64-bit xxhash64 simhash):
+    "ivf_topk", "embedding_near_dup", "media_features", "simhash64_pairs",
 ]
 # Retired as redundant (VERDICT r2): "token_count" duplicated
 # bpe_token_count's ws_tokens column; "fingerprint" overlapped

@@ -118,6 +118,20 @@ def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hamming_near_pairs(sim, "doc_id", bits=SIMHASH_BITS, max_distance=2)
 
 
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs — the 100 TB scale width (VERDICT r2
+    item 6): at 16 bits the pigeonhole blocks carry 5-6 bits (<= 64 bucket
+    values — quadratic buckets at corpus scale), at 64 bits each of the 4
+    blocks carries 16 bits (~65k values), keeping the candidate join
+    sub-quadratic. Word bits come from the full 64-bit xxhash64, which has
+    no DuckDB twin -> rows-only; 64-bit exactness is pytest-pinned
+    (planted-pair recall vs exhaustive numpy + bucket-volume assertions in
+    tests/test_simhash64.py)."""
+    _register(spark, sf_dir, "documents")
+    sim = dedup.simhash(spark.table("documents"), "doc_id", bits=64)
+    return dedup.hamming_near_pairs(sim, "doc_id", bits=64, max_distance=3)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     out = text.language_scores(spark.table("documents"))
@@ -555,6 +569,7 @@ def queries() -> dict:
         "ann_topk_int8": q_ann_topk_int8,
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)
         "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)
+        "simhash64_pairs": q_simhash64_pairs,  # rows-only (xxhash64 bits)
     }
 
 
