@@ -70,7 +70,10 @@ def word_shingles(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(df: DataFrame, key: str, text_col: str = "text", n_hashes: int = 8) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, key: str, text_col: str = "text", n_hashes: int = 8,
+    family: str | None = None,
+) -> DataFrame:
     """(key, sig_0..sig_{n-1}): min over shingles of hash_i(shingle).
 
     One explode + one hash-aggregate; each hash_i is an independently salted
@@ -78,7 +81,10 @@ def minhash_signatures(df: DataFrame, key: str, text_col: str = "text", n_hashes
     O(docs x n_hashes), independent of document length.
     """
     sh = word_shingles(df, key, text_col)
-    aggs = [F.min(hash8_col(F.col("shingle"), f"mh{i}-")).alias(f"sig_{i}") for i in range(n_hashes)]
+    aggs = [
+        F.min(hash8_col(F.col("shingle"), f"mh{i}-", family=family)).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
     return sh.groupBy(key).agg(*aggs)
 
 

@@ -206,6 +206,7 @@ def ivf_probe_lists(
 def kmeans_fit(
     emb: DataFrame, k: int = 8, n_iters: int = 3, key: str = "vec_id",
     vec_col: str = "embedding", seed: int = 0,
+    init_exact_max_k: int = 16, init_sample_size: int = 4096,
 ) -> np.ndarray:
     """Distributed Lloyd k-means for IVF coarse centroids.
 
@@ -214,24 +215,48 @@ def kmeans_fit(
     is tiny and collects to the driver — centroids are driver state by
     design, exactly like the reference's scalar decisions. Deterministic
     farthest-point init (kmeans++-style, argmax instead of sampling): seed
-    with the smallest seeded-xxhash64 vector, then k-1 times add the corpus
-    vector least similar to its nearest centroid — random init can
-    double-seed one cluster and orphan another; farthest-point cannot on
-    separated data. Empty lists keep their previous centroid.
+    with the smallest seeded-xxhash64 vector, then k-1 times add the vector
+    least similar to its nearest centroid — random init can double-seed one
+    cluster and orphan another; farthest-point cannot on separated data.
+    Empty lists keep their previous centroid.
+
+    Init cost (VERDICT r2 item 7): k <= ``init_exact_max_k`` runs
+    farthest-point over the CORPUS (k top-1 scans — fine for coarse k).
+    Larger k — the k ~ sqrt(N) IVF regime, where k sequential corpus scans
+    are the wrong shape — takes ONE pass: a seeded-xxhash64 top-N sample
+    (TakeOrdered, no sort shuffle), then the same deterministic
+    farthest-point ladder locally on the sample in numpy. The sample's
+    first element is the global min-hash row, so both paths pick the same
+    first centroid.
     """
-    first = (
-        emb.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
-        .limit(1).select(vec_col).collect()
-    )
-    cents = [list(first[0][0])]
-    for _ in range(k - 1):
-        assigned = ivf_assign(emb, np.array(cents, dtype=np.float64), key, vec_col)
-        far = (
-            assigned.orderBy(F.col("list_cosine").asc(), F.col(key).asc())
+    if k <= init_exact_max_k:
+        first = (
+            emb.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
             .limit(1).select(vec_col).collect()
         )
-        cents.append(list(far[0][0]))
-    centroids = np.array(cents, dtype=np.float64)
+        cents = [list(first[0][0])]
+        for _ in range(k - 1):
+            assigned = ivf_assign(emb, np.array(cents, dtype=np.float64), key, vec_col)
+            far = (
+                assigned.orderBy(F.col("list_cosine").asc(), F.col(key).asc())
+                .limit(1).select(vec_col).collect()
+            )
+            cents.append(list(far[0][0]))
+        centroids = np.array(cents, dtype=np.float64)
+    else:
+        sample_rows = (
+            emb.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
+            .limit(max(init_sample_size, 4 * k)).select(vec_col).collect()
+        )
+        X = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        chosen = [0]  # global min-hash row, like the exact path
+        best_cos = Xn @ Xn[0]
+        for _ in range(k - 1):
+            nxt = int(np.argmin(best_cos))  # least similar to nearest centroid
+            chosen.append(nxt)
+            best_cos = np.maximum(best_cos, Xn @ Xn[nxt])
+        centroids = X[chosen]
     for _ in range(n_iters):
         assigned = ivf_assign(emb, centroids, key, vec_col)
         comp = (
@@ -266,8 +291,10 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, key: str = "vec_id",
       one Arrow-batched pandas UDF doing a single BLAS matmul argmax per
       batch against the broadcast centroid matrix.
 
-    Both paths produce identical assignments (ties break to the lowest
-    list_id).
+    Both paths produce identical assignments up to floating-point summation
+    order (zip_with/aggregate sequential adds vs one BLAS matmul): on
+    near-exact cosine ties the argmax can differ by an ulp-level flip.
+    Exact ties break to the lowest list_id on both paths.
     """
     centroids = np.asarray(centroids, dtype=np.float64)
     if len(centroids) <= jvm_max_centroids:

@@ -84,7 +84,13 @@ def q_reverse_cdf_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (ref flood_map.py:34-38): reverse-CDF 95% threshold over a
     100-bin density histogram — fully distributed (no driver scalars), so
     the DuckDB oracle can reproduce it exactly: histogram -> reverse
-    cumulative mass -> searchsorted('left', 0.95) -> flipped bin edge."""
+    cumulative mass -> searchsorted('left', 0.95) -> flipped bin edge.
+
+    Rounding-mode note (ADVICE r2): the final F.round/DuckDB ROUND is
+    half-away-from-zero, while the reference's driver-side Python round()
+    is banker's (half-even) — a bin edge landing EXACTLY on .5 diverges
+    from the reference by 1. Spark and the oracle always agree with each
+    other; the .5 case does not occur on continuous-valued inputs."""
     _register(spark, sf_dir, "events")
     ev = spark.table("events").where(F.col("value").isNotNull()).select("value")
     mm = ev.agg(

@@ -23,6 +23,17 @@ per micro-batch:
 The store grows O(docs x bands), never O(docs²). Candidate pairs still need
 the exact-Jaccard verify (operators.dedup.jaccard_on_pairs) downstream,
 exactly like the batch pipeline.
+
+Exactly-once (ADVICE r2): both sinks are partitioned by ``batch_id`` and
+written with DYNAMIC partition overwrite, so a micro-batch replay after a
+partial failure rewrites its own partitions instead of appending
+duplicates — duplicated bands would otherwise permanently inflate the
+store and every future cross-batch join. The cross-batch join reads only
+``batch_id < current`` from the store, so a replay whose bands already
+landed does not self-join against them. The hash family is pinned at
+construction and stamped into the store as a partition column; a store
+written under a different family is rejected instead of silently yielding
+zero cross-batch candidates.
 """
 
 from __future__ import annotations
@@ -31,7 +42,13 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.dedup import band_rows, identical_signature_edges, lsh_candidate_pairs, minhash_signatures
+from ..operators.dedup import (
+    band_rows,
+    default_hash_family,
+    identical_signature_edges,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 
 N_STORE_BUCKETS = 64
 
@@ -42,11 +59,13 @@ def _with_bucket(bands: DataFrame) -> DataFrame:
 
 class NearDupIndexer:
     """foreachBatch sink: maintains the band store and an output table of
-    candidate pairs (key_a < key_b, deduplicated per batch)."""
+    candidate pairs (key_a < key_b, deduplicated per batch). Idempotent per
+    batch_id (dynamic partition overwrite on both sinks)."""
 
     def __init__(
         self, store_dir: str, pairs_dir: str, key: str = "url",
         text_col: str = "text", n_hashes: int = 8, bands: int = 4, rows_per_band: int = 2,
+        hash_family: str | None = None,
     ):
         self.store_dir = store_dir
         self.pairs_dir = pairs_dir
@@ -55,10 +74,16 @@ class NearDupIndexer:
         self.n_hashes = n_hashes
         self.bands = bands
         self.rows_per_band = rows_per_band
+        # pinned here, NOT read from the environment per batch: an env flip
+        # mid-stream (e.g. bench.py mutating os.environ in-process) must not
+        # silently split the store across hash families
+        self.hash_family = hash_family or default_hash_family()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        sigs = minhash_signatures(batch_df, self.key, self.text_col, self.n_hashes)
+        sigs = minhash_signatures(
+            batch_df, self.key, self.text_col, self.n_hashes, family=self.hash_family
+        )
         new_bands = _with_bucket(
             band_rows(sigs, self.key, self.bands, self.rows_per_band)
         ).persist()
@@ -72,9 +97,18 @@ class NearDupIndexer:
         )
 
         # cross-batch pairs: new bands vs the accumulated store; the bucket
-        # join key prunes the partitioned store scan
+        # join key prunes the partitioned store scan, batch_id < current
+        # keeps a replayed batch from joining its own already-landed bands
         if os.path.isdir(self.store_dir):
             store = spark.read.parquet(self.store_dir)
+            fams = {r.family for r in store.select("family").distinct().collect()}
+            if fams - {self.hash_family}:
+                raise ValueError(
+                    f"band store {self.store_dir} was written under hash family "
+                    f"{sorted(fams)}, indexer is pinned to {self.hash_family!r} — "
+                    "joining across families silently yields zero candidates"
+                )
+            store = store.where(F.col("batch_id") < F.lit(batch_id))
             cross = (
                 new_bands.alias("n")
                 .join(store.alias("s"), ["band_id", "bucket", "band_val"])
@@ -87,8 +121,22 @@ class NearDupIndexer:
             )
             pairs = pairs.unionByName(cross).distinct()
 
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.pairs_dir)
-        new_bands.write.mode("append").partitionBy("band_id", "bucket").parquet(self.store_dir)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.pairs_dir)
+        )
+        (
+            new_bands
+            .withColumn("family", F.lit(self.hash_family))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("family", "batch_id", "band_id", "bucket")
+            .parquet(self.store_dir)
+        )
         new_bands.unpersist()
 
 

@@ -144,3 +144,48 @@ def test_sessionize_state_across_batches(spark, tmp_path):
         assert int(r.n_events) == exp_events, r.user_id
         assert int(r.n_sessions) == exp_sessions, r.user_id
     assert set(latest.user_id.astype(int)) == set(expected)
+
+
+def test_near_dup_indexer_idempotent_on_replay(spark, tmp_path):
+    """Replaying a micro-batch (same batch_id, as after a partial-failure
+    restart) must not duplicate pairs or inflate the band store — both
+    sinks are dynamic-partition-overwritten per batch_id (ADVICE r2)."""
+    from asf_tools_spark.streaming.near_dup import NearDupIndexer
+
+    idx = NearDupIndexer(str(tmp_path / "store"), str(tmp_path / "pairs"), key="url")
+    b0 = spark.createDataFrame(pd.DataFrame({
+        "url": ["a1", "a2"],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "entirely different text body with other words"],
+    }))
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "url": ["b1"],
+        "text": ["the quick brown fox jumps over the lazy dog!"],
+    }))
+    idx(b0, 0)
+    idx(b1, 1)
+    pairs_once = sorted((r.key_a, r.key_b, r.batch_id)
+                        for r in spark.read.parquet(str(tmp_path / "pairs")).collect())
+    bands_once = spark.read.parquet(str(tmp_path / "store")).count()
+    assert ("a1", "b1", 1) in pairs_once
+
+    idx(b1, 1)  # replay after e.g. checkpoint-commit failure
+    pairs_again = sorted((r.key_a, r.key_b, r.batch_id)
+                         for r in spark.read.parquet(str(tmp_path / "pairs")).collect())
+    bands_again = spark.read.parquet(str(tmp_path / "store")).count()
+    assert pairs_again == pairs_once  # no duplicate pairs, incl. the cross-batch one
+    assert bands_again == bands_once  # store did not inflate
+
+
+def test_near_dup_indexer_rejects_family_mismatch(spark, tmp_path):
+    """A band store written under one hash family must not be silently
+    joined under another (zero-candidate trap) — the indexer raises."""
+    from asf_tools_spark.streaming.near_dup import NearDupIndexer
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "url": ["a1"], "text": ["some document body text"],
+    }))
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    NearDupIndexer(store, pairs, key="url", hash_family="md5")(df, 0)
+    with pytest.raises(ValueError, match="hash family"):
+        NearDupIndexer(store, pairs, key="url", hash_family="xxhash64")(df, 1)
