@@ -56,8 +56,16 @@ def make_water_map_grid(
     tile_pixels = tile_shape[0] * tile_shape[1]
     n_tiles = tiling.core_tiles.n_tiles(grid_shape, tile_shape)
 
-    hand_candidates = tiling.select_hand_tiles(hand_grid, hand_threshold, hand_fraction, tile_pixels)
-    out: dict = {"hand_candidates": hand_candidates}
+    # below the guard: exact driver-side selection (reference parity path);
+    # above it: the candidate set stays a DataFrame end-to-end — only the
+    # <=5 winning backscatter tiles ever reach the driver
+    if n_tiles <= tiling.DRIVER_EXACT_MAX_TILES:
+        hand_candidates = tiling.select_hand_tiles(hand_grid, hand_threshold, hand_fraction, tile_pixels)
+        hand_df = None
+    else:
+        hand_candidates = None
+        hand_df = tiling.hand_candidate_tiles_df(hand_grid, hand_threshold, hand_fraction, tile_pixels)
+    out: dict = {"hand_candidates": hand_candidates if hand_candidates is not None else hand_df}
 
     # unpadded-extent hand with slope (stencil over the real array only);
     # persisted: every membership join and scalar aggregate reuses it
@@ -94,7 +102,13 @@ def make_water_map_grid(
     for max_db_threshold, grid, pol in ((max_vh_threshold, vh_grid, "VH"), (max_vv_threshold, vv_grid, "VV")):
         bs = grid.withColumn("valid_bs", F.col("valid") & (F.col("value") > 0.0))
         if selected_tiles is None:
-            selected_tiles = tiling.select_backscatter_tiles(bs, hand_candidates, tile_shape, n_tiles)
+            if hand_candidates is not None:
+                selected_tiles = tiling.select_backscatter_tiles(bs, hand_candidates, tile_shape, n_tiles)
+            else:
+                sel = tiling.backscatter_selection_df(
+                    tiling.backscatter_tile_stats(bs, tile_shape), hand_df
+                )
+                selected_tiles = np.array([int(r.tile_id) for r in sel.collect()], dtype=np.int64)
             out["selected_tiles"] = selected_tiles
 
         g = bs.withColumn("g", F.when(F.col("valid_bs"), F.log10("value") + 30.0)).persist()

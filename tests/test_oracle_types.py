@@ -1,0 +1,57 @@
+"""Registry-wide oracle typing lint (VERDICT r2 item 2).
+
+DuckDB SUM(INTEGER) is HUGEINT; fetched via Arrow it becomes decimal128 and
+hash-mismatches Spark's int64 in the driver's comparer even when values
+agree (the r2 event_sessions/confusion_counts failure). This test DESCRIBEs
+every oracle (DuckDB plans, does not execute) against the sf0.001 views and
+fails on any HUGEINT/DECIMAL output column — catching the trap at pytest
+speed instead of at driver-gate time.
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+BAD_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def test_all_oracles_emit_driver_safe_types(con):
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        cols = con.execute(f"DESCRIBE SELECT * FROM ({sql}) _q").fetchall()
+        offenders = [
+            f"{cname}:{ctype}" for cname, ctype, *_ in cols
+            if any(b in str(ctype).upper() for b in BAD_TYPES)
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"oracles emitting HUGEINT/DECIMAL columns (CAST them): {bad}"
+
+
+def test_every_query_has_oracle_or_documented_rows_only(con):
+    """Every rows-only query must be one of the documented-by-design set —
+    a new query silently missing its oracle is a registry bug, not a
+    design decision."""
+    rows_only_by_design = {
+        "ivf_topk", "embedding_near_dup", "media_features", "simhash64_pairs",
+    }
+    qs = set(entry.queries())
+    os_ = set(entry.oracle_sql())
+    assert os_ <= qs, f"oracles without queries: {os_ - qs}"
+    assert qs - os_ == rows_only_by_design, (
+        f"undocumented rows-only queries: {(qs - os_) - rows_only_by_design}"
+    )
