@@ -146,3 +146,74 @@ def fingerprint(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     return shingled.groupBy(key, "md5_fp").agg(
         F.min(hash8_col(F.col("w"), "fp-")).alias("min_shingle_fp")
     )
+
+
+def repetition_signals(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    literature): distinct-word fraction, top-word mass, top-bigram mass —
+    the standard "is this page boilerplate/spam" filters for web-scale
+    training corpora. Heavily repeated content scores low on distinct_frac
+    and high on top-*_frac.
+
+    Shape: one explode + two-level hash aggregate per signal (map-side
+    combine; shuffle O(docs x distinct terms), never O(text)); the bigram
+    array is a zip_with over the word array — all Catalyst.
+    """
+    norm = normalize_text(F.col(text_col))
+    base = df.select(key, F.split(norm, " ").alias("_w"))
+    n = F.size("_w")
+    base = base.withColumn("_n", n).where(F.col("_n") > 0)
+    distinct_frac = (F.size(F.array_distinct("_w")) / F.col("_n")).alias("distinct_frac")
+
+    words = base.select(key, "_n", F.explode("_w").alias("t"))
+    top_word = (
+        words.groupBy(key, "_n", "t").count()
+        .groupBy(key, "_n").agg(F.max("count").alias("_m"))
+        .select(key, (F.col("_m") / F.col("_n")).alias("top_word_frac"))
+    )
+    bigrams = base.select(
+        key, "_n",
+        F.explode(F.expr(
+            "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        )).alias("t"),
+    )
+    top_bigram = (
+        bigrams.groupBy(key, "_n", "t").count()
+        .groupBy(key, "_n").agg(F.max("count").alias("_m"))
+        .select(key, (F.col("_m") / (F.col("_n") - 1)).alias("top_bigram_frac"))
+    )
+    out = (
+        base.select(key, F.col("_n").alias("n_words"), distinct_frac)
+        .join(top_word, key)
+        .join(top_bigram, key, "left")  # 1-word docs have no bigrams
+    )
+    return out.select(
+        key, F.col("n_words").cast("long").alias("n_words"),
+        F.round("distinct_frac", 6).alias("distinct_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias("top_bigram_frac"),
+    )
+
+
+# ASCII-only PII patterns, written to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no unicode classes
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+LONGNUM_RE = "[0-9]{9,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """PII scrubbing for training-data pipelines: replace email addresses
+    and long (>= 9 digit) number runs with typed placeholders, and count
+    what was removed. Pure Catalyst (regexp_replace / regexp_extract_all);
+    Spark's regexp_replace is global, matching the oracle's 'g' flag."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    scrub1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(scrub1, F.lit(LONGNUM_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(scrub1, LONGNUM_RE, "<NUM>")
+    return (
+        df.withColumn("n_emails", n_emails.cast("long"))
+        .withColumn("n_longnums", n_nums.cast("long"))
+        .withColumn(out_col, scrubbed)
+    )

@@ -432,6 +432,9 @@ _REGISTRY_HEAD = [
     "threshold_water_map", "slope_rows", "grid_labels",
 ]
 _REGISTRY_TAIL = [
+    # round-3 additions (oracled, judge-battery verified; outside the
+    # 50-row driver window so the reference-core rows keep their D rows):
+    "repetition_signals", "pii_scrub",
     # trivial string fns / generic TPC-H demos, D-green twice (r1+r2):
     "tile_name", "area_raster_name", "convert_scale",
     "orders_by_segment", "pricing_summary",

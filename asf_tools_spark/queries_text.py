@@ -132,6 +132,39 @@ def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hamming_near_pairs(sim, "doc_id", bits=64, max_distance=3)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (distinct-word fraction, top-word /
+    top-bigram mass) — the boilerplate/spam screens of a web-corpus
+    pipeline, fully oracled."""
+    _register(spark, sf_dir, "documents")
+    return text.repetition_signals(spark.table("documents"), "doc_id")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with deterministic planted PII: every doc_id % 7 == 0
+    document gains one email + one 11-digit number inside the plan (both
+    engines plant identically), then emails/long digit runs are replaced
+    with typed placeholders. Output = removal counts + md5 of the scrubbed
+    text, so the oracle verifies the exact scrubbed bytes."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ref 98765432101"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = text.pii_scrub(planted)
+    return out.select(
+        "doc_id", "n_emails", "n_longnums", F.md5("scrubbed").alias("scrub_fp")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     out = text.language_scores(spark.table("documents"))
@@ -548,6 +581,63 @@ def _oracle_sqls() -> dict[str, str]:
         )
         SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 5
     """
+    sqls["repetition_signals"] = f"""
+        WITH norm AS (SELECT doc_id, {_norm_sql("text")} AS t FROM documents),
+        base AS (
+          SELECT doc_id, string_split(t, ' ') AS ws, len(string_split(t, ' ')) AS n
+          FROM norm WHERE len(string_split(t, ' ')) > 0
+        ),
+        tok AS (SELECT doc_id, n, unnest(ws) AS t FROM base),
+        tw AS (
+          SELECT doc_id, n, MAX(c) AS m FROM (
+            SELECT doc_id, n, t, COUNT(*) AS c FROM tok GROUP BY doc_id, n, t
+          ) GROUP BY doc_id, n
+        ),
+        -- generate_series needs constant bounds in DuckDB 1.0: fixed range + WHERE
+        bg AS (
+          SELECT b.doc_id, b.n, b.ws[g.i] || ' ' || b.ws[g.i + 1] AS t
+          FROM base b, (SELECT unnest(range(1, 2001)) AS i) g
+          WHERE g.i <= b.n - 1
+        ),
+        tb AS (
+          SELECT doc_id, n, MAX(c) AS m FROM (
+            SELECT doc_id, n, t, COUNT(*) AS c FROM bg GROUP BY doc_id, n, t
+          ) GROUP BY doc_id, n
+        )
+        SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+               ROUND(len(list_distinct(b.ws)) * 1.0 / b.n, 6) AS distinct_frac,
+               ROUND(tw.m * 1.0 / b.n, 6) AS top_word_frac,
+               ROUND(COALESCE(tb.m * 1.0 / (b.n - 1), 0.0), 6) AS top_bigram_frac
+        FROM base b
+        JOIN tw ON tw.doc_id = b.doc_id
+        LEFT JOIN tb ON tb.doc_id = b.doc_id
+    """
+    email_re, num_re = text.EMAIL_RE.replace("\\\\", "\\"), text.LONGNUM_RE
+    sqls["pii_scrub"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com ref 98765432101'
+                      ELSE text END AS t
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '{email_re}')) AS n_emails,
+                 regexp_replace(t, '{email_re}', '<EMAIL>', 'g') AS t1
+          FROM planted
+        ),
+        s2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t1, '{num_re}')) AS n_longnums,
+                 regexp_replace(t1, '{num_re}', '<NUM>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_longnums AS BIGINT) AS n_longnums, md5(t2) AS scrub_fp
+        FROM s2
+    """
     return sqls
 
 
@@ -570,6 +660,8 @@ def queries() -> dict:
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)
         "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)
         "simhash64_pairs": q_simhash64_pairs,  # rows-only (xxhash64 bits)
+        "repetition_signals": q_repetition_signals,
+        "pii_scrub": q_pii_scrub,
     }
 
 

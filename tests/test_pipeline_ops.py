@@ -1,6 +1,7 @@
 """Dedup / similarity / text / multimodal / lineage operators."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -242,3 +243,40 @@ def test_lineage_resumable_write(spark, tmp_path):
     m3 = w.write(df, "part", job_id="job2")
     assert m3["partitions_written"] == 5
     assert spark.read.parquet(str(tmp_path / "table")).count() == 100
+
+
+def test_repetition_signals_flag_repeated_docs(spark):
+    from asf_tools_spark.operators import text as T
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "spam spam spam spam spam spam",          # one word repeated
+            "all words here are fully distinct ok",   # no repetition
+            "ab ab cd ab ab cd ab ab",                # dominant bigram
+        ],
+    }))
+    got = {r.doc_id: r for r in T.repetition_signals(df, "doc_id").collect()}
+    assert got[0].distinct_frac == pytest.approx(1 / 6, abs=1e-6)
+    assert got[0].top_word_frac == 1.0 and got[0].top_bigram_frac == 1.0
+    assert got[1].distinct_frac == 1.0
+    assert got[1].top_word_frac == pytest.approx(1 / 7, abs=1e-6)
+    assert got[2].top_bigram_frac > got[1].top_bigram_frac
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    from asf_tools_spark.operators import text as T
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            "mail a.b+c@mail-host.example.org and x@y.io plus card 4111111111111111 end",
+            "nothing sensitive here 12345678",  # 8 digits: below the 9+ gate
+        ],
+    }))
+    got = {r.doc_id: r for r in T.pii_scrub(df).collect()}
+    assert got[0].n_emails == 2 and got[0].n_longnums == 1
+    assert "<EMAIL>" in got[0].scrubbed and "<NUM>" in got[0].scrubbed
+    assert "@" not in got[0].scrubbed and "4111111111111111" not in got[0].scrubbed
+    assert got[1].n_emails == 0 and got[1].n_longnums == 0
+    assert got[1].scrubbed == "nothing sensitive here 12345678"
