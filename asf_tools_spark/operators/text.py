@@ -196,6 +196,51 @@ def repetition_signals(df: DataFrame, key: str, text_col: str = "text") -> DataF
     )
 
 
+def line_dedup(
+    df: DataFrame, key: str, text_col: str = "text", sep: str = "\n", max_docs: int = 5
+) -> DataFrame:
+    """CCNet-style line-level deduplication (Wenzek et al. 2019, public
+    literature): a line occurring in more than ``max_docs`` distinct
+    documents is boilerplate (nav bars, cookie banners, license headers) —
+    drop it from every document and reassemble the rest in original order.
+
+    Scale shape: posexplode -> per-line doc-frequency hash aggregate
+    (map-side combine; shuffle is O(distinct lines), not O(text)) -> the
+    heavy-hitter line set is tiny by construction (frequency > max_docs),
+    so it broadcasts and the flagging join never shuffles the corpus ->
+    one groupBy(key) reassembly shuffle. For very long lines, substitute
+    xxhash64(line) as the aggregate/join key to shuttle 8 bytes instead of
+    the line bytes; output depends only on the hot-line membership.
+    """
+    lines = df.select(
+        key, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(key).alias("_df"))
+        .where(F.col("_df") > max_docs)
+        .select("line", F.lit(True).alias("_hot"))
+    )
+    flagged = lines.join(F.broadcast(hot), "line", "left").select(
+        key, "pos", "line", F.coalesce("_hot", F.lit(False)).alias("_hot")
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.sort_array(F.collect_list(F.struct("pos", "line", "_hot"))),
+                lambda x: ~x["_hot"],
+            ),
+            lambda x: x["line"],
+        ),
+        sep,
+    )
+    return flagged.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("_hot"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        kept_text.alias("kept_text"),
+    )
+
+
 # ASCII-only PII patterns, written to behave identically under Java regex
 # (Spark) and RE2 (DuckDB): no lookaround, no unicode classes
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -165,6 +165,33 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line dedup over deterministic 8-word chunk 'lines'
+    (documents are single-line synthetic text, so both engines chunk the
+    normalized word array into 8-word lines inside the plan; the tiny
+    vocabulary guarantees real cross-document line collisions). Lines in
+    more than 2 distinct documents are dropped as boilerplate; output
+    verifies counts plus the md5 of the reassembled text."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    ws = F.split(dedup.normalize_text(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+                lambda i: F.array_join(F.slice(ws, (i - 1) * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = text.line_dedup(chunked, "doc_id", max_docs=2)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("kept_text").alias("kept_fp")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     out = text.language_scores(spark.table("documents"))
@@ -638,6 +665,33 @@ def _oracle_sqls() -> dict[str, str]:
                CAST(n_longnums AS BIGINT) AS n_longnums, md5(t2) AS scrub_fp
         FROM s2
     """
+    sqls["line_dedup"] = f"""
+        WITH norm AS (SELECT doc_id, {_norm_sql("text")} AS t FROM documents),
+        base AS (
+          SELECT doc_id, string_split(t, ' ') AS ws, len(string_split(t, ' ')) AS n
+          FROM norm
+        ),
+        -- constant-bound range + WHERE (DuckDB 1.0 generate_series limitation)
+        lines AS (
+          SELECT doc_id, g.i - 1 AS pos,
+                 array_to_string(list_slice(ws, (g.i - 1) * 8 + 1, (g.i - 1) * 8 + 8), ' ') AS line
+          FROM base b, (SELECT unnest(range(1, 201)) AS i) g
+          WHERE g.i <= GREATEST(CAST(ceil(b.n / 8.0) AS INT), 1)
+        ),
+        hot AS (
+          SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > 2
+        ),
+        flagged AS (
+          SELECT l.doc_id, l.pos, l.line, (h.line IS NOT NULL) AS hot
+          FROM lines l LEFT JOIN hot h ON h.line = l.line
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN NOT hot THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(COALESCE(
+                 string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT hot), ''
+               )) AS kept_fp
+        FROM flagged GROUP BY doc_id
+    """
     return sqls
 
 
@@ -662,6 +716,7 @@ def queries() -> dict:
         "simhash64_pairs": q_simhash64_pairs,  # rows-only (xxhash64 bits)
         "repetition_signals": q_repetition_signals,
         "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
     }
 
 

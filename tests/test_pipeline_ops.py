@@ -264,6 +264,20 @@ def test_repetition_signals_flag_repeated_docs(spark):
     assert got[2].top_bigram_frac > got[1].top_bigram_frac
 
 
+def test_line_dedup_drops_boilerplate_preserving_order(spark):
+    from asf_tools_spark.operators import text as T
+
+    banner = "accept all cookies"
+    docs = [f"unique body {i}\n{banner}\nmore text {i}" for i in range(4)]
+    docs.append(banner)  # doc that is ONLY boilerplate
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(5), "text": docs}))
+    got = {r.doc_id: r for r in T.line_dedup(df, "doc_id", max_docs=2).collect()}
+    for i in range(4):
+        assert got[i].n_lines == 3 and got[i].n_kept == 2
+        assert got[i].kept_text == f"unique body {i}\nmore text {i}"  # order kept
+    assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
+
+
 def test_pii_scrub_replaces_and_counts(spark):
     from asf_tools_spark.operators import text as T
 
