@@ -1,0 +1,60 @@
+"""Corpus sampling operators for training-data pipelines: deterministic
+hash-based stratified sampling (per-source mixture weights, the standard
+"upsample wikipedia, downsample common-crawl" recipe) and train/val/test
+split assignment.
+
+Both are pure narrow Catalyst transformations — no shuffle, no RNG state:
+the keep/split decision is a function of md5(key) alone, so it is stable
+across retries, partitioning, and cluster size (the property that matters
+at 100 TB: a re-run or a late-arriving partition makes identical
+decisions). The literal rate table constant-folds into the CASE expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import hash8_col
+
+_DENOM = 1_000_000
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1): md5-derived (oracle.hash8_sql
+    idiom — cross-engine exact, unlike rand(seed))."""
+    return (hash8_col(key, salt) % _DENOM) / F.lit(float(_DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "smp-",
+) -> DataFrame:
+    """Adds boolean ``kept``: row survives with its stratum's rate."""
+    u = hash_uniform(F.col(key), salt)
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(strata_col) == s
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = rate.otherwise(float(default_rate)) if rate is not None else F.lit(float(default_rate))
+    return df.withColumn("kept", u < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+    salt: str = "spl-",
+) -> DataFrame:
+    """Adds string ``split``: hash-deterministic train/val/test assignment
+    (stable under re-runs; no leakage between splits on re-shards)."""
+    u = hash_uniform(F.col(key), salt)
+    c1, c2 = float(weights[0]), float(weights[0] + weights[1])
+    return df.withColumn(
+        "split",
+        F.when(u < c1, names[0]).when(u < c2, names[1]).otherwise(names[2]),
+    )

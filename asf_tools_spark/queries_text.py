@@ -192,6 +192,26 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+SAMPLE_DEFAULT = 0.8
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture sampling + train/val/test split: every
+    doc gets a hash-derived keep decision at its source's rate and a split
+    assignment — stable across retries/partitioning (no rand())."""
+    from .operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    out = sampling.split_assign(
+        sampling.stratified_sample(
+            spark.table("documents"), "doc_id", "source", SAMPLE_RATES, SAMPLE_DEFAULT
+        ),
+        "doc_id",
+    )
+    return out.select("doc_id", "source", "kept", "split")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     out = text.language_scores(spark.table("documents"))
@@ -692,6 +712,25 @@ def _oracle_sqls() -> dict[str, str]:
                )) AS kept_fp
         FROM flagged GROUP BY doc_id
     """
+    h_smp = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="smp-")
+    h_spl = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="spl-")
+    rate_case = " ".join(
+        f"WHEN source = '{s}' THEN {oracle.dbl(r)}" for s, r in SAMPLE_RATES.items()
+    )
+    sqls["corpus_sample"] = f"""
+        WITH u AS (
+          SELECT doc_id, source,
+                 (({h_smp}) % 1000000) / {oracle.dbl(1000000.0)} AS u_keep,
+                 (({h_spl}) % 1000000) / {oracle.dbl(1000000.0)} AS u_split
+          FROM documents
+        )
+        SELECT doc_id, source,
+               u_keep < (CASE {rate_case} ELSE {oracle.dbl(0.8)} END) AS kept,
+               CASE WHEN u_split < {oracle.dbl(0.9)} THEN 'train'
+                    WHEN u_split < {oracle.dbl(0.95)} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
+    """
     return sqls
 
 
@@ -717,6 +756,7 @@ def queries() -> dict:
         "repetition_signals": q_repetition_signals,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        "corpus_sample": q_corpus_sample,
     }
 
 

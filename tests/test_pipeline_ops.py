@@ -278,6 +278,37 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_stratified_sample_and_split_deterministic(spark):
+    from asf_tools_spark.operators import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    out = sampling.split_assign(
+        sampling.stratified_sample(
+            df, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.0}, 0.8
+        ),
+        "doc_id",
+    )
+    pdf = out.toPandas()
+    kept = pdf.groupby("source")["kept"].mean()
+    assert kept["src0"] == 1.0 and kept["src2"] == 0.0
+    assert abs(kept["src1"] - 0.5) < 0.1 and abs(kept["src3"] - 0.8) < 0.1
+    frac = pdf["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.05
+    # determinism: identical decisions on a re-built (differently partitioned) plan
+    again = sampling.split_assign(
+        sampling.stratified_sample(
+            df.repartition(7), "doc_id", "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.0}, 0.8
+        ),
+        "doc_id",
+    ).toPandas().set_index("doc_id").sort_index()
+    assert (again["kept"] == pdf.set_index("doc_id").sort_index()["kept"]).all()
+    assert (again["split"] == pdf.set_index("doc_id").sort_index()["split"]).all()
+
+
 def test_pii_scrub_replaces_and_counts(spark):
     from asf_tools_spark.operators import text as T
 
