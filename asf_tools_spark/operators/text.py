@@ -155,44 +155,43 @@ def repetition_signals(df: DataFrame, key: str, text_col: str = "text") -> DataF
     training corpora. Heavily repeated content scores low on distinct_frac
     and high on top-*_frac.
 
-    Shape: one explode + two-level hash aggregate per signal (map-side
-    combine; shuffle O(docs x distinct terms), never O(text)); the bigram
-    array is a zip_with over the word array — all Catalyst.
+    Shape: ONE explode of kind-tagged terms (words + zip_with bigrams) ->
+    groupBy(key, kind, term) count (map-side combine; shuffle O(docs x
+    distinct terms), never O(text)) -> groupBy(key) conditional aggregates.
+    Zero joins: every signal (n_words, distinct count, top-word mass,
+    top-bigram mass) falls out of the same two-level aggregate — at corpus
+    scale that is two co-keyed shuffles instead of r2's two aggregates plus
+    a 3-way join on key. All Catalyst.
     """
     norm = normalize_text(F.col(text_col))
-    base = df.select(key, F.split(norm, " ").alias("_w"))
-    n = F.size("_w")
-    base = base.withColumn("_n", n).where(F.col("_n") > 0)
-    distinct_frac = (F.size(F.array_distinct("_w")) / F.col("_n")).alias("distinct_frac")
-
-    words = base.select(key, "_n", F.explode("_w").alias("t"))
-    top_word = (
-        words.groupBy(key, "_n", "t").count()
-        .groupBy(key, "_n").agg(F.max("count").alias("_m"))
-        .select(key, (F.col("_m") / F.col("_n")).alias("top_word_frac"))
+    base = df.select(key, F.split(norm, " ").alias("_w")).where(F.size("_w") > 0)
+    tagged = base.select(
+        key,
+        F.explode(
+            F.concat(
+                F.transform(F.col("_w"), lambda w: F.struct(F.lit("w").alias("k"), w.alias("t"))),
+                F.expr(
+                    "transform(zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+                    " (a, b) -> concat(a, ' ', b)), b -> struct('b' AS k, b AS t))"
+                ),
+            )
+        ).alias("e"),
+    ).select(key, F.col("e.k").alias("k"), F.col("e.t").alias("t"))
+    counts = tagged.groupBy(key, "k", "t").agg(F.count(F.lit(1)).alias("c"))
+    is_w = F.col("k") == "w"
+    agg = counts.groupBy(key).agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("_n"),
+        F.count(F.when(is_w, F.lit(1))).alias("_d"),
+        F.max(F.when(is_w, F.col("c"))).alias("_tw"),
+        F.max(F.when(~is_w, F.col("c"))).alias("_tb"),
     )
-    bigrams = base.select(
-        key, "_n",
-        F.explode(F.expr(
-            "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
-            " (a, b) -> concat(a, ' ', b))"
-        )).alias("t"),
-    )
-    top_bigram = (
-        bigrams.groupBy(key, "_n", "t").count()
-        .groupBy(key, "_n").agg(F.max("count").alias("_m"))
-        .select(key, (F.col("_m") / (F.col("_n") - 1)).alias("top_bigram_frac"))
-    )
-    out = (
-        base.select(key, F.col("_n").alias("n_words"), distinct_frac)
-        .join(top_word, key)
-        .join(top_bigram, key, "left")  # 1-word docs have no bigrams
-    )
-    return out.select(
-        key, F.col("n_words").cast("long").alias("n_words"),
-        F.round("distinct_frac", 6).alias("distinct_frac"),
-        F.round("top_word_frac", 6).alias("top_word_frac"),
-        F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias("top_bigram_frac"),
+    return agg.select(
+        key, F.col("_n").cast("long").alias("n_words"),
+        F.round(F.col("_d") / F.col("_n"), 6).alias("distinct_frac"),
+        F.round(F.col("_tw") / F.col("_n"), 6).alias("top_word_frac"),
+        F.round(
+            F.coalesce(F.col("_tb") / (F.col("_n") - 1), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
     )
 
 
