@@ -195,6 +195,34 @@ def repetition_signals(df: DataFrame, key: str, text_col: str = "text") -> DataF
     )
 
 
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the vocabulary/collocation census a
+    corpus report starts with. Scale shape: explode n-grams ->
+    groupBy(ngram) count (map-side combine: the shuffle carries one row per
+    distinct n-gram per partition, never the corpus) -> global top-k via
+    orderBy+limit, which Catalyst executes as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows — no full sort shuffle).
+    Ties break on the n-gram string for determinism.
+    """
+    norm = normalize_text(F.col(text_col))
+    ws = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - n + 1),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    # sequence(1, x) is DESCENDING for x < 1 — guard short docs explicitly
+    grams = F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def line_dedup(
     df: DataFrame, key: str, text_col: str = "text", sep: str = "\n", max_docs: int = 5
 ) -> DataFrame:

@@ -212,6 +212,19 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "kept", "split")
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 trigram census (deterministic count-then-ngram
+    ordering), executed as TakeOrderedAndProject — no full sort shuffle."""
+    _register(spark, sf_dir, "documents")
+    out = text.top_ngrams(spark.table("documents"), n=3, k=25)
+    from pyspark.sql.window import Window
+
+    return out.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("ngram").asc())),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, "documents")
     out = text.language_scores(spark.table("documents"))
@@ -712,6 +725,21 @@ def _oracle_sqls() -> dict[str, str]:
                )) AS kept_fp
         FROM flagged GROUP BY doc_id
     """
+    sqls["top_ngrams"] = f"""
+        WITH norm AS (SELECT {_norm_sql("text")} AS t FROM documents),
+        base AS (
+          SELECT string_split(t, ' ') AS ws, len(string_split(t, ' ')) AS n FROM norm
+        ),
+        grams AS (
+          SELECT array_to_string(list_slice(ws, g.i, g.i + 2), ' ') AS ngram
+          FROM base b, (SELECT unnest(range(1, 201)) AS i) g
+          WHERE g.i <= b.n - 2
+        ),
+        counted AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY ngram)
+        SELECT ngram, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS INT) AS rank
+        FROM counted ORDER BY cnt DESC, ngram ASC LIMIT 25
+    """
     h_smp = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="smp-")
     h_spl = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="spl-")
     rate_case = " ".join(
@@ -757,6 +785,7 @@ def queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
         "corpus_sample": q_corpus_sample,
+        "top_ngrams": q_top_ngrams,
     }
 
 

@@ -278,6 +278,18 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_top_ngrams_counts_and_plan(spark):
+    from asf_tools_spark.operators import text as T
+
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a b c a b c", "a b x", "z"]}))
+    out = T.top_ngrams(df, n=2, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # partial top-k, no full sort shuffle
+    assert [(r.ngram, r.cnt) for r in out.collect()] == [("a b", 3), ("b c", 2), ("b x", 1)]
+    # n longer than a doc must yield no grams, not a descending sequence
+    assert T.top_ngrams(df, n=7, k=5).count() == 0
+
+
 def test_stratified_sample_and_split_deterministic(spark):
     from asf_tools_spark.operators import sampling
 
