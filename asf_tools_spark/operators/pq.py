@@ -1,0 +1,141 @@
+"""Product quantization (PQ) for embedding similarity search (Jégou et al.
+2011, public literature): split each d-dim vector into ``m`` subvectors,
+vector-quantize each subspace against a 2^nbits codebook, store codes as
+``array<tinyint>`` — d·4 bytes -> m bytes per vector (e.g. 64-dim float ->
+8 bytes at m=8), the memory/shuffle lever that makes billion-vector ANN fit
+a cluster. Query-time scoring is ADC (asymmetric distance computation): a
+per-query lookup table of subspace distances, summed by code index —
+no decode, no float vectors touched at scan time.
+
+Division of labor (the FAISS shape, re-expressed for Spark):
+- TRAIN on a deterministic one-pass sample, locally in numpy on the driver
+  (codebooks are tiny driver state, like IVF centroids / the reference's
+  scalar decisions);
+- ENCODE distributed: one Arrow-batched pandas UDF, one BLAS distance
+  matmul per subspace per batch;
+- SCORE JVM-side: the query LUTs ride a broadcast join and the ADC sum is
+  zip_with + element_at + aggregate — whole-stage codegen over the code
+  column, zero Python in the corpus scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _local_kmeans(X: np.ndarray, k: int, n_iters: int, seed_order: np.ndarray) -> np.ndarray:
+    """Deterministic local Lloyd: init = first k distinct rows in sample
+    order (the sample itself is hash-ordered), then plain iterations.
+    Empty clusters keep their previous centroid."""
+    _, first_idx = np.unique(X[seed_order], axis=0, return_index=True)
+    init_rows = seed_order[np.sort(first_idx)[:k]]
+    cents = X[init_rows].astype(np.float64).copy()
+    if len(cents) < k:  # fewer distinct points than codewords
+        cents = np.vstack([cents, np.repeat(cents[-1:], k - len(cents), axis=0)])
+    for _ in range(n_iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                cents[j] = pts.mean(axis=0)
+    return cents
+
+
+def pq_train(
+    emb: DataFrame, m: int = 4, nbits: int = 4, key: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 0, sample_size: int = 2048,
+    n_iters: int = 5,
+) -> np.ndarray:
+    """Train (m, 2^nbits, d/m) codebooks on a seeded-xxhash64 top-N sample
+    — ONE corpus pass (TakeOrdered, no sort shuffle), then local per-subspace
+    k-means. Sampling for codebook training is the standard PQ recipe; the
+    codebook is O(m·2^nbits·dsub) driver state."""
+    rows = (
+        emb.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
+        .limit(sample_size).select(vec_col).collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub, ksub = d // m, 1 << nbits
+    order = np.arange(len(X))
+    return np.stack([
+        _local_kmeans(X[:, j * dsub:(j + 1) * dsub], ksub, n_iters, order)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: np.ndarray, key: str = "vec_id",
+    vec_col: str = "embedding", out_col: str = "pq_code",
+) -> DataFrame:
+    """Adds ``pq_code``: array<tinyint> of length m — each subvector's
+    nearest codeword by L2 (ties to the lowest code, numpy argmin). One
+    narrow Arrow-batched pandas UDF; per batch, one ||x-c||^2 BLAS expansion
+    per subspace. No shuffle."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf("array<tinyint>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(X), m), dtype=np.int8)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant in argmin
+            d2 = cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    codes: DataFrame, queries: DataFrame, codebooks: np.ndarray,
+    key: str = "vec_id", vec_col: str = "embedding", code_col: str = "pq_code",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: for each (small, collected) query build the (m, ksub) LUT
+    of squared subspace distances in numpy, ship it as a column of the
+    broadcast query frame, and score every corpus code JVM-side as
+    sum_j lut[j][code_j] (zip_with + element_at + aggregate — whole-stage
+    codegen; the float vectors never enter the scan). Ascending distance,
+    ties to the lowest corpus key."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    q_rows = queries.select(F.col(key).alias("q_id"), F.col(vec_col)).collect()
+    spark = codes.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        lut = [
+            ((cb[j] - qv[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1).tolist()
+            for j in range(m)
+        ]
+        lut_rows.append((r[0], lut))
+    q = F.broadcast(
+        spark.createDataFrame(lut_rows, "q_id long, lut array<array<double>>")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
+    return (
+        codes.select(F.col(key).alias("c_id"), code_col)
+        .crossJoin(q)
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

@@ -132,6 +132,22 @@ def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hamming_near_pairs(sim, "doc_id", bits=64, max_distance=3)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-k (rows-only: codebooks are sample-trained
+    k-means driver state, like ivf_topk's centroids): 64-dim float
+    embeddings -> m=8 sub-codes of 4 bits (8 bytes/vector, 32x smaller),
+    scored by ADC lookup sums entirely JVM-side. Recall vs brute force is
+    pytest-pinned (tests/test_pq.py)."""
+    from .operators import pq
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    cb = pq.pq_train(emb, m=8, nbits=4, sample_size=256, seed=0)
+    codes = pq.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 3)
+    return pq.pq_topk(codes, queries, cb, k=5)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (distinct-word fraction, top-word /
     top-bigram mass) — the boilerplate/spam screens of a web-corpus
@@ -786,6 +802,7 @@ def queries() -> dict:
         "line_dedup": q_line_dedup,
         "corpus_sample": q_corpus_sample,
         "top_ngrams": q_top_ngrams,
+        "pq_topk": q_pq_topk,  # rows-only (sample-trained codebooks are driver state)
     }
 
 
