@@ -105,6 +105,7 @@ _BNLJ_ALLOWED = {
     "candidate_intersection", "ann_cosine_topk", "ann_topk_int8", "epsg_vote",
     "histogram_smooth", "reverse_cdf_threshold", "flow_direction_grid",
     "lsh_recall_report",  # 1-row x 1-row final aggregate combine
+    "pq_topk",  # ADC scan: corpus x broadcast 3-row query-LUT frame
 }
 
 # These queries execute eagerly while BUILDING (driver-side selection /
