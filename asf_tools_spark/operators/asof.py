@@ -1,0 +1,52 @@
+"""Distributed as-of join: for every left row, the most recent right row
+with right.on <= left.on within the same ``by`` key — the quotes-to-trades
+/ sensor-to-reading alignment operator.
+
+Spark-first shape (no per-key loops, no range cross join): tag both sides,
+union them, and run ONE window pass per key ordered by (on, side) with
+last_value(ignorenulls) over an unbounded-preceding frame — each left row
+picks up the latest right payload at-or-before its timestamp. Cost is a
+single shuffle on ``by`` (both inputs co-partitioned by the same key) plus
+a per-key sort, which is exactly the minimum any as-of algorithm needs;
+skewed keys are bounded by per-key data volume, not pair counts. Ties
+(right.on == left.on) match, like DuckDB/kdb ASOF semantics: the right
+side orders before the left at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, on: str, by: str, right_prefix: str = "r_"
+) -> DataFrame:
+    """Left as-of join. Output = every left column + each right column
+    (except ``by``) prefixed with ``right_prefix``; unmatched left rows
+    keep NULL right columns (ASOF LEFT semantics)."""
+    r_cols = [c for c in right.columns if c != by]
+    l_struct_t = left.select(F.struct(*left.columns).alias("s")).schema[0].dataType
+    r_struct_t = right.select(F.struct(*r_cols).alias("s")).schema[0].dataType
+
+    l2 = left.select(
+        F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lv"), F.lit(None).cast(r_struct_t).alias("_rv"),
+    )
+    r2 = right.select(
+        F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(0).alias("_side"),
+        F.lit(None).cast(l_struct_t).alias("_lv"), F.struct(*r_cols).alias("_rv"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lv.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in r_cols]
+    return matched.select(*out_cols)

@@ -148,6 +148,30 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(codes, queries, cb, k=5)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'click' event matched to the user's most recent
+    'view' at-or-before it (NULL when none). One union + window pass —
+    single shuffle on user_id; oracled against DuckDB's native ASOF LEFT
+    JOIN, so the tie/semantics contract is cross-engine verified."""
+    from .operators.asof import asof_join
+
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    delta = F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.unix_micros(
+        F.col("r_ts").cast("timestamp_ltz")
+    )
+    # unmatched lefts -> -1 sentinels: the driver's row sort can't order
+    # NULL-vs-int tuples, and LEFT semantics stay visible
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce("r_event_id", F.lit(-1)).cast("long").alias("r_event_id"),
+        F.coalesce(delta, F.lit(-1)).cast("long").alias("delta_us"),
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (distinct-word fraction, top-word /
     top-bigram mass) — the boilerplate/spam screens of a web-corpus
@@ -741,6 +765,15 @@ def _oracle_sqls() -> dict[str, str]:
                )) AS kept_fp
         FROM flagged GROUP BY doc_id
     """
+    sqls["asof_join"] = """
+        SELECT l.event_id, l.user_id,
+               CAST(COALESCE(r.event_id, -1) AS BIGINT) AS r_event_id,
+               CAST(COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS BIGINT) AS delta_us
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN
+             (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
     sqls["top_ngrams"] = f"""
         WITH norm AS (SELECT {_norm_sql("text")} AS t FROM documents),
         base AS (
@@ -803,6 +836,7 @@ def queries() -> dict:
         "corpus_sample": q_corpus_sample,
         "top_ngrams": q_top_ngrams,
         "pq_topk": q_pq_topk,  # rows-only (sample-trained codebooks are driver state)
+        "asof_join": q_asof_join,
     }
 
 

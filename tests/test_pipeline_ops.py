@@ -278,6 +278,25 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_asof_join_semantics(spark):
+    from asf_tools_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102), (3, 7, 103)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 15, 901), (1, 25, 902), (2, 9, 903)],
+        "k long, t long, rid long",
+    )
+    got = {r.lid: r for r in asof_join(left, right, on="t", by="k").collect()}
+    assert got[100].r_rid == 900  # tie t==t matches (at-or-before)
+    assert got[101].r_rid == 901  # latest of the two priors, not the later 902
+    assert got[102].r_rid is None  # right is after left -> no match
+    assert got[103].r_rid is None  # key absent on right
+    assert got[101].t == 20 and got[101].r_t == 15  # left cols + prefixed right
+
+
 def test_top_ngrams_counts_and_plan(spark):
     from asf_tools_spark.operators import text as T
 
