@@ -172,6 +172,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: per click, how many of the same user's views fall
+    in the preceding 5 minutes (zero-count clicks kept). The bucketed band
+    join replaces the BNLJ a raw inequality join would plan."""
+    from .operators.range_join import time_range_join
+
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    pairs = time_range_join(clicks, views, on="ts", by="user_id", window_us=300_000_000)
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_views"))
+    return clicks.join(counts, "event_id", "left").select(
+        "event_id", "user_id",
+        F.coalesce("n_views", F.lit(0)).cast("long").alias("n_views"),
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (distinct-word fraction, top-word /
     top-bigram mass) — the boilerplate/spam screens of a web-corpus
@@ -774,6 +792,16 @@ def _oracle_sqls() -> dict[str, str]:
              (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """
+    sqls["range_join_counts"] = """
+        SELECT l.event_id, l.user_id,
+               CAST(COUNT(r.event_id) AS BIGINT) AS n_views
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id
+         AND epoch_us(r.ts) >= epoch_us(l.ts) - 300000000
+         AND epoch_us(r.ts) <= epoch_us(l.ts)
+        GROUP BY l.event_id, l.user_id
+    """
     sqls["top_ngrams"] = f"""
         WITH norm AS (SELECT {_norm_sql("text")} AS t FROM documents),
         base AS (
@@ -837,6 +865,7 @@ def queries() -> dict:
         "top_ngrams": q_top_ngrams,
         "pq_topk": q_pq_topk,  # rows-only (sample-trained codebooks are driver state)
         "asof_join": q_asof_join,
+        "range_join_counts": q_range_join_counts,
     }
 
 

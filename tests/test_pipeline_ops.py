@@ -297,6 +297,25 @@ def test_asof_join_semantics(spark):
     assert got[101].t == 20 and got[101].r_t == 15  # left cols + prefixed right
 
 
+def test_time_range_join_window_edges(spark):
+    from asf_tools_spark.operators.range_join import time_range_join
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([(1, ts(100), 10)], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        # at lower edge (incl), inside but previous bucket, at t (incl),
+        # just outside below, just after
+        [(1, ts(90), 20), (1, ts(95), 21), (1, ts(100), 22),
+         (1, ts(89), 23), (1, ts(101), 24), (2, ts(99), 25)],
+        "k long, ts timestamp, rid long",
+    )
+    got = time_range_join(left, right, on="ts", by="k", window_us=10_000_000)
+    assert sorted(r.r_rid for r in got.collect()) == [20, 21, 22]
+
+
 def test_top_ngrams_counts_and_plan(spark):
     from asf_tools_spark.operators import text as T
 
