@@ -148,6 +148,20 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(codes, queries, cb, k=5)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HLL distinct-token estimate + an ALL rollup by sketch
+    UNION (no second scan) — the 100 TB distinct-counting shape. Rows-only:
+    DuckDB's approx_count_distinct is a different estimator; the <= 2%
+    error bound vs exact is pytest-pinned (tests/test_pipeline_ops.py)."""
+    from .operators.sketch import distinct_sketch
+
+    _register(spark, sf_dir, "documents")
+    toks = spark.table("documents").select(
+        "source", F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("w")
+    )
+    return distinct_sketch(toks, "source", "w")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every 'click' event matched to the user's most recent
     'view' at-or-before it (NULL when none). One union + window pass —
@@ -866,6 +880,7 @@ def queries() -> dict:
         "pq_topk": q_pq_topk,  # rows-only (sample-trained codebooks are driver state)
         "asof_join": q_asof_join,
         "range_join_counts": q_range_join_counts,
+        "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
     }
 
 

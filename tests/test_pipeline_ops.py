@@ -278,6 +278,23 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_hll_distinct_error_bound_and_rollup(spark):
+    from asf_tools_spark.operators.sketch import distinct_sketch
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 7919).alias("v")
+    )
+    got = {r.grp: r for r in distinct_sketch(df, "g", "v").collect()}
+    exact = {
+        str(r.g): r.d
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("d")).collect()
+    }
+    for g, d in exact.items():
+        assert abs(got[g].n_distinct_est - d) / d <= 0.02
+    assert abs(got["ALL"].n_distinct_est - 7919) / 7919 <= 0.02
+    assert got["ALL"].n_rows == 60_000
+
+
 def test_asof_join_semantics(spark):
     from asf_tools_spark.operators.asof import asof_join
 
