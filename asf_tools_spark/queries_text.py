@@ -148,6 +148,26 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(codes, queries, cb, k=5)
 
 
+def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget report: docs + BPE-ish token totals per (source, lang)
+    with ROLLUP subtotals — all grouping levels in one pass (Catalyst
+    Expand + single aggregate, not three scans). NULL grouping keys are
+    rendered as 'TOTAL' identically on both engines."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "n_tok", text.bpe_token_count_col(F.col("text")).cast("long")
+    )
+    out = docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    return out.select(
+        F.coalesce("source", F.lit("TOTAL")).alias("source"),
+        F.coalesce("lang", F.lit("TOTAL")).alias("lang"),
+        "n_docs", "n_tokens",
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source HLL distinct-token estimate + an ALL rollup by sketch
     UNION (no second scan) — the 100 TB distinct-counting shape. Rows-only:
@@ -797,6 +817,16 @@ def _oracle_sqls() -> dict[str, str]:
                )) AS kept_fp
         FROM flagged GROUP BY doc_id
     """
+    sqls["corpus_budget"] = f"""
+        WITH n AS (
+          SELECT source, lang,
+                 CAST(LEN(regexp_extract_all({_norm_sql("text")}, '{text.BPE_TOKEN_RE}')) AS BIGINT) AS n_tok
+          FROM documents
+        )
+        SELECT COALESCE(source, 'TOTAL') AS source, COALESCE(lang, 'TOTAL') AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM n GROUP BY ROLLUP (source, lang)
+    """
     sqls["asof_join"] = """
         SELECT l.event_id, l.user_id,
                CAST(COALESCE(r.event_id, -1) AS BIGINT) AS r_event_id,
@@ -881,6 +911,7 @@ def queries() -> dict:
         "asof_join": q_asof_join,
         "range_join_counts": q_range_join_counts,
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
+        "corpus_budget": q_corpus_budget,
     }
 
 
