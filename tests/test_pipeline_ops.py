@@ -278,6 +278,25 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_corpus_pipeline_funnel(spark):
+    from asf_tools_spark.plans.corpus_pipeline import (
+        CorpusPipelineConfig, curate_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = curate_corpus(docs, CorpusPipelineConfig(sample_rates={"src0": 0.0}))
+    funnel = dict(res["funnel"])
+    assert funnel["input"] == 500
+    # each stage only removes documents
+    order = ["input", "quality_screen", "line_dedup", "exact_dedup", "near_dedup", "sampled"]
+    counts = [funnel[s] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert funnel["near_dedup"] < funnel["exact_dedup"]  # near-dups exist in testdata
+    out = res["corpus"]
+    assert {"doc_id", "text", "source", "split"} <= set(out.columns)
+    assert out.where(F.col("source") == "src0").count() == 0  # rate 0 stratum dropped
+
+
 def test_hll_distinct_error_bound_and_rollup(spark):
     from asf_tools_spark.operators.sketch import distinct_sketch
 
