@@ -52,3 +52,33 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_stream(
+    pages: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming twin of plans.corpus_pipeline's stateless head: quality
+    screen -> PII scrub -> watermarked exact dedup, in one streaming plan.
+
+    The quality/scrub stages are pure Catalyst expressions shared verbatim
+    with the batch operators (operators.text), so stream and batch cannot
+    disagree on what survives; the only stateful stage is the bounded
+    dropDuplicatesWithinWatermark (streaming.dedup semantics). Near-dup
+    LSH stays in streaming.near_dup (its band store is a separate sink)."""
+    from ..operators.text import pii_scrub, quality_features
+
+    from .dedup import stream_dedup
+
+    screened = quality_features(pages, text_col).where(
+        F.col("quality_score") >= min_quality
+    )
+    scrubbed = (
+        pii_scrub(screened, text_col)
+        .drop(text_col)
+        .withColumnRenamed("scrubbed", text_col)
+    )
+    return stream_dedup(scrubbed, ts_col=ts_col, text_col=text_col, watermark=watermark)

@@ -189,3 +189,50 @@ def test_near_dup_indexer_rejects_family_mismatch(spark, tmp_path):
     NearDupIndexer(store, pairs, key="url", hash_family="md5")(df, 0)
     with pytest.raises(ValueError, match="hash family"):
         NearDupIndexer(store, pairs, key="url", hash_family="xxhash64")(df, 1)
+
+
+def test_curate_stream_quality_scrub_dedup(spark, tmp_path):
+    """Streaming curation head: low-quality rows dropped, PII scrubbed,
+    re-crawled text deduped across micro-batches — one streaming plan."""
+    from asf_tools_spark.streaming.ingest import curate_stream
+
+    base = pd.Timestamp("2024-03-01")
+    good = ("the data is good and the text here is long enough to pass "
+            "the quality screens because it has many stopwords in it")
+    b1 = pd.DataFrame({
+        "url": ["a", "b", "c"],
+        "warc_ts": [base + pd.Timedelta(minutes=i) for i in range(3)],
+        "text": [good + " mail me at who@example.com", "x", good + " two"],
+    })
+    b2 = pd.DataFrame({
+        "url": ["d", "e"],
+        "warc_ts": [base + pd.Timedelta(minutes=10 + i) for i in range(2)],
+        # re-crawl of b1's first doc (same text -> same fp post-scrub) + new
+        "text": [good + " mail me at who@example.com", good + " three"],
+    })
+    src = tmp_path / "csrc"
+    out_dir, ckpt = str(tmp_path / "cout"), str(tmp_path / "cckpt")
+    src.mkdir()
+
+    def run_batch(pdf: pd.DataFrame) -> None:
+        spark.createDataFrame(pdf).write.mode("append").parquet(str(src / "data"))
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string"
+        ).parquet(str(src / "data"))
+        q = (
+            curate_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch(b1)
+    run_batch(b2)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert set(got["url"]) == {"a", "c", "e"}  # 'b' too low-quality, 'd' a dup
+    assert all("@" not in t for t in got["text"])  # PII scrubbed pre-dedup
+    assert any("<EMAIL>" in t for t in got["text"])
