@@ -195,6 +195,54 @@ def repetition_signals(df: DataFrame, key: str, text_col: str = "text") -> DataF
     )
 
 
+def word_ngrams(df: DataFrame, key: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(key, ngram): all word n-grams of the normalized text (duplicates
+    kept; callers dedup as needed). Pure Catalyst."""
+    norm = normalize_text(F.col(text_col))
+    ws = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - n + 1),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    grams = F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return df.select(key, F.explode(grams).alias("ngram"))
+
+
+def contamination_report(
+    corpus: DataFrame, benchmark: DataFrame, key: str, text_col: str = "text",
+    n: int = 6, min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap screen every serious
+    training corpus runs before release): a corpus document is contaminated
+    if it shares >= ``min_hits`` distinct word ``n``-grams with ANY
+    benchmark document.
+
+    Scale shape: the benchmark side is small by definition — its distinct
+    n-gram set broadcasts, so the corpus-side scan is one narrow explode +
+    broadcast semi-match + per-doc aggregate; the corpus never shuffles
+    against itself and the benchmark text never leaves the driver-side
+    broadcast. Output: (key, n_hits, contaminated) for every corpus doc.
+    """
+    bench_grams = F.broadcast(
+        word_ngrams(benchmark, key, text_col, n).select("ngram").distinct()
+    )
+    doc_grams = word_ngrams(corpus, key, text_col, n).distinct()
+    hits = (
+        doc_grams.join(bench_grams, "ngram")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        corpus.select(key)
+        .join(hits, key, "left")
+        .select(
+            key,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
 ) -> DataFrame:

@@ -148,6 +148,17 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(codes, queries, cb, k=5)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the deterministic doc_id % 50 == 0 slice
+    plays the benchmark; any corpus doc sharing >= 2 distinct word 6-grams
+    with it is flagged. The benchmark n-gram set broadcasts — the corpus
+    never self-joins."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return text.contamination_report(docs, bench, "doc_id", n=6, min_hits=2)
+
+
 def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget report: docs + BPE-ish token totals per (source, lang)
     with ROLLUP subtotals — all grouping levels in one pass (Catalyst
@@ -817,6 +828,27 @@ def _oracle_sqls() -> dict[str, str]:
                )) AS kept_fp
         FROM flagged GROUP BY doc_id
     """
+    sqls["decontaminate"] = f"""
+        WITH norm AS (SELECT doc_id, {_norm_sql("text")} AS t FROM documents),
+        base AS (
+          SELECT doc_id, string_split(t, ' ') AS ws, len(string_split(t, ' ')) AS n
+          FROM norm
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(list_slice(ws, g.i, g.i + 5), ' ') AS ngram
+          FROM base b, (SELECT unnest(range(1, 201)) AS i) g
+          WHERE g.i <= b.n - 5
+        ),
+        bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 50 = 0),
+        docg AS (SELECT DISTINCT doc_id, ngram FROM grams),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS h FROM docg JOIN bench USING (ngram)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+               COALESCE(h, 0) >= 2 AS contaminated
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN hits USING (doc_id)
+    """
     sqls["corpus_budget"] = f"""
         WITH n AS (
           SELECT source, lang,
@@ -912,6 +944,7 @@ def queries() -> dict:
         "range_join_counts": q_range_join_counts,
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
         "corpus_budget": q_corpus_budget,
+        "decontaminate": q_decontaminate,
     }
 
 

@@ -278,6 +278,26 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_contamination_report_flags_planted_overlap(spark):
+    from asf_tools_spark.operators import text as T
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "intro words then " + bench_text + " and an outro",  # contains it
+            "quick brown fox appears but never six in a row here",  # < 6-gram
+            "completely different content with no shared sequences at all",
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [100], "text": [bench_text]}))
+    got = {r.doc_id: r for r in
+           T.contamination_report(corpus, bench, "doc_id", n=6, min_hits=1).collect()}
+    assert got[0].contaminated and got[0].n_hits >= 1
+    assert not got[1].contaminated and got[1].n_hits == 0
+    assert not got[2].contaminated
+
+
 def test_corpus_pipeline_funnel(spark):
     from asf_tools_spark.plans.corpus_pipeline import (
         CorpusPipelineConfig, curate_corpus,
