@@ -195,8 +195,10 @@ def repetition_signals(df: DataFrame, key: str, text_col: str = "text") -> DataF
     )
 
 
-def word_ngrams(df: DataFrame, key: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(key, ngram): all word n-grams of the normalized text (duplicates
+def word_ngrams(
+    df: DataFrame, key: str | None, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(key?, ngram): all word n-grams of the normalized text (duplicates
     kept; callers dedup as needed). Pure Catalyst."""
     norm = normalize_text(F.col(text_col))
     ws = F.split(norm, " ")
@@ -204,8 +206,10 @@ def word_ngrams(df: DataFrame, key: str, text_col: str = "text", n: int = 3) -> 
         F.sequence(F.lit(1), F.size(ws) - n + 1),
         lambda i: F.array_join(F.slice(ws, i, n), " "),
     )
+    # sequence(1, x) is DESCENDING for x < 1 — guard short docs explicitly
     grams = F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
-    return df.select(key, F.explode(grams).alias("ngram"))
+    cols = [key] if key else []
+    return df.select(*cols, F.explode(grams).alias("ngram"))
 
 
 def contamination_report(
@@ -254,16 +258,8 @@ def top_ngrams(
     (per-partition heaps + driver merge of k rows — no full sort shuffle).
     Ties break on the n-gram string for determinism.
     """
-    norm = normalize_text(F.col(text_col))
-    ws = F.split(norm, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - n + 1),
-        lambda i: F.array_join(F.slice(ws, i, n), " "),
-    )
-    # sequence(1, x) is DESCENDING for x < 1 — guard short docs explicitly
-    grams = F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        word_ngrams(df, None, text_col, n)
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
