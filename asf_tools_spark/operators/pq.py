@@ -96,6 +96,123 @@ def pq_encode(
     return emb.withColumn(out_col, encode(F.col(vec_col)))
 
 
+def pq_train_residual(
+    emb: DataFrame, centroids: np.ndarray, m: int = 4, nbits: int = 4,
+    key: str = "vec_id", vec_col: str = "embedding", seed: int = 0,
+    sample_size: int = 2048, n_iters: int = 5,
+) -> np.ndarray:
+    """IVFPQ codebooks: trained on RESIDUALS (x - nearest coarse centroid)
+    of a one-pass seeded sample — residual energy is what PQ must encode
+    once IVF has removed the coarse structure (the FAISS IVFPQ recipe)."""
+    from .similarity import ivf_assign
+
+    rows = (
+        ivf_assign(emb, centroids, key, vec_col)
+        .orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
+        .limit(sample_size).select(vec_col, "list_id").collect()
+    )
+    cents = np.asarray(centroids, dtype=np.float64)
+    X = np.array(
+        [np.asarray(list(r[0]), dtype=np.float64) - cents[r[1]] for r in rows]
+    )
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub, ksub = d // m, 1 << nbits
+    order = np.arange(len(X))
+    return np.stack([
+        _local_kmeans(X[:, j * dsub:(j + 1) * dsub], ksub, n_iters, order)
+        for j in range(m)
+    ])
+
+
+def ivfpq_encode(
+    emb: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+    key: str = "vec_id", vec_col: str = "embedding", out_col: str = "pq_code",
+) -> DataFrame:
+    """(corpus columns, list_id, pq_code): IVF coarse assignment + PQ codes
+    of the residual. One ivf_assign (narrow) + one Arrow-batched UDF; the
+    coarse centroid matrix rides the closure (tiny). Partitioning the
+    output by list_id co-locates each inverted list for the probe join."""
+    from .similarity import ivf_assign
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)
+
+    assigned = ivf_assign(emb, cents, key, vec_col)
+
+    @F.pandas_udf("array<tinyint>")
+    def encode(vecs: pd.Series, lists: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64) - cents[lists.to_numpy()]
+        codes = np.empty((len(X), m), dtype=np.int8)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d2 = cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return assigned.withColumn(out_col, encode(F.col(vec_col), F.col("list_id")))
+
+
+def ivfpq_topk(
+    codes: DataFrame, queries: DataFrame, centroids: np.ndarray,
+    codebooks: np.ndarray, key: str = "vec_id", vec_col: str = "embedding",
+    code_col: str = "pq_code", k: int = 5, nprobe: int = 2,
+) -> DataFrame:
+    """IVFPQ ANN: each query probes its ``nprobe`` nearest inverted lists
+    and scores ONLY those lists' codes by residual-ADC — the join is
+    (query, probed list) x list-partitioned codes on list_id, never the
+    whole corpus; scoring stays JVM-side (zip_with + element_at +
+    aggregate). The per-(query, list) LUT is built in numpy against that
+    list's residual (queries are small and collected, like IVF centroids).
+    """
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    n_lists = len(cents)
+    q_rows = queries.select(F.col(key).alias("q_id"), F.col(vec_col)).collect()
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    probe_rows = []
+    for qi, r in enumerate(q_rows):
+        order = np.argsort(-sims[qi], kind="stable")[: min(nprobe, n_lists)]
+        for lid in order:
+            resid = qmat[qi] - cents[lid]
+            lut = [
+                ((cb[j] - resid[j * dsub:(j + 1) * dsub][None, :]) ** 2)
+                .sum(axis=1).tolist()
+                for j in range(m)
+            ]
+            probe_rows.append((r[0], int(lid), lut))
+    spark = codes.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, "q_id long, list_id int, lut array<array<double>>"
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
+    return (
+        codes.select(F.col(key).alias("c_id"), "list_id", code_col)
+        .join(probes, "list_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )
+
+
 def pq_topk(
     codes: DataFrame, queries: DataFrame, codebooks: np.ndarray,
     key: str = "vec_id", vec_col: str = "embedding", code_col: str = "pq_code",

@@ -441,7 +441,7 @@ _REGISTRY_TAIL = [
     # rows-only by design (seeded hyperplanes / k-means / codec stub /
     # 64-bit xxhash64 simhash):
     "ivf_topk", "embedding_near_dup", "media_features", "simhash64_pairs",
-    "pq_topk", "hll_distinct",
+    "pq_topk", "hll_distinct", "ivfpq_topk",
 ]
 # Retired as redundant (VERDICT r2): "token_count" duplicated
 # bpe_token_count's ws_tokens column; "fingerprint" overlapped

@@ -148,6 +148,23 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(codes, queries, cb, k=5)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN (rows-only: centroids + residual codebooks are driver
+    state): k-means coarse lists -> residual PQ codes (8 bytes/vector) ->
+    nprobe-list ADC scoring. The probe join touches only the probed
+    inverted lists; recall + probe-restriction are pytest-pinned
+    (tests/test_pq.py)."""
+    from .operators import pq, similarity
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, n_iters=2, seed=0)
+    cb = pq.pq_train_residual(emb, cents, m=8, nbits=4, sample_size=256, seed=0)
+    codes = pq.ivfpq_encode(emb, cents, cb)
+    queries = emb.where(F.col("vec_id") < 3)
+    return pq.ivfpq_topk(codes, queries, cents, cb, k=5, nprobe=2)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: the deterministic doc_id % 50 == 0 slice
     plays the benchmark; any corpus doc sharing >= 2 distinct word 6-grams
@@ -945,6 +962,7 @@ def queries() -> dict:
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
         "corpus_budget": q_corpus_budget,
         "decontaminate": q_decontaminate,
+        "ivfpq_topk": q_ivfpq_topk,  # rows-only (driver-state centroids/codebooks)
     }
 
 

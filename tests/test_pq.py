@@ -91,3 +91,38 @@ def test_pq_finds_planted_twin_top1(emb, spark):
     got = pq.pq_topk(codes, all_emb.where(F.col("vec_id") < 5), cb, k=1)
     top1 = {r.q_id: r.c_id for r in got.collect()}
     assert all(top1[q] == 1000 + q for q in range(5))
+
+
+def test_ivfpq_recall_and_probe_restriction(emb, spark):
+    """IVFPQ: probed-list scoring must find same-cluster twins (residual
+    coding preserves within-list structure), and every scored candidate
+    must come from the query's probed lists only."""
+    from asf_tools_spark.operators import similarity
+
+    cents = similarity.kmeans_fit(emb, k=3, n_iters=3, seed=0)
+    cb = pq.pq_train_residual(emb, cents, m=8, nbits=4, sample_size=240)
+    codes = pq.ivfpq_encode(emb, cents, cb)
+    queries = emb.where(F.col("vec_id") < 5)
+    got = pq.ivfpq_topk(codes, queries, cents, cb, k=20, nprobe=1)
+    g = {}
+    for r in got.collect():
+        g.setdefault(r.q_id, set()).add(r.c_id)
+
+    rows = emb.collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    # exact L2 top-5 recall inside the ADC top-20 shortlist (clusters are
+    # separated, so nprobe=1 covers the true neighbors)
+    recalls = []
+    for q in sorted(g):
+        qi = int(np.where(ids == q)[0][0])
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact5 = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        recalls.append(len(g[q] & exact5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.8
+
+    # probe restriction: all returned candidates live in the query's list
+    assign = {r.vec_id: r.list_id for r in codes.select("vec_id", "list_id").collect()}
+    for q, cands in g.items():
+        assert {assign[c] for c in cands} <= {assign[q]}  # nprobe=1
