@@ -61,7 +61,10 @@ def select_backscatter_tiles_from_stats(
     for variance_threshold in np.nanpercentile(tile_variance.filled(np.nan), np.arange(5, 96)[::-1]):
         variance_candidates = tile_indexes[tile_variance > variance_threshold]
         selected = np.intersect1d(variance_candidates, potential_candidates)
-        sort_index = np.argsort(sub_std[selected])[::-1]
+        # stable sort so ties order deterministically (higher tile_id first
+        # after the reversal) — matches the distributed ladder's tie-break;
+        # the reference's default argsort is tie-arbitrary (water_map.py:78)
+        sort_index = np.argsort(sub_std[selected], kind="stable")[::-1]
         if len(selected) >= 5:
             return selected[sort_index][:5]
     return np.array([], dtype=np.int64)

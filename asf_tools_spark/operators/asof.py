@@ -29,6 +29,13 @@ def asof_join(
     l_struct_t = left.select(F.struct(*left.columns).alias("s")).schema[0].dataType
     r_struct_t = right.select(F.struct(*r_cols).alias("s")).schema[0].dataType
 
+    # SQL semantics: a NULL key never equi-matches and NULL <= x is unknown,
+    # so right rows with a NULL by/on can match nothing — drop them BEFORE
+    # the union (otherwise NULLS-FIRST ordering would hand a NULL-ts right
+    # payload to every unmatched left, diverging from DuckDB ASOF). Left
+    # rows with NULL by/on stay and correctly resolve to no match.
+    right = right.where(F.col(by).isNotNull() & F.col(on).isNotNull())
+
     l2 = left.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lv"), F.lit(None).cast(r_struct_t).alias("_rv"),

@@ -173,16 +173,22 @@ def condition_dem(
             .applyInPandas(solve_tile, schema=_COND_SCHEMA)
             .localCheckpoint(eager=True)
         )
-        # convergence ignores drops below eps*1e-3: re-solving a tile
+        # convergence ignores drops below eps*1e-6: re-solving a tile
         # re-evaluates the same eps-add chains in a different summation
         # order, producing ~1e-14 float dribbles that otherwise drag the
         # fixpoint on for O(diameter) pure-noise rounds (measured: rounds
-        # 2-17 of the 256x256 test were all <= 1.1e-14 'improvements');
-        # genuine fill changes are >= eps per hop, 3 orders above the gate
+        # 2-17 of the 256x256 test were all <= 1.1e-14 'improvements').
+        # NOTE this is a TOLERANCE, not exactness: a genuine improvement is
+        # the gap between two competing spill elevations, which can be an
+        # arbitrarily small real — two spills within eps*1e-6 (1e-11 at the
+        # default eps) freeze at the higher one. The gate sits ~3 orders
+        # above the measured noise floor and 6 below eps, so only
+        # pathologically near-tied spill paths are affected; the priority-
+        # flood oracle tests cover the realistic regime.
         changed = (
             new_state.alias("n")
             .join(state.select("row", "col", F.col("f").alias("f_old")), ["row", "col"])
-            .where(F.col("f") < F.col("f_old") - F.lit(eps * 1e-3))
+            .where(F.col("f") < F.col("f_old") - F.lit(eps * 1e-6))
             .limit(1)
             .count()
         )

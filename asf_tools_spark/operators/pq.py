@@ -1,7 +1,8 @@
 """Product quantization (PQ) for embedding similarity search (Jégou et al.
 2011, public literature): split each d-dim vector into ``m`` subvectors,
 vector-quantize each subspace against a 2^nbits codebook, store codes as
-``array<tinyint>`` — d·4 bytes -> m bytes per vector (e.g. 64-dim float ->
+``array<tinyint>`` (``smallint`` for nbits 8..15) — d·4 bytes -> m bytes
+per vector (e.g. 64-dim float ->
 8 bytes at m=8), the memory/shuffle lever that makes billion-vector ANN fit
 a cluster. Query-time scoring is ADC (asymmetric distance computation): a
 per-query lookup table of subspace distances, summed by code index —
@@ -24,6 +25,18 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def _code_types(ksub: int) -> tuple[str, "np.dtype"]:
+    """Spark/numpy storage for code indices: tinyint holds 0..127 only —
+    ksub=256 (nbits=8, the FAISS default width) would silently WRAP under
+    int8 (200 -> -56) and negative codes make element_at index from the
+    array end. Widen to smallint at ksub > 128."""
+    if ksub <= 128:
+        return "array<tinyint>", np.int8
+    if ksub <= 32768:
+        return "array<smallint>", np.int16
+    raise ValueError(f"ksub={ksub} codewords per subspace is not supported")
 
 
 def _local_kmeans(X: np.ndarray, k: int, n_iters: int, seed_order: np.ndarray) -> np.ndarray:
@@ -81,11 +94,12 @@ def pq_encode(
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
     cb_sq = (cb ** 2).sum(axis=2)  # (m, ksub)
+    sql_t, np_t = _code_types(ksub)
 
-    @F.pandas_udf("array<tinyint>")
+    @F.pandas_udf(sql_t)
     def encode(vecs: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype(np.float64)
-        codes = np.empty((len(X), m), dtype=np.int8)
+        codes = np.empty((len(X), m), dtype=np_t)
         for j in range(m):
             sub = X[:, j * dsub:(j + 1) * dsub]
             # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant in argmin
@@ -140,13 +154,14 @@ def ivfpq_encode(
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
     cb_sq = (cb ** 2).sum(axis=2)
+    sql_t, np_t = _code_types(ksub)
 
     assigned = ivf_assign(emb, cents, key, vec_col)
 
-    @F.pandas_udf("array<tinyint>")
+    @F.pandas_udf(sql_t)
     def encode(vecs: pd.Series, lists: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype(np.float64) - cents[lists.to_numpy()]
-        codes = np.empty((len(X), m), dtype=np.int8)
+        codes = np.empty((len(X), m), dtype=np_t)
         for j in range(m):
             sub = X[:, j * dsub:(j + 1) * dsub]
             d2 = cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T)

@@ -43,10 +43,27 @@ def curate_corpus(
 ) -> dict:
     """Returns {"corpus": final DataFrame, "funnel": [(stage, rows)]}.
 
-    The funnel counts execute one action per stage boundary (reports are
-    worth a pass each); the final corpus frame stays lazy for the caller
-    to write. Stages share no driver state beyond tiny keep-lists."""
+    The funnel counts execute one action per stage boundary; each stage
+    frame is persisted BEFORE its count so the count pass materializes the
+    stage once and every later stage (and the caller's final write) reads
+    the cache instead of re-running the whole upstream chain — without the
+    persists the funnel is O(stages^2) full passes (and the repo's measured
+    lazy-cache race on multi-branch reads applies). The final corpus frame
+    stays lazy for the caller to write; intermediates are unpersisted once
+    their successor is materialized. Stages share no driver state beyond
+    tiny keep-lists."""
     key = cfg.key
+    cached = []
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        funnel.append((name, df.count()))
+        # predecessor is no longer needed once this stage is materialized
+        if len(cached) > 1:
+            cached.pop(0).unpersist()
+        cached.append(df)
+        return df
+
     funnel = [("input", docs.count())]
 
     quality = text.quality_features(docs)
@@ -60,7 +77,7 @@ def curate_corpus(
         )
         .select(*docs.columns)
     )
-    funnel.append(("quality_screen", screened.count()))
+    screened = _stage("quality_screen", screened)
 
     scrubbed = text.pii_scrub(screened).drop("text").withColumnRenamed("scrubbed", "text")
     scrubbed = scrubbed.select(*docs.columns, "n_emails", "n_longnums")
@@ -72,13 +89,12 @@ def curate_corpus(
         .withColumnRenamed("kept_text", "text")
         .drop("n_lines", "n_kept")
     )
-    funnel.append(("line_dedup", deboiler.count()))
+    deboiler = _stage("line_dedup", deboiler)
 
     exact_keep = dedup.exact_dedup(deboiler, key).select(
         F.col(f"keep_{key}").alias(key)
     )
-    exacted = deboiler.join(exact_keep, key, "left_semi")
-    funnel.append(("exact_dedup", exacted.count()))
+    exacted = _stage("exact_dedup", deboiler.join(exact_keep, key, "left_semi"))
 
     sigs = dedup.minhash_signatures(exacted, key, n_hashes=cfg.n_minhash)
     pairs = dedup.lsh_candidate_pairs(sigs, key, cfg.bands, cfg.rows_per_band)
@@ -90,10 +106,10 @@ def curate_corpus(
     )
     edges = verified.unionByName(dedup.identical_signature_edges(sigs, key)).distinct()
     clusters = dedup.near_dup_clusters(exacted.select(key), edges, key)
-    neared = exacted.join(
-        clusters.where(F.col("keep")).select(key), key, "left_semi"
+    neared = _stage(
+        "near_dedup",
+        exacted.join(clusters.where(F.col("keep")).select(key), key, "left_semi"),
     )
-    funnel.append(("near_dedup", neared.count()))
 
     sampled = sampling.split_assign(
         sampling.stratified_sample(
@@ -101,6 +117,6 @@ def curate_corpus(
         ),
         key,
     ).where(F.col("kept")).drop("kept")
-    funnel.append(("sampled", sampled.count()))
+    sampled = _stage("sampled", sampled)
 
     return {"corpus": sampled, "funnel": funnel}

@@ -65,7 +65,11 @@ def make_water_map_grid(
     else:
         hand_candidates = None
         hand_df = tiling.hand_candidate_tiles_df(hand_grid, hand_threshold, hand_fraction, tile_pixels)
-    out: dict = {"hand_candidates": hand_candidates if hand_candidates is not None else hand_df}
+    # stable contract: 'hand_candidates' is ALWAYS an ndarray-or-None (None
+    # above the guard, where collecting every candidate is the thing we
+    # avoid); the lazy frame lives under its own key so consumers can't
+    # np.array_equal a DataFrame by surprise
+    out: dict = {"hand_candidates": hand_candidates, "hand_candidates_df": hand_df}
 
     # unpadded-extent hand with slope (stencil over the real array only);
     # persisted: every membership join and scalar aggregate reuses it

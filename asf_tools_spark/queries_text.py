@@ -20,6 +20,11 @@ N_MINHASH = 8
 BANDS, ROWS_PER_BAND = 2, 4  # stricter bands: testdata vocab is tiny (31 words)
 SIMHASH_BITS = 16
 RECALL_SAMPLE = 400  # deterministic doc_id slice bounding the O(n^2) truth join
+# DuckDB 1.0's generate_series takes constants only, so position-enumerating
+# oracles use a fixed range + WHERE. Docs above this word count would make an
+# oracle silently drop tail n-grams -> tests/test_oracle_types.py pins the
+# testdata max word count under this cap so a fixture regen fails LOUDLY.
+ORACLE_MAX_WORDS = 2000
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,7 +781,7 @@ def _oracle_sqls() -> dict[str, str]:
         -- generate_series needs constant bounds in DuckDB 1.0: fixed range + WHERE
         bg AS (
           SELECT b.doc_id, b.n, b.ws[g.i] || ' ' || b.ws[g.i + 1] AS t
-          FROM base b, (SELECT unnest(range(1, 2001)) AS i) g
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
           WHERE g.i <= b.n - 1
         ),
         tb AS (
@@ -828,7 +833,7 @@ def _oracle_sqls() -> dict[str, str]:
         lines AS (
           SELECT doc_id, g.i - 1 AS pos,
                  array_to_string(list_slice(ws, (g.i - 1) * 8 + 1, (g.i - 1) * 8 + 8), ' ') AS line
-          FROM base b, (SELECT unnest(range(1, 201)) AS i) g
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
           WHERE g.i <= GREATEST(CAST(ceil(b.n / 8.0) AS INT), 1)
         ),
         hot AS (
@@ -853,7 +858,7 @@ def _oracle_sqls() -> dict[str, str]:
         ),
         grams AS (
           SELECT doc_id, array_to_string(list_slice(ws, g.i, g.i + 5), ' ') AS ngram
-          FROM base b, (SELECT unnest(range(1, 201)) AS i) g
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
           WHERE g.i <= b.n - 5
         ),
         bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 50 = 0),
@@ -902,7 +907,7 @@ def _oracle_sqls() -> dict[str, str]:
         ),
         grams AS (
           SELECT array_to_string(list_slice(ws, g.i, g.i + 2), ' ') AS ngram
-          FROM base b, (SELECT unnest(range(1, 201)) AS i) g
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
           WHERE g.i <= b.n - 2
         ),
         counted AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY ngram)

@@ -78,6 +78,7 @@ class NearDupIndexer:
         # mid-stream (e.g. bench.py mutating os.environ in-process) must not
         # silently split the store across hash families
         self.hash_family = hash_family or default_hash_family()
+        self._family_checked = False
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -101,14 +102,32 @@ class NearDupIndexer:
         # keeps a replayed batch from joining its own already-landed bands
         if os.path.isdir(self.store_dir):
             store = spark.read.parquet(self.store_dir)
-            fams = {r.family for r in store.select("family").distinct().collect()}
-            if fams - {self.hash_family}:
+            # schema guard first: a store from an older layout (no family/
+            # batch_id partitions) must fail with a clear rebuild message,
+            # not an unresolved-column AnalysisException mid-stream
+            missing = {"family", "batch_id"} - set(store.columns)
+            if missing:
                 raise ValueError(
-                    f"band store {self.store_dir} was written under hash family "
-                    f"{sorted(fams)}, indexer is pinned to {self.hash_family!r} — "
-                    "joining across families silently yields zero candidates"
+                    f"band store {self.store_dir} lacks column(s) {sorted(missing)} "
+                    "— written by a pre-family/batch_id layout; rebuild the store "
+                    "before resuming the stream"
                 )
-            store = store.where(F.col("batch_id") < F.lit(batch_id))
+            # family check via partition pruning (family is a partition col:
+            # this lists directories, it does not scan the store's rows) and
+            # only until first confirmation — not a full rescan every batch
+            if not self._family_checked:
+                fams = {r.family for r in store.select("family").distinct().collect()}
+                if fams - {self.hash_family}:
+                    raise ValueError(
+                        f"band store {self.store_dir} was written under hash family "
+                        f"{sorted(fams)}, indexer is pinned to {self.hash_family!r} — "
+                        "joining across families silently yields zero candidates"
+                    )
+                self._family_checked = True
+            store = store.where(
+                (F.col("family") == self.hash_family)
+                & (F.col("batch_id") < F.lit(batch_id))
+            )
             cross = (
                 new_bands.alias("n")
                 .join(store.alias("s"), ["band_id", "bucket", "band_val"])

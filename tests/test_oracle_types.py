@@ -58,3 +58,19 @@ def test_every_query_has_oracle_or_documented_rows_only(con):
     assert qs - os_ == rows_only_by_design, (
         f"undocumented rows-only queries: {(qs - os_) - rows_only_by_design}"
     )
+
+
+def test_testdata_word_count_under_oracle_cap():
+    """Position-enumerating oracles use a constant range bound (DuckDB 1.0
+    generate_series limitation). A longer doc would make the oracle
+    silently drop tail n-grams — fail loudly here instead."""
+    import duckdb
+
+    from asf_tools_spark.queries_text import ORACLE_MAX_WORDS
+
+    for sf in ("0.001", "0.01", "0.1"):
+        mx = duckdb.sql(
+            "SELECT MAX(len(string_split(trim(regexp_replace(lower(text),"
+            f"'\\s+', ' ', 'g')), ' '))) FROM '/root/testdata/sf{sf}/documents.parquet'"
+        ).fetchone()[0]
+        assert mx <= ORACLE_MAX_WORDS, f"sf{sf} has a {mx}-word doc; raise ORACLE_MAX_WORDS"

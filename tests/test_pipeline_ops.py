@@ -353,6 +353,23 @@ def test_asof_join_semantics(spark):
     assert got[101].t == 20 and got[101].r_t == 15  # left cols + prefixed right
 
 
+def test_asof_join_null_semantics(spark):
+    """SQL NULL contract (matches DuckDB ASOF): NULL-ts/NULL-key right rows
+    match nothing; NULL-ts left rows resolve to no match."""
+    from asf_tools_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, None, 101), (None, 10, 102)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 900), (None, 5, 901), (1, 4, 902)], "k long, t long, rid long"
+    )
+    got = {r.lid: r for r in asof_join(left, right, on="t", by="k").collect()}
+    assert got[100].r_rid == 902  # only the valid right row matches
+    assert got[101].r_rid is None  # NULL left ts: no at-or-before exists
+    assert got[102].r_rid is None  # NULL left key never equi-matches
+
+
 def test_time_range_join_window_edges(spark):
     from asf_tools_spark.operators.range_join import time_range_join
     import datetime as dt

@@ -126,3 +126,16 @@ def test_ivfpq_recall_and_probe_restriction(emb, spark):
     assign = {r.vec_id: r.list_id for r in codes.select("vec_id", "list_id").collect()}
     for q, cands in g.items():
         assert {assign[c] for c in cands} <= {assign[q]}  # nprobe=1
+
+
+def test_pq_nbits8_codes_do_not_wrap(emb):
+    """nbits=8 (ksub=256, the FAISS default) must widen storage — int8
+    would wrap codes 128..255 negative and corrupt every ADC lookup."""
+    cb = pq.pq_train(emb, m=4, nbits=8, sample_size=240, seed=0)
+    assert cb.shape == (4, 256, 4)
+    codes = pq.pq_encode(emb, cb).select("pq_code").collect()
+    flat = [c for r in codes for c in r.pq_code]
+    assert min(flat) >= 0 and max(flat) < 256
+    # and the top-k path still runs on the widened codes
+    got = pq.pq_topk(pq.pq_encode(emb, cb), emb.where(F.col("vec_id") < 2), cb, k=3)
+    assert got.count() == 6
