@@ -228,6 +228,32 @@ def ivfpq_topk(
     )
 
 
+def save_ivfpq_index(codes: DataFrame, centroids: np.ndarray,
+                     codebooks: np.ndarray, path: str) -> None:
+    """Persist an IVFPQ index: codes parquet PARTITIONED BY list_id (a
+    probe for list L reads only list_id=L directories — partition pruning
+    is the disk-side twin of the probe join's list restriction) + the tiny
+    centroid/codebook driver state as JSON."""
+    import json
+    from pathlib import Path
+
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
+    meta = {
+        "centroids": np.asarray(centroids, dtype=float).tolist(),
+        "codebooks": np.asarray(codebooks, dtype=float).tolist(),
+    }
+    Path(f"{path}/meta.json").write_text(json.dumps(meta))
+
+
+def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(f"{path}/meta.json").read_text())
+    codes = spark.read.parquet(f"{path}/codes")
+    return codes, np.array(meta["centroids"]), np.array(meta["codebooks"])
+
+
 def pq_topk(
     codes: DataFrame, queries: DataFrame, codebooks: np.ndarray,
     key: str = "vec_id", vec_col: str = "embedding", code_col: str = "pq_code",

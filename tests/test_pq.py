@@ -139,3 +139,37 @@ def test_pq_nbits8_codes_do_not_wrap(emb):
     # and the top-k path still runs on the widened codes
     got = pq.pq_topk(pq.pq_encode(emb, cb), emb.where(F.col("vec_id") < 2), cb, k=3)
     assert got.count() == 6
+
+
+def test_ivfpq_index_roundtrip_and_partition_pruning(emb, spark, tmp_path):
+    """Persisted index: codes partitioned by list_id; the probe join must
+    reach the scan as a partition filter (static or dynamic pruning), so a
+    query touches only its probed lists' directories."""
+    from asf_tools_spark.operators import similarity
+
+    cents = similarity.kmeans_fit(emb, k=3, n_iters=2, seed=0)
+    cb = pq.pq_train_residual(emb, cents, m=4, nbits=4, sample_size=240)
+    codes = pq.ivfpq_encode(emb, cents, cb).select("vec_id", "list_id", "pq_code")
+    path = str(tmp_path / "idx")
+    pq.save_ivfpq_index(codes, cents, cb, path)
+
+    codes2, cents2, cb2 = pq.load_ivfpq_index(spark, path)
+    assert np.allclose(cents2, cents) and np.allclose(cb2, cb)
+
+    got = pq.ivfpq_topk(codes2, emb.where(F.col("vec_id") < 2), cents2, cb2,
+                        k=3, nprobe=1)
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the list_id filter must actually appear in the scan's partition
+    # filters (dynamic pruning from the broadcast probe side)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "list_id" in pf and pf.strip() != ""
+
+    # and results match an in-memory (non-persisted) index
+    mem = pq.ivfpq_topk(
+        pq.ivfpq_encode(emb, cents, cb), emb.where(F.col("vec_id") < 2),
+        cents, cb, k=3, nprobe=1,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
