@@ -1,0 +1,77 @@
+"""Table maintenance: small-file reporting and compaction.
+
+A 100 TB table ingested incrementally (streaming micro-batches, per-batch
+dynamic-partition overwrites, lineage-resumed jobs) accretes many small
+parquet files per partition; every downstream scan then pays one task +
+one open per file and the NameNode/listing cost grows unbounded. Compaction
+rewrites undersized partitions into ~target-size files.
+
+File inventory goes through the JVM Hadoop FileSystem API (works for any
+configured scheme — local, HDFS, s3a), not os.walk. The rewrite is a
+per-partition dynamic overwrite: read one partition, repartition to
+ceil(bytes/target), overwrite that partition only. Production note: for
+strict readers-during-rewrite semantics put the table behind a format with
+commit protocol (the lineage writer records the rewrite as a job like any
+other); plain parquet readers may see a partition mid-swap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def small_file_report(spark: SparkSession, table_path: str) -> list[dict]:
+    """Per partition directory (or the table root for unpartitioned
+    tables): file count, total bytes, average file bytes."""
+    fs, root = _fs_and_path(spark, table_path)
+    report: dict[str, dict] = {}
+    it = fs.listFiles(root, True)  # recursive remote iterator
+    # qualify: listed file paths are fully qualified (scheme + authority),
+    # the input path may be relative/bare — strip a LIKE-qualified root
+    root_str = fs.makeQualified(root).toString().rstrip("/")
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if not name.endswith(".parquet"):
+            continue
+        rel = p[len(root_str):].lstrip("/")
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        d = report.setdefault(part, {"partition": part, "n_files": 0, "bytes": 0})
+        d["n_files"] += 1
+        d["bytes"] += st.getLen()
+    out = sorted(report.values(), key=lambda d: d["partition"])
+    for d in out:
+        d["avg_bytes"] = d["bytes"] // max(d["n_files"], 1)
+    return out
+
+
+def compact_table(
+    spark: SparkSession, table_path: str, target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite every partition whose average file size is below
+    ``target_bytes / 2`` (and that has >= ``min_files`` files) into
+    ceil(bytes / target) files. Returns {partition: (files_before,
+    files_after)} for the rewritten partitions."""
+    rewritten: dict[str, tuple[int, int]] = {}
+    for d in small_file_report(spark, table_path):
+        if d["n_files"] < min_files or d["avg_bytes"] >= target_bytes // 2:
+            continue
+        n_out = max(1, math.ceil(d["bytes"] / target_bytes))
+        part_path = f"{table_path}/{d['partition']}" if d["partition"] else table_path
+        # materialize to executor storage BEFORE overwriting the same
+        # directory (self-overwrite of a lazily-read source truncates it)
+        df = spark.read.parquet(part_path).localCheckpoint(eager=True)
+        df.repartition(n_out).write.mode("overwrite").parquet(part_path)
+        rewritten[d["partition"]] = (d["n_files"], n_out)
+    return rewritten

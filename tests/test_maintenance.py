@@ -1,0 +1,32 @@
+"""Small-file report + compaction: inventory via Hadoop FS, per-partition
+rewrite preserves data exactly and reduces file counts."""
+
+from pyspark.sql import functions as F
+
+from asf_tools_spark.sources.maintenance import compact_table, small_file_report
+
+
+def test_report_and_compact_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(9_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("split")
+    )
+    # fragment: 12 files per partition
+    df.repartition(12).write.partitionBy("split").parquet(path)
+
+    rep = {d["partition"]: d for d in small_file_report(spark, path)}
+    assert set(rep) == {"split=0", "split=1", "split=2"}
+    assert all(d["n_files"] == 12 for d in rep.values())
+
+    before = spark.read.parquet(path).orderBy("id").collect()
+    done = compact_table(spark, path, target_bytes=128 * 1024 * 1024)
+    assert set(done) == {"split=0", "split=1", "split=2"}
+    assert all(after == 1 for _, after in done.values())
+
+    rep2 = {d["partition"]: d for d in small_file_report(spark, path)}
+    assert all(d["n_files"] == 1 for d in rep2.values())
+    after = spark.read.parquet(path).orderBy("id").collect()
+    assert before == after  # exact data preservation
+
+    # already-compact partitions are left alone
+    assert compact_table(spark, path, target_bytes=128 * 1024 * 1024) == {}
