@@ -82,3 +82,54 @@ def curate_stream(
         .withColumnRenamed("scrubbed", text_col)
     )
     return stream_dedup(scrubbed, ts_col=ts_col, text_col=text_col, watermark=watermark)
+
+
+def start_curated_ingest(
+    pages: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    near_dup_store_dir: str,
+    near_dup_pairs_dir: str,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    min_quality: float = 0.5,
+    watermark: str = "24 hours",
+):
+    """The full streaming curation entry point: ONE foreachBatch sink that
+    (a) lands the curated survivors (quality screen + PII scrub +
+    watermarked exact dedup — curate_stream) partitioned and
+    dynamic-overwritten by batch_id (exactly-once under replay, same
+    contract as the band store), and (b) feeds the same batch to the
+    NearDupIndexer so the LSH band store and cross-batch candidate pairs
+    advance in lockstep with the corpus — a batch can never land in one
+    sink and miss the other direction of the near-dup index, and a
+    replayed batch rewrites both.
+
+    Downstream, near_dup_pairs feed the batch verify/cluster operators
+    (jaccard_on_pairs -> near_dup_clusters) exactly like the batch
+    pipeline's tail."""
+    from .near_dup import NearDupIndexer
+
+    indexer = NearDupIndexer(near_dup_store_dir, near_dup_pairs_dir, key=key)
+    curated = curate_stream(
+        pages, ts_col=ts_col, min_quality=min_quality, watermark=watermark
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()  # two consumers: corpus write + indexer
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        indexer(batch_df, batch_id)
+        batch_df.unpersist()
+
+    return (
+        curated.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -236,3 +236,48 @@ def test_curate_stream_quality_scrub_dedup(spark, tmp_path):
     assert set(got["url"]) == {"a", "c", "e"}  # 'b' too low-quality, 'd' a dup
     assert all("@" not in t for t in got["text"])  # PII scrubbed pre-dedup
     assert any("<EMAIL>" in t for t in got["text"])
+
+
+def test_start_curated_ingest_dual_sink(spark, tmp_path):
+    """One foreachBatch advances corpus + band store + cross-batch pairs
+    together; a batch-2 near-dup of a batch-1 page must surface as a
+    cross-batch candidate pair while both docs land in the corpus."""
+    from asf_tools_spark.streaming.ingest import start_curated_ingest
+
+    base = pd.Timestamp("2024-03-01")
+    good = ("the data is good and the text here is long enough to pass "
+            "the quality screens because it has many stopwords in it")
+    b1 = pd.DataFrame({
+        "url": ["a", "b"],
+        "warc_ts": [base, base + pd.Timedelta(minutes=1)],
+        "text": [good + " ending one", "junk"],
+    })
+    b2 = pd.DataFrame({
+        "url": ["c"],
+        "warc_ts": [base + pd.Timedelta(minutes=10)],
+        "text": [good + " ending two"],  # near-dup of 'a', not exact
+    })
+    src = tmp_path / "isrc"
+    out_dir = str(tmp_path / "icorpus")
+    ckpt = str(tmp_path / "ickpt")
+    store = str(tmp_path / "istore")
+    pairs = str(tmp_path / "ipairs")
+    src.mkdir()
+
+    def run_batch(pdf: pd.DataFrame) -> None:
+        spark.createDataFrame(pdf).write.mode("append").parquet(str(src / "d"))
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string"
+        ).parquet(str(src / "d"))
+        q = start_curated_ingest(stream, out_dir, ckpt, store, pairs)
+        q.awaitTermination(180)
+
+    run_batch(b1)
+    run_batch(b2)
+
+    corpus = spark.read.parquet(out_dir).toPandas()
+    assert set(corpus["url"]) == {"a", "c"}  # 'b' failed quality
+    got_pairs = {
+        (r.key_a, r.key_b) for r in spark.read.parquet(pairs).collect()
+    }
+    assert ("a", "c") in got_pairs  # cross-batch near-dup candidate found
