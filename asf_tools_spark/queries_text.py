@@ -181,6 +181,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_report(docs, bench, "doc_id", n=6, min_hits=2)
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline verification: the full curate_corpus chain
+    (quality screen -> PII scrub -> line dedup -> exact dedup -> LSH
+    near-dup clusters -> stratified sampling) runs on Spark and the ORACLE
+    replays every stage in one DuckDB WITH RECURSIVE — the funnel counts
+    must agree stage by stage. This is the one row that verifies the
+    stages COMPOSE correctly, not just that each passes alone."""
+    import pandas as pd
+
+    from .plans.corpus_pipeline import CorpusPipelineConfig, curate_corpus
+
+    _register(spark, sf_dir, "documents")
+    res = curate_corpus(
+        spark.table("documents"),
+        CorpusPipelineConfig(sample_rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT),
+    )
+    pdf = pd.DataFrame(res["funnel"], columns=["stage", "n_docs"])
+    return spark.createDataFrame(pdf).select(
+        "stage", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget report: docs + BPE-ish token totals per (source, lang)
     with ROLLUP subtotals — all grouping levels in one pass (Catalyst
@@ -469,10 +491,10 @@ def _norm_sql(col: str) -> str:
     return f"TRIM(regexp_replace(LOWER({col}), '\\s+', ' ', 'g'))"
 
 
-def _shingles_sql() -> str:
+def _shingles_sql(src: str = "documents") -> str:
     return f"""(
       SELECT DISTINCT doc_id, w AS shingle FROM (
-        SELECT doc_id, unnest(string_split({_norm_sql("text")}, ' ')) AS w FROM documents
+        SELECT doc_id, unnest(string_split({_norm_sql("text")}, ' ')) AS w FROM {src}
       ) t WHERE LENGTH(w) > 0
     )"""
 
@@ -481,14 +503,14 @@ def _hash8(expr: str, salt: str) -> str:
     return oracle.hash8_sql(expr, oracle.DUCKDB, salt=salt)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     aggs = ", ".join(
         f"MIN({_hash8('shingle', f'mh{i}-')}) AS sig_{i}" for i in range(N_MINHASH)
     )
-    return f"(SELECT doc_id, {aggs} FROM {_shingles_sql()} s GROUP BY doc_id)"
+    return f"(SELECT doc_id, {aggs} FROM {_shingles_sql(src)} s GROUP BY doc_id)"
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(src: str = "documents") -> str:
     sig_cols = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
     bands = []
     for b in range(BANDS):
@@ -498,7 +520,7 @@ def _lsh_pairs_sql() -> str:
         bands.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_val FROM reps")
     banded = " UNION ALL ".join(bands)
     return f"""
-        WITH sigs AS (SELECT * FROM {_minhash_sql()} m),
+        WITH sigs AS (SELECT * FROM {_minhash_sql(src)} m),
         reps AS (
           SELECT {sig_cols}, MIN(doc_id) AS doc_id FROM sigs GROUP BY {sig_cols}
         ),
@@ -514,10 +536,10 @@ def _occ_sql(text_expr: str, needle: str) -> str:
     return f"(LENGTH({text_expr}) - LENGTH(REPLACE({text_expr}, '{n}', ''))) / {len(needle)}"
 
 
-def _jaccard_sql() -> str:
+def _jaccard_sql(src: str = "documents") -> str:
     return f"""
-        WITH pairs AS ({_lsh_pairs_sql()}),
-        sh AS (SELECT * FROM {_shingles_sql()} s),
+        WITH pairs AS ({_lsh_pairs_sql(src)}),
+        sh AS (SELECT * FROM {_shingles_sql(src)} s),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT p.key_a, p.key_b, COUNT(*) AS i
@@ -934,6 +956,125 @@ def _oracle_sqls() -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM u
     """
+    # END-TO-END pipeline funnel: every curate_corpus stage replayed in SQL.
+    # Emitters are parameterized by src so the near-dup stage runs over the
+    # pipeline's survivors, exactly like Spark. Thresholds mirror
+    # CorpusPipelineConfig defaults + the corpus_sample rates.
+    f_en = " + ".join(_occ_sql("spaced", m) for m in text.LANG_MARKERS["en"])
+    f_punct = " + ".join(_occ_sql("norm", p) for p in [".", ",", "!", "?"])
+    f_email, f_num = text.EMAIL_RE.replace("\\\\", "\\"), text.LONGNUM_RE
+    f_rate = " ".join(
+        f"WHEN source = '{k}' THEN {oracle.dbl(v)}" for k, v in SAMPLE_RATES.items()
+    )
+    f_smp = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="smp-")
+    sig_cols_f = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
+    sig_eq_f = " AND ".join(f"s.sig_{i} = r.sig_{i}" for i in range(N_MINHASH))
+    sqls["corpus_funnel"] = f"""
+        WITH RECURSIVE
+        feat AS (
+          SELECT doc_id, LENGTH(text) AS n_chars, norm, ' ' || norm || ' ' AS spaced,
+                 CASE WHEN LENGTH(norm) = 0 THEN 0
+                      ELSE LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 END AS n_tokens
+          FROM (SELECT doc_id, text, {_norm_sql("text")} AS norm FROM documents) b
+        ),
+        q AS (
+          SELECT doc_id,
+                 ROUND((LEAST(n_tokens / CAST(20.0 AS DOUBLE), 1.0)
+                        + LEAST(CASE WHEN n_tokens > 0 THEN ({f_en}) * 1.0 / n_tokens ELSE 0.0 END * 5.0, 1.0)
+                        + CASE WHEN (CASE WHEN n_chars > 0 THEN ({f_punct}) * 1.0 / n_chars ELSE 0.0 END) <= 0.1 THEN 1.0
+                               ELSE 1.0 - LEAST(CASE WHEN n_chars > 0 THEN ({f_punct}) * 1.0 / n_chars ELSE 0.0 END, 1.0) END
+                       ) / 3.0, 6) AS qs
+          FROM feat
+        ),
+        rbase AS (
+          SELECT doc_id, string_split({_norm_sql("text")}, ' ') AS ws,
+                 len(string_split({_norm_sql("text")}, ' ')) AS n
+          FROM documents WHERE len(string_split({_norm_sql("text")}, ' ')) > 0
+        ),
+        rbg AS (
+          SELECT b.doc_id, b.n, b.ws[g.i] || ' ' || b.ws[g.i + 1] AS t
+          FROM rbase b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
+          WHERE g.i <= b.n - 1
+        ),
+        rtb AS (
+          SELECT doc_id, n, MAX(c) AS m FROM (
+            SELECT doc_id, n, t, COUNT(*) AS c FROM rbg GROUP BY doc_id, n, t
+          ) GROUP BY doc_id, n
+        ),
+        rep AS (
+          SELECT b.doc_id,
+                 ROUND(len(list_distinct(b.ws)) * 1.0 / b.n, 6) AS dfrac,
+                 ROUND(COALESCE(tb.m * 1.0 / (b.n - 1), 0.0), 6) AS tbf
+          FROM rbase b LEFT JOIN rtb tb ON tb.doc_id = b.doc_id
+        ),
+        screened AS MATERIALIZED (
+          SELECT d.doc_id, d.text, d.source FROM documents d
+          JOIN q ON q.doc_id = d.doc_id AND q.qs >= {oracle.dbl(0.5)}
+          JOIN rep r ON r.doc_id = d.doc_id
+                    AND r.dfrac >= {oracle.dbl(0.3)} AND r.tbf <= {oracle.dbl(0.5)}
+        ),
+        scrubbed AS MATERIALIZED (
+          SELECT doc_id, source,
+                 regexp_replace(regexp_replace(text, '{f_email}', '<EMAIL>', 'g'),
+                                '{f_num}', '<NUM>', 'g') AS text
+          FROM screened
+        ),
+        linefreq AS (
+          SELECT text, COUNT(DISTINCT doc_id) AS lf FROM scrubbed GROUP BY text
+        ),
+        deboiler AS MATERIALIZED (
+          SELECT s.doc_id, s.text, s.source FROM scrubbed s
+          JOIN linefreq l ON l.text = s.text WHERE l.lf <= 5
+        ),
+        exact_keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM deboiler GROUP BY md5({_norm_sql("text")})
+        ),
+        exacted AS MATERIALIZED (
+          SELECT d.doc_id, d.text, d.source FROM deboiler d
+          JOIN exact_keep e ON e.doc_id = d.doc_id
+        ),
+        verified AS MATERIALIZED (
+          SELECT key_a, key_b FROM ({_jaccard_sql("exacted")}) j
+          WHERE jaccard >= {oracle.dbl(0.8)}
+        ),
+        nsigs AS (SELECT * FROM {_minhash_sql("exacted")} m),
+        nreps AS (SELECT {sig_cols_f}, MIN(doc_id) AS rep FROM nsigs GROUP BY {sig_cols_f}),
+        nident AS (
+          SELECT r.rep AS key_a, s.doc_id AS key_b
+          FROM nsigs s JOIN nreps r ON {sig_eq_f}
+          WHERE s.doc_id <> r.rep
+        ),
+        allp AS (
+          SELECT key_a, key_b FROM verified UNION SELECT key_a, key_b FROM nident
+        ),
+        ne AS (
+          SELECT key_a AS a, key_b AS b FROM allp
+          UNION SELECT key_b AS a, key_a AS b FROM allp
+        ),
+        reach(d, r) AS (
+          SELECT doc_id, doc_id FROM exacted
+          UNION
+          SELECT reach.d, ne.b FROM reach JOIN ne ON ne.a = reach.r
+        ),
+        clusters AS (
+          SELECT d AS doc_id FROM reach GROUP BY d HAVING d = MIN(r)
+        ),
+        neared AS MATERIALIZED (
+          SELECT x.doc_id, x.source FROM exacted x
+          JOIN clusters c ON c.doc_id = x.doc_id
+        ),
+        sampled AS MATERIALIZED (
+          SELECT doc_id FROM neared
+          WHERE (({f_smp}) % 1000000) / {oracle.dbl(1000000.0)}
+                < (CASE {f_rate} ELSE {oracle.dbl(SAMPLE_DEFAULT)} END)
+        )
+        SELECT 'input' AS stage, CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+        UNION ALL SELECT 'quality_screen', CAST((SELECT COUNT(*) FROM screened) AS BIGINT)
+        UNION ALL SELECT 'line_dedup', CAST((SELECT COUNT(*) FROM deboiler) AS BIGINT)
+        UNION ALL SELECT 'exact_dedup', CAST((SELECT COUNT(*) FROM exacted) AS BIGINT)
+        UNION ALL SELECT 'near_dedup', CAST((SELECT COUNT(*) FROM neared) AS BIGINT)
+        UNION ALL SELECT 'sampled', CAST((SELECT COUNT(*) FROM sampled) AS BIGINT)
+    """
     return sqls
 
 
@@ -966,6 +1107,7 @@ def queries() -> dict:
         "range_join_counts": q_range_join_counts,
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
         "corpus_budget": q_corpus_budget,
+        "corpus_funnel": q_corpus_funnel,
         "decontaminate": q_decontaminate,
         "ivfpq_topk": q_ivfpq_topk,  # rows-only (driver-state centroids/codebooks)
     }
