@@ -203,6 +203,33 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release diff: old = documents; new = deterministic in-plan edit
+    (doc_id % 17 == 0 removed, % 10 == 0 text rewritten, 25 synthetic docs
+    added) — both engines build the identical 'new' snapshot, then one
+    full-outer fingerprint join classifies every key."""
+    from .operators.diff import snapshot_diff
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    new = (
+        docs.where(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.lit("rewritten "), F.col("text"))).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.range(25).select(
+                (F.col("id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("brand new page "), F.col("id").cast("string")).alias("text"),
+            ),
+            allowMissingColumns=True,
+        )
+    )
+    return snapshot_diff(docs, new, "doc_id")
+
+
 def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget report: docs + BPE-ish token totals per (source, lang)
     with ROLLUP subtotals — all grouping levels in one pass (Catalyst
@@ -969,6 +996,26 @@ def _oracle_sqls() -> dict[str, str]:
     f_smp = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="smp-")
     sig_cols_f = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
     sig_eq_f = " AND ".join(f"s.sig_{i} = r.sig_{i}" for i in range(N_MINHASH))
+    sqls["snapshot_diff"] = f"""
+        WITH old AS (
+          SELECT doc_id, md5({_norm_sql("text")}) AS fa FROM documents
+        ),
+        new AS (
+          SELECT doc_id,
+                 md5({_norm_sql("CASE WHEN doc_id % 10 = 0 THEN 'rewritten ' || text ELSE text END")}) AS fb
+          FROM documents WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT 1000000 + g.i AS doc_id,
+                 md5({_norm_sql("'brand new page ' || CAST(g.i AS VARCHAR)")}) AS fb
+          FROM (SELECT unnest(range(0, 25)) AS i) g
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fa = n.fb THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+    """
     sqls["corpus_funnel"] = f"""
         WITH RECURSIVE
         feat AS (
@@ -1108,6 +1155,7 @@ def queries() -> dict:
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
         "corpus_budget": q_corpus_budget,
         "corpus_funnel": q_corpus_funnel,
+        "snapshot_diff": q_snapshot_diff,
         "decontaminate": q_decontaminate,
         "ivfpq_topk": q_ivfpq_topk,  # rows-only (driver-state centroids/codebooks)
     }

@@ -278,6 +278,25 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_snapshot_diff_classifies_all_transitions(spark):
+    from asf_tools_spark.operators.diff import snapshot_diff, snapshot_diff_summary
+
+    old = spark.createDataFrame(
+        [(0, "same text"), (1, "will change"), (2, "will vanish"),
+         (3, "Same   TEXT ")],  # only normalization differs from a new twin
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same text"), (1, "has changed"), (3, "same text"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new, "doc_id").collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed",
+                   3: "unchanged", 4: "added"}  # 3: fingerprint normalizes
+    summary = {r.status: r.n for r in snapshot_diff_summary(old, new, "doc_id").collect()}
+    assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
 def test_contamination_report_flags_planted_overlap(spark):
     from asf_tools_spark.operators import text as T
 
