@@ -230,6 +230,37 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new, "doc_id")
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: verified near-dup pairs (LSH candidates +
+    exact Jaccard >= 0.5) whose two docs land in DIFFERENT hash-assigned
+    splits — the pairs that leak evaluation data into training. Output:
+    ordered (split_a, split_b) pair counts incl. the diagonal."""
+    from .operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    sh = dedup.word_shingles(docs, "doc_id")
+    verified = dedup.jaccard_on_pairs(pairs, sh, "doc_id").where(
+        F.round("jaccard", 6) >= 0.5
+    )
+    splits = sampling.split_assign(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    labeled = (
+        verified.join(splits.withColumnsRenamed({"doc_id": "key_a", "split": "sa"}), "key_a")
+        .join(splits.withColumnsRenamed({"doc_id": "key_b", "split": "sb"}), "key_b")
+    )
+    return labeled.groupBy(
+        F.least("sa", "sb").alias("split_a"), F.greatest("sa", "sb").alias("split_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+        .cast("long").alias("n_leaks"),
+    )
+
+
 def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget report: docs + BPE-ish token totals per (source, lang)
     with ROLLUP subtotals — all grouping levels in one pass (Catalyst
@@ -996,6 +1027,27 @@ def _oracle_sqls() -> dict[str, str]:
     f_smp = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="smp-")
     sig_cols_f = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
     sig_eq_f = " AND ".join(f"s.sig_{i} = r.sig_{i}" for i in range(N_MINHASH))
+    h_spl2 = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="spl-")
+    sqls["split_leakage"] = f"""
+        WITH verified AS (
+          SELECT key_a, key_b FROM ({_jaccard_sql()}) j WHERE jaccard >= {oracle.dbl(0.5)}
+        ),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN (({h_spl2}) % 1000000) / {oracle.dbl(1000000.0)} < {oracle.dbl(0.9)} THEN 'train'
+                      WHEN (({h_spl2}) % 1000000) / {oracle.dbl(1000000.0)} < {oracle.dbl(0.95)} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT LEAST(a.split, b.split) AS split_a,
+               GREATEST(a.split, b.split) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+        FROM verified v
+        JOIN splits a ON a.doc_id = v.key_a
+        JOIN splits b ON b.doc_id = v.key_b
+        GROUP BY 1, 2
+    """
     sqls["snapshot_diff"] = f"""
         WITH old AS (
           SELECT doc_id, md5({_norm_sql("text")}) AS fa FROM documents
@@ -1156,6 +1208,7 @@ def queries() -> dict:
         "corpus_budget": q_corpus_budget,
         "corpus_funnel": q_corpus_funnel,
         "snapshot_diff": q_snapshot_diff,
+        "split_leakage": q_split_leakage,
         "decontaminate": q_decontaminate,
         "ivfpq_topk": q_ivfpq_topk,  # rows-only (driver-state centroids/codebooks)
     }
