@@ -43,6 +43,41 @@ def stratified_sample(
     return df.withColumn("kept", u < rate)
 
 
+def pack_sequences(
+    df: DataFrame, key: str, token_col: str, budget: int,
+    n_buckets: int = 64, salt: str = "pack-",
+) -> DataFrame:
+    """Sequence packing for LLM training: assign each document to a
+    training-sequence bin so per-bin token sums approach ``budget`` —
+    the step that turns a document table into fixed-length batches.
+
+    Scale shape: documents are hash-bucketed (``n_buckets`` independent
+    packing streams — each window sorts ONE bucket, never a global
+    order), then greedily packed by running token total within the
+    bucket: bin = floor(prefix_sum / budget). Deterministic (hash order),
+    one shuffle. Approximation contract: a document straddling a budget
+    boundary stays in the bin where its prefix started, so a bin can
+    overflow by at most max(doc tokens) - 1; callers that need hard caps
+    truncate at read time. Output adds (bucket, bin_id, bin_pos).
+    """
+    from pyspark.sql.window import Window
+
+    bucket = (hash8_col(F.col(key), salt) % n_buckets).alias("bucket")
+    out = df.withColumn("bucket", bucket)
+    w = Window.partitionBy("bucket").orderBy(hash8_col(F.col(key), salt + "o"), key)
+    prefix = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        out.withColumn("bin_id", F.floor(prefix / budget).cast("long"))
+        .withColumn("bin_pos", F.row_number().over(
+            Window.partitionBy("bucket", "bin_id").orderBy(
+                hash8_col(F.col(key), salt + "o"), key
+            )
+        ))
+    )
+
+
 def split_assign(
     df: DataFrame,
     key: str,

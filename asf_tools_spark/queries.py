@@ -434,7 +434,7 @@ _REGISTRY_HEAD = [
 _REGISTRY_TAIL = [
     # round-3 additions (oracled, judge-battery verified; outside the
     # 50-row driver window so the reference-core rows keep their D rows):
-    "repetition_signals", "pii_scrub", "line_dedup", "corpus_sample", "top_ngrams", "asof_join", "range_join_counts", "corpus_budget", "decontaminate", "corpus_funnel", "snapshot_diff", "split_leakage",
+    "repetition_signals", "pii_scrub", "line_dedup", "corpus_sample", "top_ngrams", "asof_join", "range_join_counts", "corpus_budget", "decontaminate", "corpus_funnel", "snapshot_diff", "split_leakage", "sequence_packing",
     # trivial string fns / generic TPC-H demos, D-green twice (r1+r2):
     "tile_name", "area_raster_name", "convert_scale",
     "orders_by_segment", "pricing_summary",

@@ -261,6 +261,24 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents hash-bucketed into 8 independent packing
+    streams, greedily binned to a 256-token budget by running BPE-token
+    prefix sums — deterministic, one shuffle, fully oracled (SQL window
+    twin)."""
+    from .operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "n_tok", text.bpe_token_count_col(F.col("text")).cast("long")
+    ).select("doc_id", "n_tok")
+    out = sampling.pack_sequences(docs, "doc_id", "n_tok", budget=256, n_buckets=8)
+    return out.select(
+        "doc_id", "n_tok", F.col("bucket").cast("long").alias("bucket"),
+        "bin_id", F.col("bin_pos").cast("long").alias("bin_pos")
+    )
+
+
 def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget report: docs + BPE-ish token totals per (source, lang)
     with ROLLUP subtotals — all grouping levels in one pass (Catalyst
@@ -1048,6 +1066,29 @@ def _oracle_sqls() -> dict[str, str]:
         JOIN splits b ON b.doc_id = v.key_b
         GROUP BY 1, 2
     """
+    h_pack = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="pack-")
+    h_packo = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="pack-o")
+    sqls["sequence_packing"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(LEN(regexp_extract_all({_norm_sql("text")}, '{text.BPE_TOKEN_RE}')) AS BIGINT) AS n_tok,
+                 ({h_pack}) % 8 AS bucket, ({h_packo}) AS ho
+          FROM documents
+        )
+        SELECT doc_id, n_tok, CAST(bucket AS BIGINT) AS bucket,
+               CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY bucket, bin_id ORDER BY ho, doc_id
+               ) AS BIGINT) AS bin_pos
+        FROM (
+          SELECT doc_id, n_tok, bucket, ho,
+                 FLOOR(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY bucket ORDER BY ho, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) / 256) AS bin_id
+          FROM toks
+        ) binned
+    """
     sqls["snapshot_diff"] = f"""
         WITH old AS (
           SELECT doc_id, md5({_norm_sql("text")}) AS fa FROM documents
@@ -1209,6 +1250,7 @@ def queries() -> dict:
         "corpus_funnel": q_corpus_funnel,
         "snapshot_diff": q_snapshot_diff,
         "split_leakage": q_split_leakage,
+        "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
         "ivfpq_topk": q_ivfpq_topk,  # rows-only (driver-state centroids/codebooks)
     }

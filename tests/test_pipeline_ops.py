@@ -278,6 +278,30 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_pack_sequences_budget_and_determinism(spark):
+    from asf_tools_spark.operators import sampling
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("n_tok")
+    )
+    out = sampling.pack_sequences(df, "doc_id", "n_tok", budget=200, n_buckets=4)
+    pdf = out.toPandas()
+    assert set(pdf["bucket"]) <= set(range(4))
+    # overflow contract: bin sum < budget + max doc tokens
+    sums = pdf.groupby(["bucket", "bin_id"])["n_tok"].sum()
+    assert (sums < 200 + 99).all()
+    # all bins except each bucket's last must have reached the budget floor
+    last = pdf.groupby("bucket")["bin_id"].max()
+    for (b, bid), s in sums.items():
+        if bid != last[b]:
+            assert s >= 200 - 99
+    # deterministic under repartitioning
+    again = sampling.pack_sequences(
+        df.repartition(13), "doc_id", "n_tok", budget=200, n_buckets=4
+    ).toPandas().set_index("doc_id").sort_index()
+    assert (again["bin_id"] == pdf.set_index("doc_id").sort_index()["bin_id"]).all()
+
+
 def test_snapshot_diff_classifies_all_transitions(spark):
     from asf_tools_spark.operators.diff import snapshot_diff, snapshot_diff_summary
 
