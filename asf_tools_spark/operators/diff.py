@@ -23,13 +23,23 @@ def snapshot_diff(
     old: DataFrame, new: DataFrame, key: str, text_col: str = "text"
 ) -> DataFrame:
     """(key, status) for every key in either snapshot."""
-    a = old.select(F.col(key), F.md5(normalize_text(F.col(text_col))).alias("_fa"))
-    b = new.select(F.col(key), F.md5(normalize_text(F.col(text_col))).alias("_fb"))
+    # presence markers, NOT fingerprint nullness: md5(NULL text) is NULL,
+    # so a key present in both snapshots with NULL text on one side would
+    # otherwise misreport as added/removed; eqNullSafe treats NULL==NULL
+    # text as unchanged
+    a = old.select(
+        F.col(key), F.md5(normalize_text(F.col(text_col))).alias("_fa"),
+        F.lit(True).alias("_ina"),
+    )
+    b = new.select(
+        F.col(key), F.md5(normalize_text(F.col(text_col))).alias("_fb"),
+        F.lit(True).alias("_inb"),
+    )
     j = a.join(b, key, "full_outer")
     status = (
-        F.when(F.col("_fa").isNull(), "added")
-        .when(F.col("_fb").isNull(), "removed")
-        .when(F.col("_fa") == F.col("_fb"), "unchanged")
+        F.when(F.col("_ina").isNull(), "added")
+        .when(F.col("_inb").isNull(), "removed")
+        .when(F.col("_fa").eqNullSafe(F.col("_fb")), "unchanged")
         .otherwise("changed")
     )
     return j.select(key, status.alias("status"))

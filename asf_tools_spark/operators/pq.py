@@ -233,23 +233,35 @@ def save_ivfpq_index(codes: DataFrame, centroids: np.ndarray,
     """Persist an IVFPQ index: codes parquet PARTITIONED BY list_id (a
     probe for list L reads only list_id=L directories — partition pruning
     is the disk-side twin of the probe join's list restriction) + the tiny
-    centroid/codebook driver state as JSON."""
+    centroid/codebook driver state as JSON. meta.json goes through the
+    Hadoop FileSystem like the codes do, so s3://, hdfs://, and local
+    paths all work — a local pathlib write would split-brain the index on
+    any non-local path."""
     import json
-    from pathlib import Path
+
+    from ..sources.maintenance import _fs_and_path
 
     codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
     meta = {
         "centroids": np.asarray(centroids, dtype=float).tolist(),
         "codebooks": np.asarray(codebooks, dtype=float).tolist(),
     }
-    Path(f"{path}/meta.json").write_text(json.dumps(meta))
+    fs, hpath = _fs_and_path(codes.sparkSession, f"{path}/meta.json")
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     import json
-    from pathlib import Path
 
-    meta = json.loads(Path(f"{path}/meta.json").read_text())
+    from ..sources.maintenance import _fs_and_path
+
+    # read through Spark (any configured FS scheme); py4j can't fill a
+    # Python bytearray through FSDataInputStream.readFully (pass-by-value)
+    meta = json.loads(spark.read.text(f"{path}/meta.json", wholetext=True).first()[0])
     codes = spark.read.parquet(f"{path}/codes")
     return codes, np.array(meta["centroids"]), np.array(meta["codebooks"])
 

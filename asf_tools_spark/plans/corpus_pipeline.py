@@ -41,7 +41,10 @@ class CorpusPipelineConfig:
 def curate_corpus(
     docs: DataFrame, cfg: CorpusPipelineConfig = CorpusPipelineConfig()
 ) -> dict:
-    """Returns {"corpus": final DataFrame, "funnel": [(stage, rows)]}.
+    """Returns {"corpus": final DataFrame, "funnel": [(stage, rows)],
+    "release": callable} — call release() once the corpus frame has been
+    consumed (written/collected) to unpersist the cached stage frames;
+    leaving them cached starves later jobs in the same session.
 
     The funnel counts execute one action per stage boundary; each stage
     frame is persisted BEFORE its count so the count pass materializes the
@@ -119,4 +122,8 @@ def curate_corpus(
     ).where(F.col("kept")).drop("kept")
     sampled = _stage("sampled", sampled)
 
-    return {"corpus": sampled, "funnel": funnel}
+    def release() -> None:
+        while cached:
+            cached.pop().unpersist()
+
+    return {"corpus": sampled, "funnel": funnel, "release": release}

@@ -198,6 +198,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         CorpusPipelineConfig(sample_rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT),
     )
     pdf = pd.DataFrame(res["funnel"], columns=["stage", "n_docs"])
+    res["release"]()  # counts are collected; don't hold stage caches for
+    # the remaining 70+ battery queries of this session
     return spark.createDataFrame(pdf).select(
         "stage", F.col("n_docs").cast("long").alias("n_docs")
     )
@@ -244,7 +246,13 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.word_shingles(docs, "doc_id")
     verified = dedup.jaccard_on_pairs(pairs, sh, "doc_id").where(
         F.round("jaccard", 6) >= 0.5
-    )
+    ).select("key_a", "key_b")
+    # identical-signature (exact-duplicate) pairs are collapsed out of the
+    # candidate join by design — without adding them back the WORST leaks
+    # (verbatim copies across splits) would be invisible to the audit
+    verified = verified.unionByName(
+        dedup.identical_signature_edges(sigs, "doc_id")
+    ).distinct()
     splits = sampling.split_assign(docs.select("doc_id"), "doc_id").select(
         "doc_id", "split"
     )
@@ -1046,9 +1054,21 @@ def _oracle_sqls() -> dict[str, str]:
     sig_cols_f = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
     sig_eq_f = " AND ".join(f"s.sig_{i} = r.sig_{i}" for i in range(N_MINHASH))
     h_spl2 = oracle.hash8_sql("doc_id", oracle.DUCKDB, salt="spl-")
+    lk_sig_cols = ", ".join(f"sig_{i}" for i in range(N_MINHASH))
+    lk_sig_eq = " AND ".join(f"s.sig_{i} = r.sig_{i}" for i in range(N_MINHASH))
     sqls["split_leakage"] = f"""
-        WITH verified AS (
+        WITH jac AS (
           SELECT key_a, key_b FROM ({_jaccard_sql()}) j WHERE jaccard >= {oracle.dbl(0.5)}
+        ),
+        lsigs AS (SELECT * FROM {_minhash_sql()} m),
+        lreps AS (SELECT {lk_sig_cols}, MIN(doc_id) AS rep FROM lsigs GROUP BY {lk_sig_cols}),
+        lident AS (
+          SELECT r.rep AS key_a, s.doc_id AS key_b
+          FROM lsigs s JOIN lreps r ON {lk_sig_eq}
+          WHERE s.doc_id <> r.rep
+        ),
+        verified AS (
+          SELECT key_a, key_b FROM jac UNION SELECT key_a, key_b FROM lident
         ),
         splits AS (
           SELECT doc_id,

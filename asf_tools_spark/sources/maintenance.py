@@ -7,12 +7,14 @@ one open per file and the NameNode/listing cost grows unbounded. Compaction
 rewrites undersized partitions into ~target-size files.
 
 File inventory goes through the JVM Hadoop FileSystem API (works for any
-configured scheme — local, HDFS, s3a), not os.walk. The rewrite is a
-per-partition dynamic overwrite: read one partition, repartition to
-ceil(bytes/target), overwrite that partition only. Production note: for
-strict readers-during-rewrite semantics put the table behind a format with
-commit protocol (the lineage writer records the rewrite as a job like any
-other); plain parquet readers may see a partition mid-swap.
+configured scheme — local, HDFS, s3a), not os.walk. The rewrite writes the
+compacted copy to a temp sibling directory and swaps it in with two FS
+renames — the compacted data is durable on disk before the original is
+touched, so a crash at any point loses nothing (worst case: a leftover
+__compact_tmp/__compact_old dir to clean). Production note: for strict
+readers-during-swap semantics put the table behind a format with a commit
+protocol; plain parquet readers may see the partition briefly absent
+between the two renames.
 """
 
 from __future__ import annotations
@@ -69,9 +71,26 @@ def compact_table(
             continue
         n_out = max(1, math.ceil(d["bytes"] / target_bytes))
         part_path = f"{table_path}/{d['partition']}" if d["partition"] else table_path
-        # materialize to executor storage BEFORE overwriting the same
-        # directory (self-overwrite of a lazily-read source truncates it)
-        df = spark.read.parquet(part_path).localCheckpoint(eager=True)
-        df.repartition(n_out).write.mode("overwrite").parquet(part_path)
+        # write the compacted copy to a temp sibling FIRST, then swap via
+        # FS renames — a direct in-place overwrite deletes the source
+        # before the (unreplicated localCheckpoint-backed) rewrite commits,
+        # so an executor/driver loss mid-write would lose the partition
+        tmp_path = part_path.rstrip("/") + "__compact_tmp"
+        old_path = part_path.rstrip("/") + "__compact_old"
+        spark.read.parquet(part_path).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp_path)
+        fs, p_cur = _fs_and_path(spark, part_path)
+        _, p_tmp = _fs_and_path(spark, tmp_path)
+        _, p_old = _fs_and_path(spark, old_path)
+        fs.delete(p_old, True)
+        # two metadata renames: the only non-atomic window is between them
+        # (readers see a missing partition, never a half-written one)
+        if not fs.rename(p_cur, p_old):
+            raise IOError(f"compact_table: rename {part_path} -> {old_path} failed")
+        if not fs.rename(p_tmp, p_cur):
+            fs.rename(p_old, p_cur)  # roll back
+            raise IOError(f"compact_table: rename {tmp_path} -> {part_path} failed")
+        fs.delete(p_old, True)
         rewritten[d["partition"]] = (d["n_files"], n_out)
     return rewritten

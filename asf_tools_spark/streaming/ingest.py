@@ -117,15 +117,19 @@ def start_curated_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()  # two consumers: corpus write + indexer
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
-        indexer(batch_df, batch_id)
-        batch_df.unpersist()
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            indexer(batch_df, batch_id)
+        finally:
+            # a throwing sink is retried with a FRESH DataFrame — without
+            # this, every failed attempt strands another cached batch copy
+            batch_df.unpersist()
 
     return (
         curated.writeStream.foreachBatch(_sink)

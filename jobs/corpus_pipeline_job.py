@@ -45,6 +45,7 @@ def main() -> None:
     for stage, n in result["funnel"]:
         print(f"funnel {stage}: {n}")
     metrics = LineageWriter(args.out).write(result["corpus"], "split", job_id=args.job_id)
+    result["release"]()
     print(metrics)
     spark.stop()
 

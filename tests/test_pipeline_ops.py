@@ -319,6 +319,12 @@ def test_snapshot_diff_classifies_all_transitions(spark):
                    3: "unchanged", 4: "added"}  # 3: fingerprint normalizes
     summary = {r.status: r.n for r in snapshot_diff_summary(old, new, "doc_id").collect()}
     assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+    # NULL text is a value, not absence: present-both-sides keys with NULL
+    # text must report changed/unchanged, never added/removed
+    old_n = spark.createDataFrame([(0, None), (1, None), (2, "x")], "doc_id long, text string")
+    new_n = spark.createDataFrame([(0, "now set"), (1, None), (2, None)], "doc_id long, text string")
+    got_n = {r.doc_id: r.status for r in snapshot_diff(old_n, new_n, "doc_id").collect()}
+    assert got_n == {0: "changed", 1: "unchanged", 2: "changed"}
 
 
 def test_contamination_report_flags_planted_overlap(spark):
