@@ -11,6 +11,13 @@ a per-key sort, which is exactly the minimum any as-of algorithm needs;
 skewed keys are bounded by per-key data volume, not pair counts. Ties
 (right.on == left.on) match, like DuckDB/kdb ASOF semantics: the right
 side orders before the left at equal timestamps.
+
+When two RIGHT rows share (by, on), the window's final sort key is the
+right payload struct itself, so the lexicographically-largest right row
+(over its columns in order) wins deterministically — without it, last()
+would return whichever row Spark's sort happened to place last, varying
+across runs/partitionings. Oracles must mirror the same rule (dedupe the
+right side to the max row per (by, on) before a native ASOF join).
 """
 
 from __future__ import annotations
@@ -44,9 +51,12 @@ def asof_join(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(0).alias("_side"),
         F.lit(None).cast(l_struct_t).alias("_lv"), F.struct(*r_cols).alias("_rv"),
     )
+    # "_rv" as the last sort key = deterministic tie-break among right rows
+    # with identical (key, ts): max payload struct wins. Left rows carry a
+    # NULL _rv but are already separated by _side.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", "_rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -13,6 +13,10 @@ Pit/depression filling and flat resolution are upstream conditioning steps
 in pysheds; here, cells with no lower neighbor are sinks (flow_dir NULL),
 which on the synthetic/test terrains plays the same role. NaN elevations are
 treated as nodata (no flow in or out).
+
+``condition_dem`` converges to the serial priority-flood fill to within its
+convergence tolerance ``conv_tol`` (default eps*1e-6; pass 0 for the exact
+fixpoint) — see its docstring for the near-tied-spill caveat.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ def condition_dem(
     max_rounds: int | None = None,
     coarse_init: bool = True,
     stats: dict | None = None,
+    conv_tol: float | None = None,
 ) -> DataFrame:
     """Distributed DEM conditioning: epsilon priority-flood depression
     filling, the Spark stand-in for the pysheds chain fill_pits ->
@@ -76,17 +81,29 @@ def condition_dem(
     tight upper bound g on every border cell's true fill. Seeding ``f`` at
     g lets long-range fill information arrive before the first halo round,
     so the fixpoint is local cleanup only: measured 2-3 rounds instead of
-    O(tile-graph semi-perimeter). Exactness is unaffected — ``f``
-    decreases monotonically from any upper bound to the unique fixpoint
-    (= the global priority flood). Only border cells (cells/tile_perimeter
+    O(tile-graph semi-perimeter). The seed does not change the fixpoint —
+    ``f`` decreases monotonically from any upper bound to the unique
+    fixpoint (= the global priority flood), reached to within ``conv_tol``
+    (exactly, when ``conv_tol=0``). Only border cells (cells/tile_perimeter
     fraction) ever reach the driver; guarded to the plain fixpoint when
     the border graph itself would be too big (the next rung is recursing
     the same summarization over tiles-of-tiles).
 
     ``stats``: pass a dict to receive {"rounds": int, "coarse": bool}.
+
+    ``conv_tol`` (default ``eps * 1e-6``): the convergence gate stops when
+    no cell's ``f`` drops by more than this between rounds. The default
+    sits ~3 orders above the measured float-resummation noise floor and 6
+    below eps, but it makes the stopping rule a TOLERANCE: two competing
+    spill paths within conv_tol of each other may freeze at the higher
+    elevation, so parity with a serial priority flood holds only outside
+    near-tied spill configurations. Pass ``conv_tol=0`` for the exact
+    fixpoint (every improvement counts; costs O(diameter) extra rounds of
+    ~1e-14 noise chasing on large grids).
     """
     from ..core.dem import priority_flood_fill
 
+    tol = eps * 1e-6 if conv_tol is None else conv_tol
     tr, tc = tile_shape
     ext = grid.agg(
         F.min("row").alias("r0"), F.max("row").alias("r1"),
@@ -188,7 +205,7 @@ def condition_dem(
         changed = (
             new_state.alias("n")
             .join(state.select("row", "col", F.col("f").alias("f_old")), ["row", "col"])
-            .where(F.col("f") < F.col("f_old") - F.lit(eps * 1e-6))
+            .where(F.col("f") < F.col("f_old") - F.lit(tol))
             .limit(1)
             .count()
         )

@@ -268,7 +268,8 @@ def top_ngrams(
 
 
 def line_dedup(
-    df: DataFrame, key: str, text_col: str = "text", sep: str = "\n", max_docs: int = 5
+    df: DataFrame, key: str, text_col: str = "text", sep: str = "\n",
+    max_docs: int = 5, hash_lines: bool = True,
 ) -> DataFrame:
     """CCNet-style line-level deduplication (Wenzek et al. 2019, public
     literature): a line occurring in more than ``max_docs`` distinct
@@ -277,22 +278,30 @@ def line_dedup(
 
     Scale shape: posexplode -> per-line doc-frequency hash aggregate
     (map-side combine; shuffle is O(distinct lines), not O(text)) -> the
-    heavy-hitter line set is tiny by construction (frequency > max_docs),
-    so it broadcasts and the flagging join never shuffles the corpus ->
-    one groupBy(key) reassembly shuffle. For very long lines, substitute
-    xxhash64(line) as the aggregate/join key to shuttle 8 bytes instead of
-    the line bytes; output depends only on the hot-line membership.
+    heavy-hitter line set broadcasts and the flagging join never shuffles
+    the corpus -> one groupBy(key) reassembly shuffle.
+
+    ``hash_lines`` (DEFAULT) keys the aggregate, the broadcast set and the
+    flag join on ``xxhash64(line)`` — 8 bytes shuffled/broadcast per
+    distinct line instead of the line bytes. A 100 TB web corpus has
+    millions of distinct boilerplate lines x ~100 B each: raw-line
+    broadcast is a multi-hundred-MB build, hashed it is ~8 MB. Output
+    depends only on hot-line MEMBERSHIP, so results are identical up to a
+    2^-64-per-pair xxhash64 collision; pass hash_lines=False for the
+    collision-free raw-line join (small corpora / oracle replays).
     """
     lines = df.select(
         key, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
     )
+    line_key = F.xxhash64("line") if hash_lines else F.col("line")
+    lines = lines.withColumn("_lk", line_key)
     hot = (
-        lines.groupBy("line")
+        lines.groupBy("_lk")
         .agg(F.count_distinct(key).alias("_df"))
         .where(F.col("_df") > max_docs)
-        .select("line", F.lit(True).alias("_hot"))
+        .select("_lk", F.lit(True).alias("_hot"))
     )
-    flagged = lines.join(F.broadcast(hot), "line", "left").select(
+    flagged = lines.join(F.broadcast(hot), "_lk", "left").select(
         key, "pos", "line", F.coalesce("_hot", F.lit(False)).alias("_hot")
     )
     kept_text = F.array_join(

@@ -4,7 +4,7 @@ team actually runs, as ONE Spark plan chain:
   quality filter (heuristics + Gopher repetition screens)
   -> PII scrub
   -> line-level boilerplate dedup (CCNet)
-  -> exact dedup (hash-groupBy)
+  -> exact dedup (one window pass: keep min key per text fingerprint)
   -> near-dup dedup (MinHash -> LSH -> Jaccard verify -> clusters)
   -> stratified mixture sampling + train/val/test split
 
@@ -12,13 +12,29 @@ Every stage is a documented operator from operators/{text,dedup,sampling};
 this module only composes them and reports the funnel. All decisions are
 hash-deterministic, so a re-run (or a late partition) reproduces the same
 corpus — the property that makes the pipeline restartable at 100 TB.
+
+Funnel accounting rides the plan via ``df.observe()`` (CollectMetrics)
+instead of a persist()+count() action per stage: at 100 TB a per-stage
+count means persisting multi-TB intermediates purely for bookkeeping.
+Total actions inside the pipeline: TWO noop-materializations, one per
+genuinely multi-consumer stage (``scrubbed`` feeds line-dedup AND the
+text join-back; ``exacted`` feeds signatures, shingles, cluster join-back).
+Those must be eagerly cached anyway — this repo measured a 5x blowup when
+a lazily-persisted frame is first touched by several branches of one job
+(each branch re-runs the upstream chain against the cold cache) — so the
+materializing action doubles as the observation trigger and fires each
+stage's metrics exactly once; downstream actions read the cache and never
+re-fire them. The remaining stage counts (near_dedup, sampled) ride the
+CALLER'S final action for free. Three actions total (2 internal + the
+caller's write), down from seven.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup, sampling, text
 
@@ -38,38 +54,44 @@ class CorpusPipelineConfig:
     default_rate: float = 1.0
 
 
+_FUNNEL_ORDER = [
+    "input", "quality_screen", "line_dedup", "exact_dedup", "near_dedup", "sampled",
+]
+
+
 def curate_corpus(
     docs: DataFrame, cfg: CorpusPipelineConfig = CorpusPipelineConfig()
 ) -> dict:
-    """Returns {"corpus": final DataFrame, "funnel": [(stage, rows)],
-    "release": callable} — call release() once the corpus frame has been
-    consumed (written/collected) to unpersist the cached stage frames;
-    leaving them cached starves later jobs in the same session.
-
-    The funnel counts execute one action per stage boundary; each stage
-    frame is persisted BEFORE its count so the count pass materializes the
-    stage once and every later stage (and the caller's final write) reads
-    the cache instead of re-running the whole upstream chain — without the
-    persists the funnel is O(stages^2) full passes (and the repo's measured
-    lazy-cache race on multi-branch reads applies). The final corpus frame
-    stays lazy for the caller to write; intermediates are unpersisted once
-    their successor is materialized. Stages share no driver state beyond
-    tiny keep-lists."""
+    """Returns {"corpus": final DataFrame, "funnel": callable, "release":
+    callable}. ``funnel()`` returns [(stage, rows)] and must be called
+    AFTER the corpus frame has been materialized (written/counted) — the
+    last two stage metrics ride that action and ``Observation.get`` blocks
+    until its metrics exist. Call ``release()`` once the corpus has been
+    consumed to unpersist the cached multi-consumer stage frames; leaving
+    them cached starves later jobs in the same session."""
     key = cfg.key
-    cached = []
+    observations: dict[str, Observation] = {}
+    cached: list[DataFrame] = []
 
-    def _stage(name: str, df: DataFrame) -> DataFrame:
+    def _observe(name: str, df: DataFrame) -> DataFrame:
+        o = Observation(f"funnel_{name}")
+        observations[name] = o
+        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+
+    def _eager(df: DataFrame) -> DataFrame:
+        # persist + one noop write: materializes the cache through a real
+        # SQL action (fires the plan's pending observes exactly once);
+        # every later consumer — including several branches of one job —
+        # reads the hot cache instead of re-running the upstream chain
         df = df.persist()
-        funnel.append((name, df.count()))
-        # predecessor is no longer needed once this stage is materialized
-        if len(cached) > 1:
-            cached.pop(0).unpersist()
+        df.write.format("noop").mode("overwrite").save()
         cached.append(df)
         return df
 
-    funnel = [("input", docs.count())]
-
-    quality = text.quality_features(docs)
+    # the input observe is attached to exactly ONE of the two branches that
+    # scan docs (quality features; repetition signals re-scan it) so the
+    # CollectMetrics subtree appears once in the plan and fires once
+    quality = text.quality_features(_observe("input", docs))
     rep = text.repetition_signals(docs, key)
     screened = (
         quality.join(rep.select(key, "distinct_frac", "top_bigram_frac"), key)
@@ -80,10 +102,11 @@ def curate_corpus(
         )
         .select(*docs.columns)
     )
-    screened = _stage("quality_screen", screened)
+    screened = _observe("quality_screen", screened)
 
     scrubbed = text.pii_scrub(screened).drop("text").withColumnRenamed("scrubbed", "text")
     scrubbed = scrubbed.select(*docs.columns, "n_emails", "n_longnums")
+    scrubbed = _eager(scrubbed)  # action 1: fires input + quality_screen
 
     lines = text.line_dedup(scrubbed, key, max_docs=cfg.line_max_docs)
     deboiler = (
@@ -92,24 +115,34 @@ def curate_corpus(
         .withColumnRenamed("kept_text", "text")
         .drop("n_lines", "n_kept")
     )
-    deboiler = _stage("line_dedup", deboiler)
+    deboiler = _observe("line_dedup", deboiler)
 
-    exact_keep = dedup.exact_dedup(deboiler, key).select(
-        F.col(f"keep_{key}").alias(key)
+    # exact dedup as ONE window pass (same keep rule as dedup.exact_dedup:
+    # min key per md5(normalized text)) — replaces groupBy + semi-join-back,
+    # i.e. one shuffle on the fingerprint instead of two
+    w_fp = Window.partitionBy(F.md5(dedup.normalize_text(F.col("text")))).orderBy(key)
+    exacted = (
+        deboiler.withColumn("_rn", F.row_number().over(w_fp))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    exacted = _stage("exact_dedup", deboiler.join(exact_keep, key, "left_semi"))
+    exacted = _observe("exact_dedup", exacted)
+    exacted = _eager(exacted)  # action 2: fires line_dedup + exact_dedup
+    cached.pop(0).unpersist()  # scrubbed has no further consumer
 
     sigs = dedup.minhash_signatures(exacted, key, n_hashes=cfg.n_minhash)
     pairs = dedup.lsh_candidate_pairs(sigs, key, cfg.bands, cfg.rows_per_band)
     sh = dedup.word_shingles(exacted, key)
     verified = (
         dedup.jaccard_on_pairs(pairs, sh, key)
-        .where(F.col("jaccard") >= cfg.jaccard_threshold)
+        # round-6 on the threshold compare, matching the DuckDB oracle and
+        # the split_leakage audit (both compare ROUND(jaccard, 6))
+        .where(F.round("jaccard", 6) >= cfg.jaccard_threshold)
         .select("key_a", "key_b")
     )
     edges = verified.unionByName(dedup.identical_signature_edges(sigs, key)).distinct()
     clusters = dedup.near_dup_clusters(exacted.select(key), edges, key)
-    neared = _stage(
+    neared = _observe(
         "near_dedup",
         exacted.join(clusters.where(F.col("keep")).select(key), key, "left_semi"),
     )
@@ -120,7 +153,10 @@ def curate_corpus(
         ),
         key,
     ).where(F.col("kept")).drop("kept")
-    sampled = _stage("sampled", sampled)
+    sampled = _observe("sampled", sampled)
+
+    def funnel() -> list[tuple[str, int]]:
+        return [(n, int(observations[n].get["rows"])) for n in _FUNNEL_ORDER]
 
     def release() -> None:
         while cached:

@@ -197,7 +197,10 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"),
         CorpusPipelineConfig(sample_rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT),
     )
-    pdf = pd.DataFrame(res["funnel"], columns=["stage", "n_docs"])
+    # one final action materializes the corpus and fires the tail observes
+    # (near_dedup, sampled); funnel() then reads all six stage metrics
+    res["corpus"].write.format("noop").mode("overwrite").save()
+    pdf = pd.DataFrame(res["funnel"](), columns=["stage", "n_docs"])
     res["release"]()  # counts are collected; don't hold stage caches for
     # the remaining 70+ battery queries of this session
     return spark.createDataFrame(pdf).select(
@@ -993,7 +996,14 @@ def _oracle_sqls() -> dict[str, str]:
                CAST(COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS BIGINT) AS delta_us
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
         ASOF LEFT JOIN
-             (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') r
+             -- mirror the operator's deterministic tie-break: among right
+             -- rows sharing (user_id, ts), the max payload (ts, event_id)
+             -- struct wins, i.e. max event_id here
+             (SELECT event_id, user_id, ts FROM (
+                SELECT event_id, user_id, ts,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'view') WHERE rn = 1) r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """
     sqls["range_join_counts"] = """

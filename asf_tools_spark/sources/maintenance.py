@@ -8,13 +8,19 @@ rewrites undersized partitions into ~target-size files.
 
 File inventory goes through the JVM Hadoop FileSystem API (works for any
 configured scheme — local, HDFS, s3a), not os.walk. The rewrite writes the
-compacted copy to a temp sibling directory and swaps it in with two FS
+compacted copy to a temp staging directory and swaps it in with two FS
 renames — the compacted data is durable on disk before the original is
-touched, so a crash at any point loses nothing (worst case: a leftover
-__compact_tmp/__compact_old dir to clean). Production note: for strict
-readers-during-swap semantics put the table behind a format with a commit
-protocol; plain parquet readers may see the partition briefly absent
-between the two renames.
+touched, so a crash at any point loses no data. Staging dirs live under
+``<table>/_compact_tmp/...`` and ``<table>/_compact_old/...``: the leading
+underscore makes Spark/Hadoop file listing ignore them, so a concurrent
+reader of the table root never sees staged or superseded copies as extra
+partitions (a suffix-named sibling like ``date=x__compact_tmp`` would be
+parsed as a real partition and silently double-count rows — during every
+compaction, and permanently after a crash between rename and delete).
+Worst case after a crash is a leftover hidden dir to clean, invisible to
+readers. Production note: for strict readers-during-swap semantics put the
+table behind a format with a commit protocol; plain parquet readers may
+see the partition briefly absent between the two renames.
 """
 
 from __future__ import annotations
@@ -47,6 +53,10 @@ def small_file_report(spark: SparkSession, table_path: str) -> list[dict]:
         if not name.endswith(".parquet"):
             continue
         rel = p[len(root_str):].lstrip("/")
+        # mirror Spark's listing rule: hidden path segments (leading '_' or
+        # '.') are not table data — skips compaction staging dirs too
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
         part = rel.rsplit("/", 1)[0] if "/" in rel else ""
         d = report.setdefault(part, {"partition": part, "n_files": 0, "bytes": 0})
         d["n_files"] += 1
@@ -70,13 +80,25 @@ def compact_table(
         if d["n_files"] < min_files or d["avg_bytes"] >= target_bytes // 2:
             continue
         n_out = max(1, math.ceil(d["bytes"] / target_bytes))
-        part_path = f"{table_path}/{d['partition']}" if d["partition"] else table_path
-        # write the compacted copy to a temp sibling FIRST, then swap via
+        root = table_path.rstrip("/")
+        if d["partition"]:
+            part_path = f"{root}/{d['partition']}"
+            # staging lives in HIDDEN dirs inside the table root: Spark's
+            # partition discovery ignores '_'-prefixed segments, so readers
+            # never parse the staged/superseded copy as a real partition
+            tmp_path = f"{root}/_compact_tmp/{d['partition']}"
+            old_path = f"{root}/_compact_old/{d['partition']}"
+        else:
+            # unpartitioned: the swap target is the table root itself, so
+            # staging must sit OUTSIDE it — hidden-named siblings
+            part_path = root
+            parent, _, name = root.rpartition("/")
+            tmp_path = f"{parent}/_{name}__compact_tmp"
+            old_path = f"{parent}/_{name}__compact_old"
+        # write the compacted copy to the staging dir FIRST, then swap via
         # FS renames — a direct in-place overwrite deletes the source
-        # before the (unreplicated localCheckpoint-backed) rewrite commits,
-        # so an executor/driver loss mid-write would lose the partition
-        tmp_path = part_path.rstrip("/") + "__compact_tmp"
-        old_path = part_path.rstrip("/") + "__compact_old"
+        # before the rewrite commits, so an executor/driver loss mid-write
+        # would lose the partition
         spark.read.parquet(part_path).repartition(n_out).write.mode(
             "overwrite"
         ).parquet(tmp_path)
@@ -84,6 +106,7 @@ def compact_table(
         _, p_tmp = _fs_and_path(spark, tmp_path)
         _, p_old = _fs_and_path(spark, old_path)
         fs.delete(p_old, True)
+        fs.mkdirs(p_old.getParent())  # rename needs an existing dest parent
         # two metadata renames: the only non-atomic window is between them
         # (readers see a missing partition, never a half-written one)
         if not fs.rename(p_cur, p_old):

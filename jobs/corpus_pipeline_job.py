@@ -42,9 +42,10 @@ def main() -> None:
 
     docs = spark.read.parquet(args.docs)
     result = curate_corpus(docs, CorpusPipelineConfig(min_quality=args.min_quality))
-    for stage, n in result["funnel"]:
-        print(f"funnel {stage}: {n}")
+    # the write IS the action the tail funnel observes ride — funnel() after
     metrics = LineageWriter(args.out).write(result["corpus"], "split", job_id=args.job_id)
+    for stage, n in result["funnel"]():
+        print(f"funnel {stage}: {n}")
     result["release"]()
     print(metrics)
     spark.stop()

@@ -278,6 +278,22 @@ def test_line_dedup_drops_boilerplate_preserving_order(spark):
     assert got[4].n_lines == 1 and got[4].n_kept == 0 and got[4].kept_text == ""
 
 
+def test_line_dedup_hashed_keys_match_raw_and_shuffle_8_bytes(spark):
+    """Default hash_lines=True must (a) produce exactly the raw-line-join
+    result and (b) aggregate/join on a LongType key — 8 bytes shuffled and
+    broadcast per distinct line instead of the line bytes (the 100 TB
+    broadcast-size fix)."""
+    from asf_tools_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashed = T.line_dedup(docs, "doc_id", max_docs=3)
+    raw = T.line_dedup(docs, "doc_id", max_docs=3, hash_lines=False)
+    assert sorted(map(tuple, hashed.collect())) == sorted(map(tuple, raw.collect()))
+    # the hot-set aggregate keys on xxhash64(line), not the string
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64(line" in plan
+
+
 def test_pack_sequences_budget_and_determinism(spark):
     from asf_tools_spark.operators import sampling
 
@@ -354,7 +370,9 @@ def test_corpus_pipeline_funnel(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     res = curate_corpus(docs, CorpusPipelineConfig(sample_rates={"src0": 0.0}))
-    funnel = dict(res["funnel"])
+    # funnel metrics ride the final action (observe(), not per-stage counts)
+    res["corpus"].write.format("noop").mode("overwrite").save()
+    funnel = dict(res["funnel"]())
     assert funnel["input"] == 500
     # each stage only removes documents
     order = ["input", "quality_screen", "line_dedup", "exact_dedup", "near_dedup", "sampled"]
@@ -400,6 +418,21 @@ def test_asof_join_semantics(spark):
     assert got[102].r_rid is None  # right is after left -> no match
     assert got[103].r_rid is None  # key absent on right
     assert got[101].t == 20 and got[101].r_t == 15  # left cols + prefixed right
+
+
+def test_asof_join_duplicate_ts_deterministic(spark):
+    """Two right rows with identical (key, ts): the lexicographically-max
+    right payload struct must win — deterministically, across repeated runs
+    and partitionings (the window's final sort key is _rv itself)."""
+    from asf_tools_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20, 100)], "k long, t long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 903), (1, 10, 907), (1, 10, 901)], "k long, t long, rid long"
+    )
+    for n_part in (1, 3, 7):
+        got = asof_join(left, right.repartition(n_part), on="t", by="k").collect()
+        assert len(got) == 1 and got[0].r_rid == 907
 
 
 def test_asof_join_null_semantics(spark):

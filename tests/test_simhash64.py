@@ -49,7 +49,9 @@ def test_simhash64_planted_pair_recall(spark):
     rows = {(r.doc_id): r.simhash for r in sim.collect()}
     # exhaustive numpy truth at max_distance=3
     ids = sorted(rows)
-    vals = np.array([rows[i] for i in ids], dtype=np.uint64)
+    # Spark longs are signed int64; view-cast to uint64 (a direct uint64
+    # conversion of negative Python ints is deprecated in numpy >=1.24)
+    vals = np.array([rows[i] for i in ids], dtype=np.int64).view(np.uint64)
     xor = vals[:, None] ^ vals[None, :]
     dist = np.array([[bin(int(x)).count("1") for x in row] for row in xor])
     true_pairs = {
