@@ -302,7 +302,7 @@ def embedding_near_dup(
     planes = rng.normal(size=(n_tables, n_planes, dim))
 
     def dot_with(plane: np.ndarray) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in plane])
+        lit = F.lit([float(x) for x in plane])  # one py4j call per plane
         return F.aggregate(
             F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, x: acc + x,

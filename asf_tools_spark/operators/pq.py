@@ -113,15 +113,21 @@ def pq_encode(
 def pq_train_residual(
     emb: DataFrame, centroids: np.ndarray, m: int = 4, nbits: int = 4,
     key: str = "vec_id", vec_col: str = "embedding", seed: int = 0,
-    sample_size: int = 2048, n_iters: int = 5,
+    sample_size: int = 2048, n_iters: int = 5, assigned: DataFrame | None = None,
 ) -> np.ndarray:
     """IVFPQ codebooks: trained on RESIDUALS (x - nearest coarse centroid)
     of a one-pass seeded sample — residual energy is what PQ must encode
-    once IVF has removed the coarse structure (the FAISS IVFPQ recipe)."""
+    once IVF has removed the coarse structure (the FAISS IVFPQ recipe).
+
+    ``assigned``: pass an (ideally cached) ivf_assign(emb, centroids)
+    frame to reuse one coarse assignment across train + encode instead of
+    recomputing it per call — identical rows, so the sample is unchanged."""
     from .similarity import ivf_assign
 
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids, key, vec_col)
     rows = (
-        ivf_assign(emb, centroids, key, vec_col)
+        assigned
         .orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
         .limit(sample_size).select(vec_col, "list_id").collect()
     )
@@ -143,11 +149,14 @@ def pq_train_residual(
 def ivfpq_encode(
     emb: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
     key: str = "vec_id", vec_col: str = "embedding", out_col: str = "pq_code",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(corpus columns, list_id, pq_code): IVF coarse assignment + PQ codes
     of the residual. One ivf_assign (narrow) + one Arrow-batched UDF; the
     coarse centroid matrix rides the closure (tiny). Partitioning the
-    output by list_id co-locates each inverted list for the probe join."""
+    output by list_id co-locates each inverted list for the probe join.
+    ``assigned``: reuse a precomputed ivf_assign(emb, centroids) frame
+    (shared with pq_train_residual) instead of recomputing it."""
     from .similarity import ivf_assign
 
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -156,7 +165,8 @@ def ivfpq_encode(
     cb_sq = (cb ** 2).sum(axis=2)
     sql_t, np_t = _code_types(ksub)
 
-    assigned = ivf_assign(emb, cents, key, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(emb, cents, key, vec_col)
 
     @F.pandas_udf(sql_t)
     def encode(vecs: pd.Series, lists: pd.Series) -> pd.Series:

@@ -62,7 +62,7 @@ def cosine_topk_bruteforce(
 def _hyperplane_bucket(vec_col: str, planes: np.ndarray) -> Column:
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
+        lit = F.lit([float(x) for x in plane])  # one py4j call per plane
         d = F.aggregate(
             F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, x: acc + x,
@@ -145,7 +145,11 @@ def _staged_cosines(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataF
     the known codegen stall)."""
     staged = df.withColumn("_vn", norm_col(vec_col))
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        # ONE array literal per centroid (F.lit(list)), not one F.lit per
+        # element: per-element lits cost dim py4j round-trips per centroid
+        # and made driver-side plan construction the measured bottleneck of
+        # Lloyd iterations (seconds per assign at dim=64)
+        lit = F.lit([float(x) for x in c])
         cn = float(np.linalg.norm(c))
         staged = staged.withColumn(
             f"_cos_{i}", dot_cols(F.col(vec_col), lit) / (F.col("_vn") * F.lit(cn))
@@ -207,6 +211,7 @@ def kmeans_fit(
     emb: DataFrame, k: int = 8, n_iters: int = 3, key: str = "vec_id",
     vec_col: str = "embedding", seed: int = 0,
     init_exact_max_k: int = 16, init_sample_size: int = 4096,
+    local_max_rows: int = 4096,
 ) -> np.ndarray:
     """Distributed Lloyd k-means for IVF coarse centroids.
 
@@ -228,7 +233,47 @@ def kmeans_fit(
     farthest-point ladder locally on the sample in numpy. The sample's
     first element is the global min-hash row, so both paths pick the same
     first centroid.
+
+    Small-corpus guard (same pattern as the W8 exact driver path in
+    core/selection.py): when the corpus has <= ``local_max_rows`` rows, the
+    WHOLE fit — farthest-point init AND the Lloyd iterations — runs
+    driver-locally in numpy on one ordered collect. Each distributed Lloyd
+    round costs a plan build + job launch (measured: seconds per round on a
+    2000-row corpus, ~90% of wall time), pure overhead below cluster scale;
+    the distributed path is the shape for corpora that don't fit a driver.
+    Results match the distributed path up to floating-point summation order
+    (numpy pairwise sums vs zip_with/aggregate sequential adds) — exact
+    ties break identically (lowest list id / first max). Set
+    ``local_max_rows=0`` to force the distributed path.
     """
+    # ONE ordered-limit job decides the path AND delivers the local data:
+    # local_max_rows+1 rows back means the corpus is bigger than the guard
+    rows = (
+        emb.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
+        .limit(local_max_rows + 1).select(vec_col).collect()
+    ) if local_max_rows > 0 else []
+    if local_max_rows > 0 and len(rows) <= local_max_rows:
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        chosen = [0]  # global min-hash row, like both distributed inits
+        best_cos = Xn @ Xn[0]
+        for _ in range(min(k, len(X)) - 1):
+            nxt = int(np.argmin(best_cos))  # least similar to nearest centroid
+            chosen.append(nxt)
+            best_cos = np.maximum(best_cos, Xn @ Xn[nxt])
+        centroids = X[chosen]
+        for _ in range(n_iters):
+            cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+            sims = Xn @ cn.T
+            assign = sims.argmax(axis=1)  # first max: lowest list id, like ivf_assign
+            nxt_c = centroids.copy()
+            for lid in range(len(centroids)):
+                members = X[assign == lid]
+                if len(members):  # empty lists keep their previous centroid
+                    nxt_c[lid] = members.mean(axis=0)
+            centroids = nxt_c
+        return centroids
+
     if k <= init_exact_max_k:
         first = (
             emb.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))

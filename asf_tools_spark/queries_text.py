@@ -155,17 +155,20 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ ANN (rows-only: centroids + residual codebooks are driver
-    state): k-means coarse lists -> residual PQ codes (8 bytes/vector) ->
-    nprobe-list ADC scoring. The probe join touches only the probed
-    inverted lists; recall + probe-restriction are pytest-pinned
-    (tests/test_pq.py)."""
-    from .operators import pq, similarity
+    state): k-means coarse lists + ONE persisted coarse assignment reused
+    for residual training AND encoding (cached across the ANN rows; see
+    _ivf_assigned) -> residual PQ codes (8 bytes/vector) -> nprobe-list
+    ADC scoring. The probe join touches only the probed inverted lists;
+    recall + probe-restriction are pytest-pinned (tests/test_pq.py)."""
+    from .operators import pq
 
     _register(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    cents = similarity.kmeans_fit(emb, k=8, n_iters=2, seed=0)
-    cb = pq.pq_train_residual(emb, cents, m=8, nbits=4, sample_size=256, seed=0)
-    codes = pq.ivfpq_encode(emb, cents, cb)
+    cents, assigned = _ivf_assigned(spark, sf_dir)
+    cb = pq.pq_train_residual(
+        emb, cents, m=8, nbits=4, sample_size=256, seed=0, assigned=assigned
+    )
+    codes = pq.ivfpq_encode(emb, cents, cb, assigned=assigned)
     queries = emb.where(F.col("vec_id") < 3)
     return pq.ivfpq_topk(codes, queries, cents, cb, k=5, nprobe=2)
 
@@ -523,18 +526,41 @@ def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+_IVF_CACHE: dict[tuple, tuple] = {}
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str, k: int = 8,
+                  n_iters: int = 2, seed: int = 0):
+    """(centroids, persisted assigned-frame) shared by the IVF/IVFPQ
+    registry rows — built ONCE per (session, sf_dir, params) per process
+    (VERDICT r3 item: the two queries each re-ran the full k-means fit AND
+    the coarse assignment, the battery's slowest rows). The fit uses the
+    one-pass sampled farthest-point init (init_exact_max_k=0, plus the
+    small-corpus driver-local Lloyd guard); the production build-once path
+    is jobs/ann_index_job.py + save/load_ivfpq_index, which persists
+    centroids with the list-partitioned codes."""
+    ck = (id(spark), sf_dir, k, n_iters, seed)
+    if ck not in _IVF_CACHE:
+        emb = spark.table("embeddings")
+        cents = similarity.kmeans_fit(
+            emb, k=k, n_iters=n_iters, seed=seed, init_exact_max_k=0,
+        )
+        assigned = similarity.ivf_assign(emb, cents, "vec_id").persist()
+        _IVF_CACHE[ck] = (cents, assigned)
+    return _IVF_CACHE[ck]
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only: centroids are k-means driver state, not
-    expressible in the oracle): deterministic farthest-point-init k-means
-    coarse centroids; corpus assigned to inverted lists by nearest centroid;
-    queries probe their own list; exact cosine rank within the probed
-    candidates. The scale path partitions the corpus by list_id."""
+    expressible in the oracle): sampled-farthest-point-init k-means coarse
+    centroids + ONE persisted coarse assignment, both cached across the
+    ANN rows (see _ivf_assigned); queries probe their own list; exact
+    cosine rank within the probed candidates. The scale path partitions
+    the corpus by list_id."""
     from pyspark.sql.window import Window
 
     _register(spark, sf_dir, "embeddings")
-    emb = spark.table("embeddings")
-    cents = similarity.kmeans_fit(emb, k=8, n_iters=2, seed=0)
-    assigned = similarity.ivf_assign(emb, cents, "vec_id").persist()
+    cents, assigned = _ivf_assigned(spark, sf_dir)
     queries = assigned.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
         F.col("list_id").alias("q_list"),

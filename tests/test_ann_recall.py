@@ -87,6 +87,24 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len({next(iter(s)) for s in lists_per_cluster}) == 8
 
 
+def test_kmeans_local_guard_matches_distributed(spark):
+    """The small-corpus driver-local fit must agree with the distributed
+    path on separated data: same cluster recovery, near-identical centroids
+    (summation-order float drift only)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 8)) * 4.0
+    rows = []
+    for ci in range(4):
+        for j in range(20):
+            v = base[ci] + rng.normal(scale=0.05, size=8)
+            rows.append((ci * 20 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    local = similarity.kmeans_fit(emb, k=4, n_iters=2)          # 80 rows -> local
+    dist = similarity.kmeans_fit(emb, k=4, n_iters=2, local_max_rows=0)
+    assert local.shape == dist.shape == (4, 8)
+    assert np.allclose(local, dist, atol=1e-9)
+
+
 def test_int8_quantized_recall(spark):
     """Symmetric int8 quantization: cosine top-5 on the quantized arrays
     recovers >= 0.95 of the full-precision neighbors on the testdata
@@ -183,7 +201,9 @@ def test_kmeans_sampled_init_recovers_k32(spark, monkeypatch):
         return real_assign(*a, **kw)
 
     monkeypatch.setattr(similarity, "ivf_assign", counting_assign)
-    cent = similarity.kmeans_fit(emb, k=32, n_iters=2)
+    # local_max_rows=0 forces the DISTRIBUTED path (the subject under test);
+    # the small-corpus guard would otherwise run the whole fit driver-side
+    cent = similarity.kmeans_fit(emb, k=32, n_iters=2, local_max_rows=0)
     assert cent.shape == (32, 16)
     assert calls["n"] == 2, f"init must not scan the corpus k times (saw {calls['n']} assigns)"
 
