@@ -184,6 +184,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_report(docs, bench, "doc_id", n=6, min_hits=2)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr, re-shaped
+    as n-gram postings + positional coverage — linear, no candidate
+    pairs): every duplicated >=8-token span is removed except its globally
+    first (doc_id, pos) copy. The oracle replays the full n-gram-position
+    pipeline in SQL, so the REWRITTEN TEXT is compared byte-for-byte."""
+    from .operators.substring import substring_dedup
+
+    _register(spark, sf_dir, "documents")
+    return substring_dedup(spark.table("documents"), "doc_id", n=8)
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END pipeline verification: the full curate_corpus chain
     (quality screen -> PII scrub -> line dedup -> exact dedup -> LSH
@@ -1165,6 +1177,58 @@ def _oracle_sqls() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
     """
+    # substring dedup: the full n-gram-position pipeline replayed in SQL —
+    # same dup test (corpus-wide count >= 2), same canonical rule (min
+    # (doc_id, pos) via row_number), same (n-1)-preceding coverage windows,
+    # same ordered reassembly. Spark hashes gram keys (xxhash64) for 8-byte
+    # shuffles; output depends only on membership + argmin, so the raw-gram
+    # oracle matches exactly.
+    _SS_N = 8
+    sqls["substring_dedup"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split(COALESCE({_norm_sql("text")}, '') , ' ') AS ws,
+                 len(string_split(COALESCE({_norm_sql("text")}, ''), ' ')) AS nw
+          FROM documents
+        ),
+        toks AS (
+          SELECT b.doc_id, g.i AS q, b.ws[g.i] AS w
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
+          WHERE g.i <= b.nw
+        ),
+        grams AS (
+          SELECT b.doc_id, g.i AS p,
+                 array_to_string(list_slice(b.ws, g.i, g.i + {_SS_N - 1}), ' ') AS gram
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
+          WHERE g.i <= b.nw - {_SS_N - 1}
+        ),
+        occ AS (
+          SELECT doc_id, p,
+                 COUNT(*) OVER (PARTITION BY gram) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+          FROM grams
+        ),
+        flags AS (
+          SELECT doc_id, p, 1 AS dup_start,
+                 CASE WHEN rn = 1 THEN 1 ELSE 0 END AS canon_start
+          FROM occ WHERE cnt >= 2
+        ),
+        cov AS (
+          SELECT t.doc_id, t.q, t.w,
+                 MAX(COALESCE(f.dup_start, 0)) OVER w AS cd,
+                 MAX(COALESCE(f.canon_start, 0)) OVER w AS cc
+          FROM toks t LEFT JOIN flags f ON f.doc_id = t.doc_id AND f.p = t.q
+          WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.q
+                       ROWS BETWEEN {_SS_N - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN cd = 1 AND cc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               COALESCE(string_agg(w, ' ' ORDER BY q)
+                          FILTER (WHERE NOT (cd = 1 AND cc = 0)), '') AS dedup_text
+        FROM cov GROUP BY doc_id
+    """
     sqls["corpus_funnel"] = f"""
         WITH RECURSIVE
         feat AS (
@@ -1303,6 +1367,7 @@ def queries() -> dict:
         "range_join_counts": q_range_join_counts,
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
         "corpus_budget": q_corpus_budget,
+        "substring_dedup": q_substring_dedup,
         "corpus_funnel": q_corpus_funnel,
         "snapshot_diff": q_snapshot_diff,
         "split_leakage": q_split_leakage,
