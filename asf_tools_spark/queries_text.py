@@ -184,6 +184,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_report(docs, bench, "doc_id", n=6, min_hits=2)
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merge-table BPE token counts (Sennrich 2016; not the regex
+    approximation): merges trained on a seeded corpus sample (driver
+    state, like PQ codebooks), counts via one Arrow-batched UDF with a
+    per-batch word memo. The merge loop is not SQL-expressible, so the
+    oracle is a precomputed golden VALUES table for the deterministic
+    doc_id < 40 slice at sf0.01 (segmentation itself is hand-verified in
+    tests/test_bpe.py)."""
+    from .operators import bpe
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    merges = bpe.bpe_train(docs, n_merges=128, sample_size=512, seed=0)
+    return (
+        docs.where(F.col("doc_id") < 40)
+        .select("doc_id", bpe.bpe_token_count_real(merges, "text").alias("n_bpe"))
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (Lee et al. 2022 ExactSubstr, re-shaped
     as n-gram postings + positional coverage — linear, no candidate
@@ -1177,6 +1196,26 @@ def _oracle_sqls() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
     """
+    # real BPE token counts: the merge loop is not SQL-expressible, so the
+    # oracle is a precomputed golden for the deterministic doc_id < 40
+    # slice at sf0.01 (the driver's oracle scale) — regenerated by
+    # scripts/make_bpe_golden.py if testdata changes; the
+    # segmenter itself is hand-verified in tests/test_bpe.py. CASTs per
+    # the VALUES-parse-as-INTEGER rule.
+    _bpe_golden = [
+        (0, 32), (1, 72), (2, 45), (3, 27), (4, 45), (5, 56), (6, 15),
+        (7, 72), (8, 84), (9, 74), (10, 39), (11, 58), (12, 65), (13, 60),
+        (14, 87), (15, 41), (16, 16), (17, 77), (18, 75), (19, 11),
+        (20, 68), (21, 37), (22, 81), (23, 30), (24, 97), (25, 94),
+        (26, 12), (27, 64), (28, 60), (29, 34), (30, 31), (31, 43),
+        (32, 93), (33, 46), (34, 29), (35, 85), (36, 22), (37, 69),
+        (38, 36), (39, 23),
+    ]
+    _bpe_vals = ", ".join(f"({d}, {n})" for d, n in _bpe_golden)
+    sqls["bpe_tokens"] = f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bpe AS BIGINT) AS n_bpe
+        FROM (VALUES {_bpe_vals}) AS t(doc_id, n_bpe)
+    """
     # substring dedup: the full n-gram-position pipeline replayed in SQL —
     # same dup test (corpus-wide count >= 2), same canonical rule (min
     # (doc_id, pos) via row_number), same (n-1)-preceding coverage windows,
@@ -1368,6 +1407,7 @@ def queries() -> dict:
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
         "corpus_budget": q_corpus_budget,
         "substring_dedup": q_substring_dedup,
+        "bpe_tokens": q_bpe_tokens,
         "corpus_funnel": q_corpus_funnel,
         "snapshot_diff": q_snapshot_diff,
         "split_leakage": q_split_leakage,
