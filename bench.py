@@ -62,7 +62,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # identical — only the hash function differs.
     os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "xxhash64")
     out = {}
-    for name, fn in registry.queries().items():
+    for i, (name, fn) in enumerate(registry.queries().items()):
         t0 = time.time()
         try:
             _materialize(fn(spark, sf_dir))
@@ -70,6 +70,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         except Exception as e:  # keep the bench line parseable
             out[name] = -1.0
             print(f"# bench query {name} failed: {e}", file=sys.stderr)
+        # Spark's ContextCleaner reclaims broadcast/localCheckpoint/shuffle
+        # blocks only when the DRIVER JVM garbage-collects (periodicGC
+        # default: 30 min). A 77-query battery in one 3-minute session
+        # otherwise accumulates every query's blocks, and tail queries pay
+        # the memory pressure (measured: media_features 0.7s standalone vs
+        # 22s at battery position 72). Nudge a GC every few queries.
+        if (i + 1) % 8 == 0:
+            spark.sparkContext._jvm.System.gc()
     return out
 
 
@@ -79,7 +87,11 @@ def main() -> None:
     n_pages = int(os.environ.get("BENCH_PAGES", "64000000"))
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
-    spark = get_spark("asf-tools-spark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark(
+        "asf-tools-spark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        # see bench_queries: let ContextCleaner actually run mid-battery
+        extra_conf={"spark.cleaner.periodicGC.interval": "45s"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM so the measured run is steady-state: execute the full
