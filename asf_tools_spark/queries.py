@@ -186,6 +186,35 @@ def q_remove_small_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective join: lineitem shuffles only rows whose
+    orderkey MIGHT match the urgent/high-value order set — the dim's key
+    set rides as an m/64-long bitset literal built by one distributed
+    bit_or aggregate (operators/bloom.py; driver memory O(filter bits),
+    independent of dim cardinality). Output is row-identical to the plain
+    join — the oracle IS the plain join, so false-negative-freedom is what
+    the hash compare verifies."""
+    from .operators.bloom import bloom_prune_join
+
+    _register(spark, sf_dir, "lineitem", "orders")
+    dim = (
+        spark.table("orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000.0)
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    fact = spark.table("lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    joined = bloom_prune_join(fact, dim, "l_orderkey", m_bits=1 << 16)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family coverage on TPC-H-ish lineitem (partial/final agg shape)."""
     _register(spark, sf_dir, "lineitem")
@@ -391,6 +420,17 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        "bloom_join": """
+            SELECT l.l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   ROUND(SUM(l.l_extendedprice), 4) AS sum_price
+            FROM lineitem l
+            JOIN (SELECT o_orderkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT'
+                    AND o_totalprice > CAST(150000.0 AS DOUBLE)) o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_returnflag
+        """,
         "token_count": """
             WITH norm AS (
               SELECT doc_id, text, regexp_replace(TRIM(text), '\\s+', ' ', 'g') AS t
@@ -428,7 +468,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-4 additions (never driver-seen):
-    "bpe_tokens", "substring_dedup",
+    "bpe_tokens", "substring_dedup", "bloom_join",
     # round-3 additions — oracled + judge-battery green in r3, but no
     # driver row yet:
     "repetition_signals", "pii_scrub", "line_dedup", "corpus_sample",
@@ -445,7 +485,7 @@ _REGISTRY_HEAD = [
 ]
 _REGISTRY_TAIL = [
     # driver-green in r1+r2+r3 — rotated out as multiply-verified:
-    "gaussian_scale", "zmf_membership", "simhash", "hamming_pairs",
+    "mosaic_weighted", "gaussian_scale", "zmf_membership", "simhash", "hamming_pairs",
     "lang_id", "quality_score", "bpe_token_count", "winnow_fingerprint",
     "ann_cosine_topk", "ann_topk_int8", "bbox_filename_filter",
     "rgb_decomp", "log_diff", "cell_rollup", "fill_missing_tiles",
@@ -497,6 +537,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_small_segments": q_remove_small_segments,
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
+        "bloom_join": q_bloom_join,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }
