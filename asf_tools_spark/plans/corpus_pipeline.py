@@ -5,6 +5,8 @@ team actually runs, as ONE Spark plan chain:
   -> PII scrub
   -> line-level boilerplate dedup (CCNet)
   -> exact dedup (one window pass: keep min key per text fingerprint)
+  -> [optional] substring-level exact dedup (Lee et al. ExactSubstr span
+     rewriting, cfg.substring_n; docs reduced to nothing are dropped)
   -> near-dup dedup (MinHash -> LSH -> Jaccard verify -> clusters)
   -> stratified mixture sampling + train/val/test split
 
@@ -46,6 +48,7 @@ class CorpusPipelineConfig:
     min_distinct_frac: float = 0.3
     max_top_bigram_frac: float = 0.5
     line_max_docs: int = 5
+    substring_n: int | None = None  # ExactSubstr span threshold (None = off)
     n_minhash: int = 8
     bands: int = 2
     rows_per_band: int = 4
@@ -55,7 +58,8 @@ class CorpusPipelineConfig:
 
 
 _FUNNEL_ORDER = [
-    "input", "quality_screen", "line_dedup", "exact_dedup", "near_dedup", "sampled",
+    "input", "quality_screen", "line_dedup", "exact_dedup", "substring_dedup",
+    "near_dedup", "sampled",
 ]
 
 
@@ -126,9 +130,29 @@ def curate_corpus(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    exacted = _observe("exact_dedup", exacted)
-    exacted = _eager(exacted)  # action 2: fires line_dedup + exact_dedup
-    cached.pop(0).unpersist()  # scrubbed has no further consumer
+    if cfg.substring_n:
+        # ExactSubstr span rewriting (Lee et al. 2022) between exact-doc
+        # and near-dup dedup: duplicated >=n-token spans are cut (first
+        # copy kept), so near-dup signatures see boilerplate-free text.
+        # The stage consumes exacted twice (postings + join-back), so the
+        # eager cache lands BEFORE it; its own count rides an observe.
+        from ..operators.substring import substring_dedup
+
+        exacted = _observe("exact_dedup", exacted)
+        exacted = _eager(exacted)  # action 2: fires line/exact observes
+        cached.pop(0).unpersist()  # scrubbed has no further consumer
+        spans = substring_dedup(exacted, key, n=cfg.substring_n)
+        exacted = _eager(_observe("substring_dedup", (
+            exacted.drop("text")
+            .join(spans.where(F.col("n_tokens") > F.col("n_dropped")), key)
+            .withColumnRenamed("dedup_text", "text")
+            .drop("n_tokens", "n_dropped")
+        )))  # action 3: fires substring observe; near-dup re-reads this
+        cached.pop(0).unpersist()  # pre-substring exacted superseded
+    else:
+        exacted = _observe("exact_dedup", exacted)
+        exacted = _eager(exacted)  # action 2: fires line_dedup + exact_dedup
+        cached.pop(0).unpersist()  # scrubbed has no further consumer
 
     sigs = dedup.minhash_signatures(exacted, key, n_hashes=cfg.n_minhash)
     pairs = dedup.lsh_candidate_pairs(sigs, key, cfg.bands, cfg.rows_per_band)
@@ -156,7 +180,10 @@ def curate_corpus(
     sampled = _observe("sampled", sampled)
 
     def funnel() -> list[tuple[str, int]]:
-        return [(n, int(observations[n].get["rows"])) for n in _FUNNEL_ORDER]
+        return [
+            (n, int(observations[n].get["rows"]))
+            for n in _FUNNEL_ORDER if n in observations
+        ]
 
     def release() -> None:
         while cached:

@@ -384,6 +384,27 @@ def test_corpus_pipeline_funnel(spark):
     assert out.where(F.col("source") == "src0").count() == 0  # rate 0 stratum dropped
 
 
+def test_corpus_pipeline_substring_stage(spark):
+    """cfg.substring_n wires ExactSubstr between exact and near dedup: the
+    funnel gains the stage, duplicated spans are cut from survivors, and
+    later stages consume the rewritten text."""
+    from asf_tools_spark.plans.corpus_pipeline import (
+        CorpusPipelineConfig, curate_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = curate_corpus(docs, CorpusPipelineConfig(substring_n=8))
+    res["corpus"].write.format("noop").mode("overwrite").save()
+    funnel = dict(res["funnel"]())
+    assert "substring_dedup" in funnel
+    assert funnel["substring_dedup"] <= funnel["exact_dedup"]
+    order = ["input", "quality_screen", "line_dedup", "exact_dedup",
+             "substring_dedup", "near_dedup", "sampled"]
+    counts = [funnel[s] for s in order]
+    assert counts == sorted(counts, reverse=True)  # stages only remove
+    res["release"]()
+
+
 def test_hll_distinct_error_bound_and_rollup(spark):
     from asf_tools_spark.operators.sketch import distinct_sketch
 
