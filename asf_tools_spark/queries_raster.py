@@ -211,14 +211,29 @@ def q_bbox_filename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pages import geotagged_documents
 
     pages = geotagged_documents(spark, sf_dir, cell_res=8)
-    named = pages.select("doc_id", tile_name_col(F.col("lat"), F.col("lon")).alias("tn"))
+    # tn comes through a 1-element explode — a Generate node — as a
+    # pushdown fence: a plain projection lets the range filter push to the
+    # scan with the whole tile_name+geotag chain substituted into EACH of
+    # the four conjuncts, overflowing the 64 KB codegen method limit and
+    # dropping the stage to interpreted mode (measured: ERROR CodeGenerator,
+    # 4x slower; in Spark 4 neither an And-conjunct fence nor a
+    # non-deterministic term blocks Project pushdown — the optimizer splits
+    # conjunctions and pushes through projections regardless). Predicates
+    # referencing generator output cannot cross a Generate, so tn
+    # evaluates once per row and the substring parses stay cheap.
+    named = pages.select(
+        "doc_id",
+        F.explode(F.array(tile_name_col(F.col("lat"), F.col("lon")))).alias("tn"),
+    )
     lat_sign = F.when(F.substring("tn", 1, 1) == "n", 1).otherwise(-1)
     lat_v = lat_sign * F.substring("tn", 2, 2).cast("int")
     lon_sign = F.when(F.substring("tn", 4, 1) == "e", 1).otherwise(-1)
     lon_v = lon_sign * F.substring("tn", 5, 3).cast("int")
     return named.select(
         "doc_id", "tn", lat_v.alias("lat_deg"), lon_v.alias("lon_deg")
-    ).where((lat_v >= -30) & (lat_v <= 30) & (lon_v >= -90) & (lon_v <= 90))
+    ).where(
+        (lat_v >= -30) & (lat_v <= 30) & (lon_v >= -90) & (lon_v <= 90)
+    )
 
 
 def q_rgb_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
