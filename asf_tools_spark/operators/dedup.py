@@ -175,23 +175,74 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, key: str) -> DataFra
 
 def near_dup_clusters(
     docs: DataFrame, pairs: DataFrame, key: str,
-    key_a: str = "key_a", key_b: str = "key_b",
+    key_a: str = "key_a", key_b: str = "key_b", local_max_edges: int = 200_000,
 ) -> DataFrame:
     """Transitive near-dup clusters + keep-list — the step that turns
     verified pairs into an actual dedup decision.
 
-    Connected components over the pair graph via the same BSP min-label
-    propagation + pointer jumping used for raster labeling
-    (labeling._merge_labels_distributed — O(log diameter) rounds); docs in
-    no pair are their own singleton cluster. Output: (key, cluster_id,
-    keep) where cluster_id = min key in the component and keep marks the
-    representative. At corpus scale everything is joins/aggregates on the
-    (small) pair graph plus one broadcast-scale join back to the corpus.
+    Connected components over the pair graph; docs in no pair are their
+    own singleton cluster. Output: (key, cluster_id, keep) where
+    cluster_id = min key in the component and keep marks the
+    representative.
+
+    Small-graph guard (same pattern as kmeans_fit / the W8 driver path):
+    a near-dup pair graph of <= ``local_max_edges`` edges is union-found
+    on the driver from ONE limited collect and broadcast-joined back —
+    each BSP round otherwise costs several jobs + a localCheckpoint, pure
+    launch overhead below cluster scale (measured: the rounds dominate
+    corpus_funnel at sf0.1). Above the guard, the BSP min-label
+    propagation + pointer jumping shared with raster labeling
+    (labeling._merge_labels_distributed, O(log diameter) rounds) runs on
+    the cluster; both paths produce identical min-key components. Note the
+    guard bounds EDGES (the verified near-dup pairs — tiny relative to the
+    corpus), never the doc count: singletons are labeled by the broadcast
+    join, not collected. Set local_max_edges=0 to force the BSP path.
     """
+    edges = pairs.select(F.col(key_a).alias("label"), F.col(key_b).alias("nbr_label")).distinct()
+    sample = (
+        edges.limit(local_max_edges + 1).collect() if local_max_edges > 0 else None
+    )
+    if sample is not None and len(sample) <= local_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sample:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for r in sample:
+            for node in (r[0], r[1]):
+                comp.setdefault(find(node), set()).add(node)
+        rows = [
+            (node, min(members))
+            for root, members in comp.items() for node in members
+        ]
+        spark = docs.sparkSession
+        ktype = docs.select(key).schema[0].dataType.simpleString()
+        mapping = spark.createDataFrame(
+            rows or [(None, None)], f"_mk {ktype}, _mc {ktype}"
+        ).where(F.col("_mk").isNotNull())
+        return (
+            docs.select(F.col(key).alias("_k"))
+            .join(F.broadcast(mapping), F.col("_k") == F.col("_mk"), "left")
+            .select(
+                F.col("_k").alias(key),
+                F.coalesce("_mc", "_k").alias("cluster_id"),
+                (F.col("_k") == F.coalesce("_mc", "_k")).alias("keep"),
+            )
+        )
+
     from .labeling import _merge_labels_distributed
 
     labeled = docs.select(F.col(key).alias("_k"), F.col(key).alias("label"))
-    edges = pairs.select(F.col(key_a).alias("label"), F.col(key_b).alias("nbr_label")).distinct()
     merged = _merge_labels_distributed(labeled, edges)
     return merged.select(
         F.col("_k").alias(key),

@@ -106,6 +106,12 @@ def main() -> None:
     # lives in BENCH/BASELINE.md via scripts/bench_watermap.py)
     watermap = {}
     if not os.environ.get("BENCH_SKIP_WATERMAP") and not os.environ.get("BENCH_SKIP_QUERIES"):
+        # clean slate after the 78-query battery: drop any cache a query
+        # legitimately left (e.g. the shared IVF assignment) and let the
+        # ContextCleaner reclaim blocks, so the watermap pipeline measures
+        # the engine, not the battery's residue (measured 3x drift without)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         import scripts.bench_watermap as BW
         from asf_tools_spark.operators.tiling import long_grid_df
         from asf_tools_spark.plans.water_map import make_water_map_grid

@@ -97,6 +97,25 @@ def test_near_dup_clusters_include_collapsed_signature_members(spark):
     assert out[2] == (2, True)
 
 
+def test_near_dup_clusters_local_guard_matches_bsp(spark):
+    """The small-graph union-find path must produce exactly the BSP
+    min-label components — including transitive chains and singletons."""
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    # chain 0-1-2-3, pair (7,9), star 4-{5,6}; 8,10,11 singletons
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (9, 7), (4, 5), (4, 6)],
+        "key_a long, key_b long",
+    )
+    local = {r.doc_id: (r.cluster_id, r.keep)
+             for r in dedup.near_dup_clusters(docs, edges, "doc_id").collect()}
+    bsp = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup.near_dup_clusters(
+               docs, edges, "doc_id", local_max_edges=0).collect()}
+    assert local == bsp
+    assert local[3] == (0, False) and local[0] == (0, True)  # transitive
+    assert local[9] == (7, False) and local[8] == (8, True)
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Schleimer guarantee: any shared substring of length >= k + window - 1
     (= 11 here) yields at least one shared fingerprint; disjoint texts
