@@ -70,6 +70,71 @@ def test_hashed_grams_match_raw(spark):
     assert hashed.agg(F.sum("n_dropped")).first()[0] > 0
 
 
+def _ref_substring_dedup(docs: dict[int, str], n: int) -> dict[int, tuple]:
+    """Independent pure-Python reference of the documented semantics:
+    O(n^2)-ish, written from the spec, shares no code with the operator."""
+    import re
+
+    toks = {
+        d: re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+        for d, t in docs.items()
+    }
+    occ: dict[str, list] = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        for p in range(1, len(ws) - n + 2):
+            occ.setdefault(" ".join(ws[p - 1:p - 1 + n]), []).append((d, p))
+    dup: dict[int, set] = {d: set() for d in toks}
+    canon: dict[int, set] = {d: set() for d in toks}
+    for g, lst in occ.items():
+        if len(lst) >= 2:
+            for d, p in lst:
+                dup[d].add(p)
+            cd, cp = min(lst)
+            canon[cd].add(cp)
+    out = {}
+    for d, ws in toks.items():
+        kept, dropped = [], 0
+        for q in range(1, len(ws) + 1):
+            rng = range(max(1, q - n + 1), q + 1)
+            cov_d = any(p in dup[d] for p in rng)
+            cov_c = any(p in canon[d] for p in rng)
+            if cov_d and not cov_c:
+                dropped += 1
+            else:
+                kept.append(ws[q - 1])
+        out[d] = (len(ws), dropped, " ".join(kept))
+    return out
+
+
+def test_randomized_differential_vs_reference(spark):
+    """30 random small corpora (tiny vocab so duplicate spans arise
+    naturally) checked against an independent pure-Python implementation
+    of the documented semantics — all in ONE Spark job: corpora are
+    isolated by corpus-unique vocabularies, so cross-corpus grams never
+    collide."""
+    import random
+
+    rng = random.Random(42)
+    n = 3
+    all_rows, expected = [], {}
+    for ci in range(30):
+        vocab = [f"c{ci}w{j}" for j in range(4)]
+        docs = {}
+        for di in range(rng.randint(2, 5)):
+            length = rng.randint(0, 14)
+            docs[ci * 1000 + di] = " ".join(rng.choice(vocab) for _ in range(length))
+        for d, t in docs.items():
+            all_rows.append((d, t))
+        expected.update({d: v for d, v in _ref_substring_dedup(docs, n).items()})
+    df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dropped, r.dedup_text)
+        for r in substring_dedup(df, "doc_id", n=n).collect()
+    }
+    assert got == expected
+
+
 def test_overlapping_spans_canonical_protection(spark):
     """A doc that IS the canonical owner of a span keeps it even when the
     same positions are covered by later-duplicated grams from another doc
