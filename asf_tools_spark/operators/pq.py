@@ -319,3 +319,58 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def rerank_exact(
+    candidates: DataFrame, emb: DataFrame, queries: DataFrame,
+    key: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact rerank of an ANN shortlist — the standard two-stage recipe
+    (FAISS refine / IndexRefineFlat): the compressed index (PQ/IVFPQ ADC)
+    proposes a k' > k shortlist cheaply, then only those |q| x k' rows pay
+    a full-precision distance. ADC quantization error then affects RECALL
+    of the shortlist, never the final ordering.
+
+    ``metric``: "l2" (default — matches what PQ's ADC approximates, so the
+    rerank purely removes quantization error) or "cosine" (angle rerank of
+    an L2 shortlist: a deliberate metric switch, shortlist recall then
+    depends on how correlated the two metrics are on your data).
+
+    ``candidates``: (q_id, c_id, ...) from pq_topk/ivfpq_topk (run those
+    with k = k' oversampled, e.g. 4x the final k). The corpus join touches
+    only shortlist keys (broadcast — |q| x k' is small by construction);
+    queries are broadcast like every query-side frame here."""
+    from .similarity import dot_cols, norm_col
+
+    q = F.broadcast(queries.select(
+        F.col(key).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ))
+    cand_vecs = F.broadcast(candidates.select("q_id", "c_id")).join(
+        emb.select(F.col(key).alias("c_id"), F.col(vec_col).alias("c_vec")), "c_id"
+    )
+    joined = cand_vecs.join(q, "q_id")
+    if metric == "l2":
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"), F.col("c_vec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("score").asc(), F.col("c_id").asc())
+        scored = joined.withColumn("score", d2)
+    elif metric == "cosine":
+        cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
+        w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+        scored = joined.where(
+            (norm_col("q_vec") > 0.0) & (norm_col("c_vec") > 0.0)
+        ).withColumn("score", cos)
+    else:
+        raise ValueError(f"metric={metric!r} not in ('l2', 'cosine')")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+    )
