@@ -1,0 +1,100 @@
+"""Model-based document quality classification — the fastText-style linear
+filter every large-scale corpus pipeline ends up with (Joulin et al. 2016;
+the CCNet/LLaMA-recipe "quality model": heuristics or a trusted corpus
+label a seed set, a hashed-bag-of-ngrams linear model generalizes the
+judgment to the whole crawl).
+
+Spark-first shape (pyspark.ml, all JVM-side):
+
+  normalized tokens + word bigrams (the fastText feature recipe)
+  -> HashingTF into 2^b buckets (feature hashing: no vocabulary state,
+     the same trick the dedup/LSH family uses for keys)
+  -> LogisticRegression (distributed L-BFGS; the model is O(2^b) driver
+     state, broadcast for scoring like centroids/codebooks)
+
+Training labels come from wherever the pipeline has signal:
+``weak_labels`` derives them from the heuristic screens
+(operators.text.quality_features + repetition_signals), the
+bootstrap/distillation pattern — heuristics are precise but rigid; the
+model scores every doc smoothly and catches what the rules miss.
+
+Scoring is ``model.transform`` — one narrow pass, no shuffle; the
+probability column feeds the same thresholds the heuristic score does in
+plans/corpus_pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import normalize_text
+
+
+def _token_features(df: DataFrame, text_col: str) -> DataFrame:
+    """words + joined word-bigrams of the normalized text (fastText's
+    default feature set), as one array column."""
+    ws = F.split(normalize_text(F.col(text_col)), " ")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws("_", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("_toks", F.concat(ws, bigrams))
+
+
+def weak_labels(
+    docs: DataFrame, key: str, text_col: str = "text",
+    min_quality: float = 0.5, min_distinct_frac: float = 0.3,
+) -> DataFrame:
+    """(key, label): 1.0 where the heuristic screens pass, 0.0 otherwise —
+    the seed-labeling half of the bootstrap pattern."""
+    from .text import quality_features, repetition_signals
+
+    q = quality_features(docs, text_col).select(key, "quality_score")
+    r = repetition_signals(docs, key, text_col).select(key, "distinct_frac")
+    return q.join(r, key).select(
+        key,
+        F.when(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("distinct_frac") >= min_distinct_frac),
+            1.0,
+        ).otherwise(0.0).alias("label"),
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame, labels: DataFrame, key: str, text_col: str = "text",
+    n_features: int = 1 << 16, max_iter: int = 20, reg_param: float = 1e-4,
+):
+    """Fit the hashed-ngram logistic model; returns a PipelineModel
+    (save/load-able, broadcastable driver state). ``labels``: (key, label)
+    with label in {0.0, 1.0}."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    train = _token_features(docs.join(labels, key), text_col)
+    pipe = Pipeline(stages=[
+        HashingTF(inputCol="_toks", outputCol="features", numFeatures=n_features),
+        LogisticRegression(
+            maxIter=max_iter, regParam=reg_param, labelCol="label",
+            featuresCol="features",
+        ),
+    ])
+    return pipe.fit(train)
+
+
+def score_quality(
+    model, docs: DataFrame, key: str, text_col: str = "text",
+) -> DataFrame:
+    """(all doc columns, model_quality): P(label=1) per doc — one narrow
+    scoring pass (hash + broadcast dot product), no shuffle."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(_token_features(docs, text_col))
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)  # [P(0), P(1)]
+    return scored.withColumn("model_quality", p1).drop(
+        "_toks", "features", "rawPrediction", "probability", "prediction"
+    )
