@@ -53,9 +53,32 @@ from pyspark.sql.window import Window
 from .dedup import normalize_text
 
 
-def substring_dedup(
+def gram_occurrences(
     df: DataFrame, key: str, text_col: str = "text", n: int = 8,
     hash_grams: bool = True,
+) -> DataFrame:
+    """(_k, _p, _gh): every n-gram occurrence with its 1-based token
+    position — the shared postings input of the batch operator and the
+    streaming postings store (streaming/substring.py). Narrow (array ops
+    per row, one posexplode); no shuffle."""
+    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    base = df.select(F.col(key).alias("_k"), F.split(norm, " ").alias("_ws"))
+    gram_txt = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - n + 1),
+        lambda i: F.array_join(F.slice("_ws", i, n), " "),
+    )
+    gram_arr = F.when(F.size("_ws") >= n, gram_txt).otherwise(
+        F.array().cast("array<string>")
+    )
+    return base.select("_k", F.posexplode(gram_arr).alias("_p0", "_g")).select(
+        "_k", (F.col("_p0") + 1).alias("_p"),
+        (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("_gh"),
+    )
+
+
+def substring_dedup(
+    df: DataFrame, key: str, text_col: str = "text", n: int = 8,
+    hash_grams: bool = True, external_dup_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(key, n_tokens, n_dropped, dedup_text): remove every duplicated
     >=n-token span, keeping the globally-first copy (see module docstring
@@ -67,6 +90,13 @@ def substring_dedup(
     output depends only on group membership + the (doc, pos) argmin, so
     results are identical up to a 2^-64-per-pair collision. Raw mode
     (False) is the collision-free oracle-replay shape.
+
+    ``external_dup_grams``: a frame with a ``_gh`` column (same key family
+    as ``hash_grams``) of n-grams already known duplicated OUTSIDE this
+    corpus slice — e.g. earlier micro-batches' postings in the streaming
+    path. Their occurrences here are dropped unconditionally (the
+    canonical copy lives in the earlier data); grams duplicated only
+    within this slice keep the local first-copy rule.
     """
     norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
     base = df.select(F.col(key).alias("_k"), F.split(norm, " ").alias("_ws"))
@@ -77,31 +107,34 @@ def substring_dedup(
         "_k", (F.col("_q0") + 1).alias("_q"), "_w"
     )
 
-    # per-position n-grams, built narrowly from each row's own words array
-    # (same idiom as text.word_ngrams); no shuffle to construct
-    gram_txt = F.transform(
-        F.sequence(F.lit(1), F.size("_ws") - n + 1),
-        lambda i: F.array_join(F.slice("_ws", i, n), " "),
-    )
-    gram_arr = F.when(F.size("_ws") >= n, gram_txt).otherwise(
-        F.array().cast("array<string>")
-    )
-    grams = base.select("_k", F.posexplode(gram_arr).alias("_p0", "_g")).select(
-        "_k", (F.col("_p0") + 1).alias("_p"),
-        (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("_gh"),
-    )
+    grams = gram_occurrences(df, key, text_col, n, hash_grams)
 
     # postings: ONE aggregate gives the duplication test (count >= 2) and
     # the canonical occurrence (min (doc, pos) struct) per distinct n-gram
-    dup = (
-        grams.groupBy("_gh")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.min(F.struct("_k", "_p")).alias("_canon"),
-        )
-        .where(F.col("_cnt") >= 2)
-        .select("_gh", "_canon")
+    occ = grams.groupBy("_gh").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_k", "_p")).alias("_canon"),
     )
+    if external_dup_grams is None:
+        dup = occ.where(F.col("_cnt") >= 2).select("_gh", "_canon")
+    else:
+        ext = (
+            external_dup_grams.select("_gh").distinct()
+            .withColumn("_ext", F.lit(1))
+        )
+        # externally-duplicated grams have NO local canonical (NULL struct:
+        # the canon_start comparison below then yields 0 for every local
+        # occurrence, so all of them drop)
+        dup = (
+            occ.join(ext, "_gh", "left")
+            .where((F.col("_cnt") >= 2) | (F.col("_ext") == 1))
+            .select(
+                "_gh",
+                F.when(F.col("_ext") == 1, F.lit(None)).otherwise(
+                    F.col("_canon")
+                ).alias("_canon"),
+            )
+        )
 
     flags = grams.join(dup, "_gh").select(
         "_k", "_p",

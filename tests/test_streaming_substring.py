@@ -1,0 +1,91 @@
+"""Incremental substring dedup: cross-batch span removal (keep-first in
+stream order), within-batch first-copy rule, exactly-once replay, store
+n-width guard, and a real availableNow stream run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from asf_tools_spark.streaming.substring import (
+    SubstringDedupIndexer, start_substring_dedup,
+)
+
+SPAN = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def _texts(spark, out_dir):
+    return {
+        r.url: r.text
+        for r in spark.read.parquet(out_dir).select("url", "text").collect()
+    }
+
+
+def test_cross_batch_span_cut_and_replay(spark, tmp_path):
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    idx = SubstringDedupIndexer(store, out, key="url", n=8)
+
+    idx(_batch(spark, [("a1", f"first page has {SPAN} inside")]), 0)
+    t = _texts(spark, out)
+    assert SPAN in t["a1"]  # first sighting lands intact
+
+    idx(_batch(spark, [
+        ("b1", f"second page repeats {SPAN} verbatim"),
+        ("b2", "a fully unrelated page body here"),
+    ]), 1)
+    t = _texts(spark, out)
+    assert t["b1"] == "second page repeats verbatim"  # span cut cross-batch
+    assert t["b2"] == "a fully unrelated page body here"
+    assert SPAN in t["a1"]  # earlier batch untouched
+
+    # replay batch 1 (failure recovery): identical result — the store
+    # lookup excludes batch_id >= current, so its own landed grams don't
+    # mark it duplicated, and dynamic overwrite rewrites its partitions
+    idx(_batch(spark, [
+        ("b1", f"second page repeats {SPAN} verbatim"),
+        ("b2", "a fully unrelated page body here"),
+    ]), 1)
+    assert _texts(spark, out) == t
+
+
+def test_within_batch_keeps_local_first_copy(spark, tmp_path):
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    idx = SubstringDedupIndexer(store, out, key="url", n=8)
+    idx(_batch(spark, [
+        ("a1", f"alpha {SPAN} one"),
+        ("a2", f"beta {SPAN} two"),
+    ]), 0)
+    t = _texts(spark, out)
+    # batch-local rule: min (url, pos) occurrence survives
+    assert (SPAN in t["a1"]) != (SPAN in t["a2"])  # exactly one keeps it
+
+
+def test_store_n_width_guard(spark, tmp_path):
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    SubstringDedupIndexer(store, out, key="url", n=8)(
+        _batch(spark, [("a1", f"x {SPAN} y")]), 0
+    )
+    with pytest.raises(ValueError, match="n="):
+        SubstringDedupIndexer(store, out, key="url", n=6)(
+            _batch(spark, [("c1", "whatever text")]), 1
+        )
+
+
+def test_availablenow_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _batch(spark, [
+        ("s1", f"stream page one {SPAN} tail"),
+        ("s2", f"stream page two {SPAN} tail"),
+    ]).write.parquet(src)
+    pages = spark.readStream.schema("url string, text string").parquet(src)
+    q = start_substring_dedup(
+        pages, str(tmp_path / "store"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), key="url", n=8,
+    )
+    q.awaitTermination(120)
+    t = _texts(spark, str(tmp_path / "out"))
+    assert len(t) == 2
+    # one copy of the span survives across the whole stream
+    assert sum(SPAN in v for v in t.values()) == 1
