@@ -12,18 +12,33 @@ skewed keys are bounded by per-key data volume, not pair counts. Ties
 (right.on == left.on) match, like DuckDB/kdb ASOF semantics: the right
 side orders before the left at equal timestamps.
 
-When two RIGHT rows share (by, on), the window's final sort key is the
-right payload struct itself, so the lexicographically-largest right row
-(over its columns in order) wins deterministically — without it, last()
-would return whichever row Spark's sort happened to place last, varying
-across runs/partitionings. Oracles must mirror the same rule (dedupe the
-right side to the max row per (by, on) before a native ASOF join).
+When two RIGHT rows share (by, on), the window's final sort key is a
+struct of the right payload's ORDERABLE columns, so the
+lexicographically-largest such row wins deterministically — without it,
+last() would return whichever row Spark's sort happened to place last,
+varying across runs/partitionings. Unorderable payload columns (maps,
+nested maps) are excluded from the tie-break (sorting on them is rejected
+by the analyzer); if NO payload column is orderable the tie-break
+degrades to arbitrary-on-exact-tie, the best any engine offers there.
+Oracles must mirror the same rule (dedupe the right side to the max
+orderable-column row per (by, on) before a native ASOF join).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _orderable(dt: DataType) -> bool:
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -43,20 +58,32 @@ def asof_join(
     # rows with NULL by/on stay and correctly resolve to no match.
     right = right.where(F.col(by).isNotNull() & F.col(on).isNotNull())
 
+    # deterministic tie-break key: the orderable subset of the payload
+    # (see module docstring); built as its own column so the window sort
+    # never touches unorderable types
+    r_fields = {f.name: f.dataType for f in r_struct_t.fields}
+    tb_cols = [c for c in r_cols if _orderable(r_fields[c])]
+    tb_t = (
+        right.select(F.struct(*tb_cols).alias("s")).schema[0].dataType
+        if tb_cols else None
+    )
+
     l2 = left.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lv"), F.lit(None).cast(r_struct_t).alias("_rv"),
+        *([F.lit(None).cast(tb_t).alias("_tb")] if tb_cols else []),
     )
     r2 = right.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(0).alias("_side"),
         F.lit(None).cast(l_struct_t).alias("_lv"), F.struct(*r_cols).alias("_rv"),
+        *([F.struct(*tb_cols).alias("_tb")] if tb_cols else []),
     )
-    # "_rv" as the last sort key = deterministic tie-break among right rows
-    # with identical (key, ts): max payload struct wins. Left rows carry a
-    # NULL _rv but are already separated by _side.
+    # among right rows with identical (key, ts): max tie-break struct wins.
+    # Left rows carry a NULL _tb but are already separated by _side.
+    order = ["_t", "_side"] + (["_tb"] if tb_cols else [])
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side", "_rv")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

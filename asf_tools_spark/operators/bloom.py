@@ -45,9 +45,15 @@ def bloom_build(
 ) -> list[int]:
     """Bitset words (m_bits/64 longs) of the dim's key set. One narrow
     projection + one bit_or aggregate; the collect is O(m_bits/64) rows no
-    matter how many dim keys there are."""
+    matter how many dim keys there are.
+
+    m_bits is rounded UP to a multiple of 64: probe-side code defaults its
+    modulus to len(words)*64, and a build/probe modulus mismatch would
+    create FALSE NEGATIVES — the one error class a Bloom filter must never
+    have."""
     if k > len(_SALTS):
         raise ValueError(f"k={k} > {len(_SALTS)} available salts")
+    m_bits = (m_bits + 63) // 64 * 64
     # ONE scan of the dim: all k probe positions explode from one array
     pos = dim.select(
         F.explode(F.array(*_positions(F.col(key), m_bits, k))).alias("pos")
@@ -96,8 +102,23 @@ def bloom_prune_join(
     """fact JOIN dim on ``key``, with the fact side Bloom-prefiltered
     map-side before the join's exchange. Output rows are identical to the
     plain join (no false negatives; the join removes false positives) —
-    only the shuffled volume changes. ``expected_fpp`` for sizing:
-    m_bits >= 1.44 * k * n_dim keeps fpp under ~2^-k."""
+    only the shuffled volume changes. Sizing: m_bits >= 1.44 * k * n_dim
+    keeps the false-positive rate under ~2^-k.
+
+    Only match-preserving join types are accepted: prefiltering the fact
+    side is correct exactly when dropping a non-matching fact row cannot
+    change the result — true for inner and left_semi, WRONG for
+    left/full/anti joins (an unmatched left row must survive with NULLs /
+    be returned, but the prefilter would silently drop or keep it by
+    Bloom-false-positive luck)."""
+    norm = how.replace("_", "").lower()
+    if norm not in ("inner", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_prune_join: how={how!r} is not match-preserving under a "
+            "fact-side prefilter (use 'inner' or 'left_semi'; outer/anti "
+            "joins would drop or misreport unmatched rows)"
+        )
+    m_bits = (m_bits + 63) // 64 * 64
     words = bloom_build(dim, key, m_bits=m_bits, k=k)
     pruned = fact.where(bloom_might_contain(words, F.col(key), m_bits, k))
     return pruned.join(dim, key, how)

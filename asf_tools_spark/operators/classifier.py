@@ -32,8 +32,10 @@ from .dedup import normalize_text
 
 def _token_features(df: DataFrame, text_col: str) -> DataFrame:
     """words + joined word-bigrams of the normalized text (fastText's
-    default feature set), as one array column."""
-    ws = F.split(normalize_text(F.col(text_col)), " ")
+    default feature set), as one array column. NULL text coalesces to ''
+    (a NULL _toks array would crash HashingTF for the whole job; web
+    corpora routinely carry NULL-text rows)."""
+    ws = F.split(F.coalesce(normalize_text(F.col(text_col)), F.lit("")), " ")
     bigrams = F.when(
         F.size(ws) >= 2,
         F.transform(

@@ -570,13 +570,21 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str, k: int = 8,
     small-corpus driver-local Lloyd guard); the production build-once path
     is jobs/ann_index_job.py + save/load_ivfpq_index, which persists
     centroids with the list-partitioned codes."""
-    ck = (id(spark), sf_dir, k, n_iters, seed)
+    # applicationId, not id(spark): a stopped session's id() can be reused
+    # by CPython for a new session, which would hand out a cached frame
+    # bound to a dead SparkContext
+    ck = (spark.sparkContext.applicationId, sf_dir, k, n_iters, seed)
     if ck not in _IVF_CACHE:
         emb = spark.table("embeddings")
         cents = similarity.kmeans_fit(
             emb, k=k, n_iters=n_iters, seed=seed, init_exact_max_k=0,
         )
         assigned = similarity.ivf_assign(emb, cents, "vec_id").persist()
+        # eager materialization: the first consumer reads `assigned` from
+        # several branches of one job, and a LAZY persist makes each
+        # branch re-run the upstream chain against the cold cache (the
+        # repo's measured 5x lazy-cache race)
+        assigned.write.format("noop").mode("overwrite").save()
         _IVF_CACHE[ck] = (cents, assigned)
     return _IVF_CACHE[ck]
 

@@ -90,9 +90,23 @@ def compact_table(
             old_path = f"{root}/_compact_old/{d['partition']}"
         else:
             # unpartitioned: the swap target is the table root itself, so
-            # staging must sit OUTSIDE it — hidden-named siblings
+            # staging must sit OUTSIDE it — hidden-named siblings. Derive
+            # the parent from the FS-QUALIFIED path: string rpartition on
+            # a bare relative name yields parent '' (staging at the
+            # filesystem root), and on a scheme/bucket root it mangles the
+            # authority into a different bucket.
             part_path = root
-            parent, _, name = root.rpartition("/")
+            fs0, hroot = _fs_and_path(spark, root)
+            q = fs0.makeQualified(hroot)
+            hparent = q.getParent()
+            if hparent is None or str(q.toUri().getPath()) in ("", "/"):
+                raise ValueError(
+                    f"compact_table: {table_path!r} is a filesystem/bucket "
+                    "root — no sibling location exists for crash-safe "
+                    "staging; pass a table directory, not a root"
+                )
+            name = q.getName()
+            parent = hparent.toString().rstrip("/")
             tmp_path = f"{parent}/_{name}__compact_tmp"
             old_path = f"{parent}/_{name}__compact_old"
         # write the compacted copy to the staging dir FIRST, then swap via

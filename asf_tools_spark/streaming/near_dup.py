@@ -38,8 +38,6 @@ zero cross-batch candidates.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.dedup import (
@@ -51,6 +49,17 @@ from ..operators.dedup import (
 )
 
 N_STORE_BUCKETS = 64
+
+
+def _dir_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence check: os.path.isdir is scheme-blind (an
+    hdfs://, s3a://, or even file:// store would read as absent forever,
+    silently disabling every cross-batch lookup). Same FS discipline as
+    sources/maintenance.py."""
+    from ..sources.maintenance import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, path)
+    return fs.exists(hpath)
 
 
 def _with_bucket(bands: DataFrame) -> DataFrame:
@@ -100,7 +109,7 @@ class NearDupIndexer:
         # cross-batch pairs: new bands vs the accumulated store; the bucket
         # join key prunes the partitioned store scan, batch_id < current
         # keeps a replayed batch from joining its own already-landed bands
-        if os.path.isdir(self.store_dir):
+        if _dir_exists(spark, self.store_dir):
             store = spark.read.parquet(self.store_dir)
             # schema guard first: a store from an older layout (no family/
             # batch_id partitions) must fail with a clear rebuild message,

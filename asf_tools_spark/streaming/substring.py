@@ -42,13 +42,22 @@ mis-deduplicating.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.substring import gram_occurrences, substring_dedup
 
 N_STORE_BUCKETS = 64
+
+
+def _dir_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence check: os.path.isdir is scheme-blind (an
+    hdfs://, s3a://, or even file:// store would read as absent forever,
+    silently disabling every cross-batch lookup). Same FS discipline as
+    sources/maintenance.py."""
+    from ..sources.maintenance import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, path)
+    return fs.exists(hpath)
 
 
 class SubstringDedupIndexer:
@@ -100,7 +109,7 @@ class SubstringDedupIndexer:
         batch_gh = grams.select("bucket", "_gh").distinct().persist()
 
         ext = None
-        if os.path.isdir(self.store_dir):
+        if _dir_exists(spark, self.store_dir):
             ext = self._store_grams(spark, batch_gh, batch_id)
 
         rewritten = substring_dedup(

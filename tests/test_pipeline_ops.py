@@ -475,6 +475,23 @@ def test_asof_join_duplicate_ts_deterministic(spark):
         assert len(got) == 1 and got[0].r_rid == 907
 
 
+def test_asof_join_unorderable_payload_column(spark):
+    """A map-typed right payload column must not break the join (sorting
+    a struct containing a map is rejected by the analyzer); the tie-break
+    still applies over the ORDERABLE columns."""
+    from asf_tools_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20, 100)], "k long, t long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 5, {"a": "x"}), (1, 10, 9, {"b": "y"})],
+        "k long, t long, rid long, attrs map<string,string>",
+    )
+    got = asof_join(left, right, on="t", by="k").collect()
+    assert len(got) == 1
+    assert got[0].r_rid == 9  # max orderable (t, rid) wins; map carried
+    assert dict(got[0].r_attrs) == {"b": "y"}
+
+
 def test_asof_join_null_semantics(spark):
     """SQL NULL contract (matches DuckDB ASOF): NULL-ts/NULL-key right rows
     match nothing; NULL-ts left rows resolve to no match."""
