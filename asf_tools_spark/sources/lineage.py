@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import time
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -28,7 +27,13 @@ class LineageWriter:
         self.lineage_path = lineage_path or f"{table_path}_lineage"
 
     def completed_partitions(self, spark: SparkSession, job_id: str) -> set[str]:
-        if not Path(self.lineage_path).exists():
+        # Hadoop-FS existence check: pathlib is scheme-blind, so on an
+        # hdfs://s3a:// deployment a resumed job would see NO committed
+        # partitions and rewrite everything (correct but not resumable)
+        from .maintenance import _fs_and_path
+
+        fs, hpath = _fs_and_path(spark, self.lineage_path)
+        if not fs.exists(hpath):
             return set()
         lin = spark.read.parquet(self.lineage_path)
         rows = (
