@@ -116,10 +116,15 @@ class SubstringDedupIndexer:
             batch_df, self.key, text_col=self.text_col, n=self.n,
             external_dup_grams=ext,
         )
-        out = (
-            batch_df.drop(self.text_col)
-            .join(rewritten, self.key)
-            .withColumnRenamed("dedup_text", self.text_col)
+        # join back ONLY the rewritten text: the input may legitimately
+        # carry columns named n_tokens / n_dropped (quality features) or a
+        # batch_id from an upstream batch-stamped table — colliding names
+        # would make the write ambiguous or double-stamp the partition col
+        out = batch_df.drop(self.text_col, "batch_id").join(
+            rewritten.select(
+                self.key, F.col("dedup_text").alias(self.text_col)
+            ),
+            self.key,
         )
         try:
             (

@@ -73,6 +73,25 @@ def test_store_n_width_guard(spark, tmp_path):
         )
 
 
+def test_colliding_input_columns(spark, tmp_path):
+    """Inputs carrying n_tokens / n_dropped / batch_id columns (quality
+    features, batch-stamped upstream tables — the curated-ingest job's
+    actual schema) must not collide with the rewrite join or the partition
+    stamp."""
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    idx = SubstringDedupIndexer(store, out, key="url", n=8)
+    df = spark.createDataFrame(
+        [("a1", f"one {SPAN} two", 13, 0, 99)],
+        "url string, text string, n_tokens long, n_dropped long, batch_id long",
+    )
+    idx(df, 0)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_tokens == 13 and r.batch_id == 0  # upstream col kept; stamp wins
+    assert SPAN in r.text
+
+
 def test_availablenow_stream_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     _batch(spark, [
