@@ -186,6 +186,36 @@ def q_remove_small_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene + per-domain rollup: deterministic messy URLs (mixed
+    scheme case, www, tracking params, fragments, trailing slashes) are
+    synthesized per doc from the shared emitter, normalized
+    (lowercase/strip scheme+www/drop query+fragment/collapse slashes), and
+    rolled up per domain — the canonicalize-then-rollup every URL-keyed
+    corpus runs before url dedup and per-domain budgeting. Spark and
+    oracle share the emitters bit-for-bit."""
+    from .functions import url as U
+
+    _register(spark, sf_dir, "documents")
+    synth = U.synth_url_sql("doc_id", oracle.SPARK)
+    norm = U.normalize_url_sql("raw_url", oracle.SPARK)
+    dom = U.domain_sql("norm_url", oracle.SPARK)
+    return spark.sql(f"""
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_distinct_urls,
+               MIN(norm_url) AS first_url
+        FROM (
+          SELECT {dom} AS domain, norm_url FROM (
+            SELECT {norm} AS norm_url FROM (
+              SELECT {synth} AS raw_url FROM documents
+            )
+          )
+        )
+        GROUP BY domain
+    """)
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned selective join: lineitem shuffles only rows whose
     orderkey MIGHT match the urgent/high-value order set — the dim's key
@@ -286,6 +316,28 @@ def q_flood_depth_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
+
+def _domain_stats_oracle() -> str:
+    from .functions import url as U
+
+    synth = U.synth_url_sql("doc_id", oracle.DUCKDB)
+    norm = U.normalize_url_sql("raw_url", oracle.DUCKDB)
+    dom = U.domain_sql("norm_url", oracle.DUCKDB)
+    return f"""
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_distinct_urls,
+               MIN(norm_url) AS first_url
+        FROM (
+          SELECT {dom} AS domain, norm_url FROM (
+            SELECT {norm} AS norm_url FROM (
+              SELECT {synth} AS raw_url FROM documents
+            )
+          )
+        )
+        GROUP BY domain
+    """
+
 
 def _oracle_sqls() -> dict[str, str]:
     d = oracle.DUCKDB
@@ -420,6 +472,7 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        "domain_stats": _domain_stats_oracle(),
         "bloom_join": """
             SELECT l.l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -468,7 +521,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-4 additions (never driver-seen):
-    "bpe_tokens", "substring_dedup", "bloom_join",
+    "bpe_tokens", "substring_dedup", "bloom_join", "domain_stats",
     # round-3 additions — oracled + judge-battery green in r3, but no
     # driver row yet:
     "repetition_signals", "pii_scrub", "line_dedup", "corpus_sample",
@@ -485,7 +538,7 @@ _REGISTRY_HEAD = [
 ]
 _REGISTRY_TAIL = [
     # driver-green in r1+r2+r3 — rotated out as multiply-verified:
-    "mosaic_weighted", "gaussian_scale", "zmf_membership", "simhash", "hamming_pairs",
+    "label_stats_nmad", "mosaic_weighted", "gaussian_scale", "zmf_membership", "simhash", "hamming_pairs",
     "lang_id", "quality_score", "bpe_token_count", "winnow_fingerprint",
     "ann_cosine_topk", "ann_topk_int8", "bbox_filename_filter",
     "rgb_decomp", "log_diff", "cell_rollup", "fill_missing_tiles",
@@ -538,6 +591,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "bloom_join": q_bloom_join,
+        "domain_stats": q_domain_stats,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }
