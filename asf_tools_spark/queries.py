@@ -522,6 +522,7 @@ def _oracle_sqls() -> dict[str, str]:
 _REGISTRY_HEAD = [
     # round-4 additions (never driver-seen):
     "bpe_tokens", "substring_dedup", "bloom_join", "domain_stats",
+    "corpus_budget_bpe",
     # round-3 additions — oracled + judge-battery green in r3, but no
     # driver row yet:
     "repetition_signals", "pii_scrub", "line_dedup", "corpus_sample",
@@ -538,7 +539,7 @@ _REGISTRY_HEAD = [
 ]
 _REGISTRY_TAIL = [
     # driver-green in r1+r2+r3 — rotated out as multiply-verified:
-    "label_stats_nmad", "mosaic_weighted", "gaussian_scale", "zmf_membership", "simhash", "hamming_pairs",
+    "reverse_cdf_threshold", "label_stats_nmad", "mosaic_weighted", "gaussian_scale", "zmf_membership", "simhash", "hamming_pairs",
     "lang_id", "quality_score", "bpe_token_count", "winnow_fingerprint",
     "ann_cosine_topk", "ann_topk_int8", "bbox_filename_filter",
     "rgb_decomp", "log_diff", "cell_rollup", "fill_missing_tiles",

@@ -344,6 +344,33 @@ def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget ROLLUP on REAL merge-table BPE counts (VERDICT r3
+    missing-item #5: the regex approximation is fine as a signal, wrong
+    when budgets bill by true tokens). Same merges as bpe_tokens (seeded
+    sample training, deterministic); the rollup itself is one Expand +
+    aggregate pass. Oracle = precomputed golden VALUES at sf0.01 (merge
+    loops are not SQL-expressible; regenerate with
+    scripts/make_bpe_golden.py --budget)."""
+    from .operators import bpe
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    merges = bpe.bpe_train(docs, n_merges=128, sample_size=512, seed=0)
+    counted = docs.withColumn(
+        "n_tok", bpe.bpe_token_count_real(merges, "text")
+    )
+    out = counted.rollup("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    return out.select(
+        F.coalesce("source", F.lit("TOTAL")).alias("source"),
+        F.coalesce("lang", F.lit("TOTAL")).alias("lang"),
+        "n_docs", "n_tokens",
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source HLL distinct-token estimate + an ALL rollup by sketch
     UNION (no second scan) — the 100 TB distinct-counting shape. Rows-only:
@@ -1204,6 +1231,62 @@ def _oracle_sqls() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
     """
+    # true-BPE budget rollup golden (sf0.01; regenerate with
+    # scripts/make_bpe_golden.py --budget). VALUES-cast rule applies.
+    _bpe_budget_vals = """
+        ('TOTAL', 'TOTAL', 500, 27165), ('src0', 'TOTAL', 25, 1435),
+        ('src0', 'de', 7, 402), ('src0', 'en', 8, 394), ('src0', 'es', 3,
+        206), ('src0', 'fr', 5, 352), ('src0', 'zh', 2, 81), ('src1',
+        'TOTAL', 25, 1540), ('src1', 'de', 4, 149), ('src1', 'en', 13, 886),
+        ('src1', 'es', 2, 107), ('src1', 'fr', 4, 302), ('src1', 'zh', 2,
+        96), ('src10', 'TOTAL', 25, 1303), ('src10', 'de', 1, 27), ('src10',
+        'en', 12, 661), ('src10', 'es', 5, 190), ('src10', 'fr', 2, 142),
+        ('src10', 'zh', 5, 283), ('src11', 'TOTAL', 25, 1522), ('src11',
+        'de', 6, 345), ('src11', 'en', 10, 578), ('src11', 'es', 1, 94),
+        ('src11', 'fr', 4, 257), ('src11', 'zh', 4, 248), ('src12', 'TOTAL',
+        25, 1272), ('src12', 'de', 2, 100), ('src12', 'en', 13, 677),
+        ('src12', 'es', 2, 91), ('src12', 'fr', 1, 43), ('src12', 'zh', 7,
+        361), ('src13', 'TOTAL', 25, 1553), ('src13', 'de', 1, 79),
+        ('src13', 'en', 8, 503), ('src13', 'es', 6, 281), ('src13', 'fr', 6,
+        397), ('src13', 'zh', 4, 293), ('src14', 'TOTAL', 25, 1318),
+        ('src14', 'en', 13, 852), ('src14', 'es', 4, 136), ('src14', 'fr',
+        4, 133), ('src14', 'zh', 4, 197), ('src15', 'TOTAL', 25, 1298),
+        ('src15', 'de', 4, 194), ('src15', 'en', 10, 453), ('src15', 'es',
+        3, 182), ('src15', 'fr', 6, 340), ('src15', 'zh', 2, 129), ('src16',
+        'TOTAL', 25, 1351), ('src16', 'de', 1, 66), ('src16', 'en', 11,
+        436), ('src16', 'es', 5, 344), ('src16', 'fr', 5, 305), ('src16',
+        'zh', 3, 200), ('src17', 'TOTAL', 25, 1373), ('src17', 'de', 3,
+        156), ('src17', 'en', 9, 486), ('src17', 'es', 7, 333), ('src17',
+        'fr', 1, 53), ('src17', 'zh', 5, 345), ('src18', 'TOTAL', 25, 1364),
+        ('src18', 'de', 4, 214), ('src18', 'en', 16, 804), ('src18', 'es',
+        3, 251), ('src18', 'fr', 2, 95), ('src19', 'TOTAL', 25, 1147),
+        ('src19', 'de', 4, 196), ('src19', 'en', 13, 511), ('src19', 'es',
+        4, 206), ('src19', 'fr', 1, 51), ('src19', 'zh', 3, 183), ('src2',
+        'TOTAL', 25, 1407), ('src2', 'de', 3, 151), ('src2', 'en', 8, 505),
+        ('src2', 'es', 4, 236), ('src2', 'fr', 6, 348), ('src2', 'zh', 4,
+        167), ('src3', 'TOTAL', 25, 1384), ('src3', 'de', 4, 178), ('src3',
+        'en', 12, 738), ('src3', 'es', 4, 193), ('src3', 'fr', 2, 155),
+        ('src3', 'zh', 3, 120), ('src4', 'TOTAL', 25, 1294), ('src4', 'de',
+        7, 360), ('src4', 'en', 7, 383), ('src4', 'es', 3, 124), ('src4',
+        'fr', 5, 244), ('src4', 'zh', 3, 183), ('src5', 'TOTAL', 25, 1329),
+        ('src5', 'de', 5, 255), ('src5', 'en', 11, 534), ('src5', 'es', 2,
+        150), ('src5', 'fr', 2, 128), ('src5', 'zh', 5, 262), ('src6',
+        'TOTAL', 25, 1266), ('src6', 'de', 2, 74), ('src6', 'en', 14, 720),
+        ('src6', 'es', 4, 225), ('src6', 'zh', 5, 247), ('src7', 'TOTAL',
+        25, 1507), ('src7', 'de', 4, 263), ('src7', 'en', 14, 865), ('src7',
+        'es', 2, 104), ('src7', 'fr', 2, 155), ('src7', 'zh', 3, 120),
+        ('src8', 'TOTAL', 25, 1136), ('src8', 'de', 4, 166), ('src8', 'en',
+        6, 243), ('src8', 'es', 5, 278), ('src8', 'fr', 4, 125), ('src8',
+        'zh', 6, 324), ('src9', 'TOTAL', 25, 1366), ('src9', 'de', 4, 174),
+        ('src9', 'en', 10, 528), ('src9', 'es', 4, 227), ('src9', 'fr', 2,
+        133), ('src9', 'zh', 5, 304)
+    """
+    sqls["corpus_budget_bpe"] = f"""
+        SELECT source, lang,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM (VALUES {_bpe_budget_vals}) AS t(source, lang, n_docs, n_tokens)
+    """
     # real BPE token counts: the merge loop is not SQL-expressible, so the
     # oracle is a precomputed golden for the deterministic doc_id < 40
     # slice at sf0.01 (the driver's oracle scale) — regenerated by
@@ -1414,6 +1497,7 @@ def queries() -> dict:
         "range_join_counts": q_range_join_counts,
         "hll_distinct": q_hll_distinct,  # rows-only (estimator differs from DuckDB)
         "corpus_budget": q_corpus_budget,
+        "corpus_budget_bpe": q_corpus_budget_bpe,
         "substring_dedup": q_substring_dedup,
         "bpe_tokens": q_bpe_tokens,
         "corpus_funnel": q_corpus_funnel,

@@ -17,12 +17,18 @@ from asf_tools_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("bpe-golden", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    df = registry.queries()["bpe_tokens"](spark, sf_dir)
-    rows = sorted((r.doc_id, r.n_bpe) for r in df.collect())
-    print(", ".join(f"({d}, {n})" for d, n in rows))
+    if "--budget" in sys.argv:
+        df = registry.queries()["corpus_budget_bpe"](spark, sf_dir)
+        rows = sorted((r.source, r.lang, r.n_docs, r.n_tokens) for r in df.collect())
+        print(", ".join(f"('{a}', '{b}', {c}, {d})" for a, b, c, d in rows))
+    else:
+        df = registry.queries()["bpe_tokens"](spark, sf_dir)
+        rows = sorted((r.doc_id, r.n_bpe) for r in df.collect())
+        print(", ".join(f"({d}, {n})" for d, n in rows))
     spark.stop()
 
 
