@@ -30,8 +30,12 @@ def zmf(x: np.ndarray, a: float, b: float) -> np.ndarray:
     mid = (a + b) / 2.0
     t = (x - a) / (b - a)
     u = (x - b) / (b - a)
-    out = np.where((a <= x) & (x <= mid), 1.0 - 2.0 * t * t, out)
-    out = np.where((mid <= x) & (x <= b), 2.0 * u * u, out)
+    # extreme x (far outside [a, b]) can overflow 2*t*t to inf; those
+    # lanes are discarded by the np.where masks anyway — silence the
+    # RuntimeWarning so real warnings stay visible in the test suite
+    with np.errstate(over="ignore"):
+        out = np.where((a <= x) & (x <= mid), 1.0 - 2.0 * t * t, out)
+        out = np.where((mid <= x) & (x <= b), 2.0 * u * u, out)
     out = np.where(x >= b, 0.0, out)
     return out
 

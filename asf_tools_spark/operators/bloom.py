@@ -84,6 +84,18 @@ def bloom_might_contain(
     at rate ~(1 - e^{-kn/m})^k; zero false negatives."""
     if m_bits is None:
         m_bits = len(words) * 64
+    else:
+        # Round up exactly as bloom_build does: a build/probe modulus
+        # mismatch (e.g. caller passes m_bits=100 to both) would hash the
+        # same key to DIFFERENT positions on each side — silent FALSE
+        # NEGATIVES, the one error class a Bloom filter must never have.
+        m_bits = (m_bits + 63) // 64 * 64
+        if m_bits != len(words) * 64:
+            raise ValueError(
+                f"m_bits={m_bits} (rounded to a multiple of 64) does not match "
+                f"the built filter ({len(words)} words = {len(words) * 64} bits); "
+                "pass the same m_bits used at build time, or omit it"
+            )
     lit_words = F.lit(words)  # one array literal: a single codegen object ref
     cond = None
     for p in _positions(key, m_bits, k):

@@ -24,6 +24,16 @@ def dot_cols(a: str | Column, b: str | Column) -> Column:
     )
 
 
+def _safe_norms(X: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zeros replaced by 1: a zero vector then gets
+    cosine 0 against everything (deterministic last pick) instead of NaN —
+    NaN cosines make argmin/argmax silently pick index 0, and both Spark
+    and DuckDB sort NaN first under DESC, so the bug would survive the
+    oracle."""
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return np.where(n == 0, 1.0, n)
+
+
 def norm_col(a: str | Column) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(
@@ -253,8 +263,10 @@ def kmeans_fit(
         .limit(local_max_rows + 1).select(vec_col).collect()
     ) if local_max_rows > 0 else []
     if local_max_rows > 0 and len(rows) <= local_max_rows:
+        if not rows:
+            raise ValueError("kmeans_fit: empty corpus (no embedding rows)")
         X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / _safe_norms(X)
         chosen = [0]  # global min-hash row, like both distributed inits
         best_cos = Xn @ Xn[0]
         for _ in range(min(k, len(X)) - 1):
@@ -263,7 +275,7 @@ def kmeans_fit(
             best_cos = np.maximum(best_cos, Xn @ Xn[nxt])
         centroids = X[chosen]
         for _ in range(n_iters):
-            cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+            cn = centroids / _safe_norms(centroids)
             sims = Xn @ cn.T
             assign = sims.argmax(axis=1)  # first max: lowest list id, like ivf_assign
             nxt_c = centroids.copy()
@@ -294,7 +306,9 @@ def kmeans_fit(
             .limit(max(init_sample_size, 4 * k)).select(vec_col).collect()
         )
         X = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        if not len(X):
+            raise ValueError("kmeans_fit: empty init sample (no embedding rows)")
+        Xn = X / _safe_norms(X)
         chosen = [0]  # global min-hash row, like the exact path
         best_cos = Xn @ Xn[0]
         for _ in range(k - 1):

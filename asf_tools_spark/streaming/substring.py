@@ -43,6 +43,7 @@ mis-deduplicating.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..operators.substring import gram_occurrences, substring_dedup
 
@@ -103,6 +104,20 @@ class SubstringDedupIndexer:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # substring_dedup groups by the key: duplicate-key rows inside one
+        # micro-batch would be merged into ONE rewritten text and the
+        # join-back below would then fan that row out across the
+        # duplicates — rows whose OTHER columns no longer correspond to
+        # the rewritten text. Enforce key uniqueness per batch up front
+        # (deterministic winner: lowest xxhash64 of the text, then text).
+        w = Window.partitionBy(self.key).orderBy(
+            F.xxhash64(F.col(self.text_col)), F.col(self.text_col)
+        )
+        batch_df = (
+            batch_df.withColumn("_kd_rn", F.row_number().over(w))
+            .where(F.col("_kd_rn") == 1)
+            .drop("_kd_rn")
+        )
         grams = gram_occurrences(
             batch_df, self.key, self.text_col, self.n
         ).withColumn("bucket", F.pmod(F.col("_gh"), F.lit(self.n_buckets)))

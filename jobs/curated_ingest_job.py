@@ -62,9 +62,25 @@ def main() -> None:
     if args.substring_store:
         if not args.substring_out:
             ap.error("--substring-out is required with --substring-store")
-        curated = spark.readStream.schema(
-            spark.read.parquet(args.out).schema
-        ).parquet(args.out)
+        # An empty/late source can leave the curate phase with no output at
+        # all; spark.read.parquet on that dir throws "unable to infer
+        # schema". No curated rows means nothing to substring-dedup — no-op
+        # instead of crashing (scheme-aware check: the table may be on
+        # hdfs/s3a, where os.path is blind).
+        from asf_tools_spark.sources.maintenance import _fs_and_path
+
+        fs, out_path = _fs_and_path(spark, args.out)
+        curated_schema = None
+        if fs.exists(out_path):
+            try:
+                curated_schema = spark.read.parquet(args.out).schema
+            except Exception:
+                curated_schema = None  # dir exists but holds no parquet yet
+        if curated_schema is None:
+            print("curated output is empty; skipping substring phase")
+            spark.stop()
+            return
+        curated = spark.readStream.schema(curated_schema).parquet(args.out)
         q2 = start_substring_dedup(
             curated, args.substring_store, args.substring_out,
             f"{args.checkpoint.rstrip('/')}/substring",

@@ -212,3 +212,19 @@ def test_kmeans_sampled_init_recovers_k32(spark, monkeypatch):
     lists_per_cluster = [{got[ci * 12 + j] for j in range(12)} for ci in range(32)]
     assert all(len(s) == 1 for s in lists_per_cluster)
     assert len({next(iter(s)) for s in lists_per_cluster}) == 32
+
+
+def test_kmeans_zero_vector_and_empty_guards(spark):
+    # ADVICE r4: a zero vector must not poison the local path with NaN
+    # cosines (NaN argmin/argmax silently picks index 0); an empty corpus
+    # must raise clearly, not crash on a 0-d norm.
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    rows.append((30, [0.0] * 8))  # zero vector in the corpus
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = similarity.kmeans_fit(emb, k=3, n_iters=2)
+    assert np.isfinite(cent).all()
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.kmeans_fit(empty, k=2, n_iters=1)

@@ -53,3 +53,26 @@ def test_probe_literal_is_constant_folded(spark):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "create_array" not in plan.lower()
+
+
+def test_non_multiple_of_64_m_bits_rounds_identically(spark):
+    # the footgun ADVICE r4 flagged: caller passes the same NON-multiple-
+    # of-64 m_bits to build and probe — both sides must round identically
+    # (mismatched pmod moduli would mean silent false negatives)
+    dim = spark.range(50).select((F.col("id") * 31).alias("k"))
+    fact = spark.range(2_000).select(F.col("id").alias("k"))
+    words = bloom.bloom_build(dim, "k", m_bits=100, k=3)
+    passed = {r.k for r in fact.where(
+        bloom.bloom_might_contain(words, F.col("k"), m_bits=100, k=3)
+    ).collect()}
+    true_keys = {r.k for r in dim.collect()} & {r.k for r in fact.collect()}
+    assert true_keys <= passed
+
+
+def test_probe_m_bits_mismatch_raises(spark):
+    import pytest
+
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    words = bloom.bloom_build(dim, "k", m_bits=1 << 10)
+    with pytest.raises(ValueError, match="does not match"):
+        bloom.bloom_might_contain(words, F.col("k"), m_bits=1 << 11)

@@ -108,3 +108,27 @@ def test_availablenow_stream_end_to_end(spark, tmp_path):
     assert len(t) == 2
     # one copy of the span survives across the whole stream
     assert sum(SPAN in v for v in t.values()) == 1
+
+
+def test_duplicate_key_rows_in_batch_collapse_to_one(spark, tmp_path):
+    # ADVICE r4: substring_dedup groups by key, so duplicate-key rows in a
+    # micro-batch would merge into one rewritten text and fan back out
+    # across the duplicates. The indexer must enforce key uniqueness with
+    # a deterministic winner instead.
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    idx = SubstringDedupIndexer(store, out, key="url", n=8)
+    idx(_batch(spark, [
+        ("dup", "alpha beta gamma delta"),
+        ("dup", "completely different text here"),
+        ("solo", "unrelated words entirely now"),
+    ]), 0)
+    rows = spark.read.parquet(out).select("url", "text").collect()
+    assert sorted(r.url for r in rows) == ["dup", "solo"]  # one row per key
+    kept = {r.url: r.text for r in rows}
+    # deterministic winner: lowest xxhash64(text) among the dup rows
+    h = {
+        t: spark.sql(f"SELECT xxhash64('{t}') v").first().v
+        for t in ["alpha beta gamma delta", "completely different text here"]
+    }
+    expected = min(h, key=lambda t: (h[t], t))
+    assert kept["dup"] == expected
