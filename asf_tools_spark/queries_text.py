@@ -190,8 +190,10 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, like PQ codebooks), counts via one Arrow-batched UDF with a
     per-batch word memo. The merge loop is not SQL-expressible, so the
     oracle is a precomputed golden VALUES table for the deterministic
-    doc_id < 40 slice at sf0.01 (segmentation itself is hand-verified in
-    tests/test_bpe.py)."""
+    doc_id < 40 slice at sf0.01, generated by an INDEPENDENT Spark-free
+    replay (scripts/make_bpe_golden.py: pyarrow read + pure-Python XXH64
+    sample selection + local train/segment loop — no Arrow UDF, no memo);
+    segmentation itself is hand-verified in tests/test_bpe.py."""
     from .operators import bpe
 
     _register(spark, sf_dir, "documents")
@@ -349,9 +351,10 @@ def q_corpus_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing-item #5: the regex approximation is fine as a signal, wrong
     when budgets bill by true tokens). Same merges as bpe_tokens (seeded
     sample training, deterministic); the rollup itself is one Expand +
-    aggregate pass. Oracle = precomputed golden VALUES at sf0.01 (merge
-    loops are not SQL-expressible; regenerate with
-    scripts/make_bpe_golden.py --budget)."""
+    aggregate pass. Oracle = precomputed golden VALUES at sf0.01 from the
+    INDEPENDENT Spark-free replay (scripts/make_bpe_golden.py --budget:
+    pure-Python sample selection + segment loop + dict rollup — merge
+    loops are not SQL-expressible)."""
     from .operators import bpe
 
     _register(spark, sf_dir, "documents")
@@ -1231,8 +1234,9 @@ def _oracle_sqls() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
     """
-    # true-BPE budget rollup golden (sf0.01; regenerate with
-    # scripts/make_bpe_golden.py --budget). VALUES-cast rule applies.
+    # true-BPE budget rollup golden (sf0.01; generated by the INDEPENDENT
+    # Spark-free replay: scripts/make_bpe_golden.py --budget). VALUES-cast
+    # rule applies.
     _bpe_budget_vals = """
         ('TOTAL', 'TOTAL', 500, 27165), ('src0', 'TOTAL', 25, 1435),
         ('src0', 'de', 7, 402), ('src0', 'en', 8, 394), ('src0', 'es', 3,
@@ -1289,10 +1293,12 @@ def _oracle_sqls() -> dict[str, str]:
     """
     # real BPE token counts: the merge loop is not SQL-expressible, so the
     # oracle is a precomputed golden for the deterministic doc_id < 40
-    # slice at sf0.01 (the driver's oracle scale) — regenerated by
-    # scripts/make_bpe_golden.py if testdata changes; the
-    # segmenter itself is hand-verified in tests/test_bpe.py. CASTs per
-    # the VALUES-parse-as-INTEGER rule.
+    # slice at sf0.01 (the driver's oracle scale), generated by the
+    # INDEPENDENT Spark-free replay in scripts/make_bpe_golden.py (pyarrow
+    # + pure-Python XXH64 sampler + plain segment loop — NOT the Spark
+    # query itself, so a segmenter/UDF bug cannot bake into its own
+    # oracle); regenerate if testdata changes. CASTs per the
+    # VALUES-parse-as-INTEGER rule.
     _bpe_golden = [
         (0, 32), (1, 72), (2, 45), (3, 27), (4, 45), (5, 56), (6, 15),
         (7, 72), (8, 84), (9, 74), (10, 39), (11, 58), (12, 65), (13, 60),
