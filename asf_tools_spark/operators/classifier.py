@@ -25,7 +25,7 @@ plans/corpus_pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import normalize_text
 
@@ -100,3 +100,81 @@ def score_quality(
     return scored.withColumn("model_quality", p1).drop(
         "_toks", "features", "rawPrediction", "probability", "prediction"
     )
+
+
+# ---- frozen-weights scoring: inference without the ML runtime ----
+# The fastText deployment trick: a trained linear model is just (weights,
+# intercept) — scoring needs no pyspark.ml at all. Feature indices here
+# come from the SQL `hash()` expression (Murmur3, seed 42), NOT ml
+# HashingTF (which uses the hashUnsafeBytes2 tail variant — see
+# core/xxh.py): that keeps the whole inference path inside whole-stage
+# codegen, and training (train_frozen_classifier) builds its features
+# from the SAME Catalyst expression so train/score indices can never
+# disagree.
+
+
+def hashed_token_index(tok: Column, n_features: int) -> Column:
+    """Feature bucket of one token: nonNegativeMod(hash(tok), n)."""
+    return F.pmod(F.hash(tok), F.lit(n_features)).cast("int")
+
+
+def score_quality_frozen(
+    docs: DataFrame, key: str, weights: list[float], intercept: float,
+    text_col: str = "text", n_features: int | None = None,
+) -> DataFrame:
+    """(key, model_quality): sigmoid(w · counts + b) per doc with a FROZEN
+    weight vector — one narrow pass, zero shuffle, zero Python, zero ML
+    runtime. dot(w, counts) = sum over token OCCURRENCES of w[idx], so the
+    whole dot product is one F.aggregate over the token array against a
+    single broadcast array literal (32 KB at 4096 features)."""
+    if n_features is None:
+        n_features = len(weights)
+    if n_features != len(weights):
+        raise ValueError(f"n_features={n_features} != len(weights)={len(weights)}")
+    w_lit = F.lit([float(w) for w in weights])  # ONE py4j call, constant-folds
+    feats = _token_features(docs, text_col)
+    dot = F.aggregate(
+        F.col("_toks"),
+        F.lit(float(intercept)),
+        lambda acc, tok: acc
+        + F.element_at(w_lit, hashed_token_index(tok, n_features) + 1),
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    return feats.select(key, prob.alias("model_quality"))
+
+
+def train_frozen_classifier(
+    docs: DataFrame, labels: DataFrame, key: str, text_col: str = "text",
+    n_features: int = 1 << 12, max_iter: int = 50, reg_param: float = 1e-3,
+    elastic_net: float = 0.5,
+):
+    """Train the linear model on features hashed by the SAME Catalyst
+    expression score_quality_frozen reads (F.hash + pmod) and return
+    (weights, intercept) ready to freeze. Elastic-net (L1 component)
+    drives most buckets to exactly 0.0, so the frozen artifact stores a
+    small sparse dict. The SparseVector assembly UDF runs at TRAIN time
+    only — inference stays UDF-free."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    counts = (
+        _token_features(docs.join(labels, key), text_col)
+        .select(key, "label", F.explode("_toks").alias("_tok"))
+        .withColumn("_idx", hashed_token_index(F.col("_tok"), n_features))
+        .groupBy(key, "label", "_idx")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+        .groupBy(key, "label")
+        .agg(F.sort_array(F.collect_list(F.struct("_idx", "_cnt"))).alias("_iv"))
+    )
+
+    @F.udf(VectorUDT())
+    def to_vec(iv):
+        return SparseVector(n_features, [r["_idx"] for r in iv], [r["_cnt"] for r in iv])
+
+    train = counts.withColumn("features", to_vec("_iv"))
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, elasticNetParam=elastic_net,
+        labelCol="label", featuresCol="features",
+    )
+    m = lr.fit(train)
+    return [float(x) for x in m.coefficients], float(m.intercept)

@@ -520,7 +520,9 @@ def _oracle_sqls() -> dict[str, str]:
 # r3 window = raster-core grid family (all green in CORRECTNESS_r03), now
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
-    # round-4 additions (never driver-seen):
+    # round-5 additions (never driver-seen):
+    "classifier_score",
+    # round-4 additions (driver-green once, r4):
     "bpe_tokens", "substring_dedup", "bloom_join", "domain_stats",
     "corpus_budget_bpe",
     # round-3 additions — oracled + judge-battery green in r3, but no

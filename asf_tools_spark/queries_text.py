@@ -1471,7 +1471,178 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL SELECT 'near_dedup', CAST((SELECT COUNT(*) FROM neared) AS BIGINT)
         UNION ALL SELECT 'sampled', CAST((SELECT COUNT(*) FROM sampled) AS BIGINT)
     """
+    # frozen-classifier scores: the model (hash indices + weights) is not
+    # SQL-expressible in DuckDB (no murmur3), so the oracle is a golden
+    # generated by the INDEPENDENT Spark-free replay in
+    # scripts/make_classifier_golden.py (NOT the Spark query itself).
+    # VALUES-cast rule applies.
+    _clf_vals = """
+        (0, 0.999985), (1, 0.999532), (2, 0.999959), (3, 0.99998), (4,
+        0.999871), (5, 0.999931), (6, 0.999994), (7, 0.999516), (8,
+        0.999643), (9, 0.999784), (10, 0.999926), (11, 0.999832), (12,
+        0.999924), (13, 0.999907), (14, 0.999854), (15, 0.99995), (16,
+        0.999993), (17, 0.998877), (18, 0.997822), (19, 0.999991), (20,
+        0.999407), (21, 0.999935), (22, 0.999736), (23, 0.99994), (24,
+        0.025413), (25, 0.998423), (26, 0.999994), (27, 0.999889), (28,
+        0.999927), (29, 0.999954), (30, 0.999931), (31, 0.999932), (32,
+        0.999858), (33, 0.999882), (34, 0.999988), (35, 0.99887), (36,
+        0.999984), (37, 0.999883), (38, 0.999986), (39, 0.999943), (40,
+        0.999459), (41, 0.997871), (42, 0.999904), (43, 0.99998), (44,
+        0.999962), (45, 0.999839), (46, 0.998589), (47, 0.999982), (48,
+        0.999938), (49, 0.999981), (50, 0.999871), (51, 0.999699), (52,
+        0.999988), (53, 0.999978), (54, 0.999766), (55, 0.99998), (56,
+        0.999372), (57, 0.998991), (58, 0.999329), (59, 0.999978), (60,
+        0.996641), (61, 0.999857), (62, 0.999914), (63, 0.993733), (64,
+        0.999987), (65, 0.999983), (66, 0.99839), (67, 0.999848), (68,
+        0.999986), (69, 0.999669), (70, 0.999403), (71, 0.999953), (72,
+        0.999912), (73, 0.999536), (74, 0.999994), (75, 0.999937), (76,
+        0.999785), (77, 0.999803), (78, 0.999967), (79, 0.999988), (80,
+        0.999914), (81, 0.99995), (82, 0.999979), (83, 0.999989), (84,
+        0.99939), (85, 0.99998), (86, 0.999991), (87, 0.999988), (88,
+        0.999719), (89, 0.999984), (90, 0.999969), (91, 0.999291), (92,
+        0.999983), (93, 0.999839), (94, 0.999991), (95, 0.999885), (96,
+        0.999702), (97, 0.999595), (98, 0.999464), (99, 0.999928), (100,
+        0.999925), (101, 0.999975), (102, 0.041232), (103, 0.999501),
+        (104, 0.999991), (105, 0.999248), (106, 0.999993), (107,
+        0.999959), (108, 0.99999), (109, 0.999889), (110, 0.999994),
+        (111, 0.99986), (112, 0.999857), (113, 0.996739), (114,
+        0.999976), (115, 0.999989), (116, 0.999993), (117, 0.99997),
+        (118, 0.999562), (119, 0.999989), (120, 0.999931), (121,
+        0.999988), (122, 0.999986), (123, 0.99998), (124, 0.999903),
+        (125, 0.999979), (126, 0.995429), (127, 0.999663), (128,
+        0.998345), (129, 0.999436), (130, 0.99997), (131, 0.99984),
+        (132, 0.999077), (133, 0.038475), (134, 0.999988), (135,
+        0.043947), (136, 0.999942), (137, 0.999979), (138, 0.999682),
+        (139, 0.999938), (140, 0.999971), (141, 0.999849), (142,
+        0.989698), (143, 0.999455), (144, 0.999952), (145, 0.998634),
+        (146, 0.999989), (147, 0.999743), (148, 0.999881), (149,
+        0.999982), (150, 0.999943), (151, 0.993873), (152, 0.999919),
+        (153, 0.999831), (154, 0.998948), (155, 0.999819), (156,
+        0.999993), (157, 0.999992), (158, 0.999984), (159, 0.99993),
+        (160, 0.999905), (161, 0.999164), (162, 0.999812), (163,
+        0.999988), (164, 0.999969), (165, 0.999985), (166, 0.999819),
+        (167, 0.995431), (168, 0.996061), (169, 0.99993), (170,
+        0.999984), (171, 0.999798), (172, 0.999991), (173, 0.99962),
+        (174, 0.999943), (175, 0.99985), (176, 0.999), (177, 0.999939),
+        (178, 0.999919), (179, 0.985676), (180, 0.99996), (181,
+        0.999978), (182, 0.999172), (183, 0.999991), (184, 0.999944),
+        (185, 0.999857), (186, 0.998733), (187, 0.988086), (188,
+        0.999977), (189, 0.999987), (190, 0.999689), (191, 0.999991),
+        (192, 0.999934), (193, 0.999983), (194, 0.99991), (195,
+        0.999941), (196, 0.999856), (197, 0.997451), (198, 0.999911),
+        (199, 0.999748), (200, 0.999968), (201, 0.999674), (202,
+        0.999935), (203, 0.999992), (204, 0.999994), (205, 0.999898),
+        (206, 0.999704), (207, 0.999905), (208, 0.999991), (209,
+        0.999873), (210, 0.992478), (211, 0.999895), (212, 0.999928),
+        (213, 0.998919), (214, 0.999971), (215, 0.028685), (216,
+        0.9999), (217, 0.999852), (218, 0.99904), (219, 0.99999), (220,
+        0.026253), (221, 0.999874), (222, 0.999931), (223, 0.998464),
+        (224, 0.999413), (225, 0.999856), (226, 0.999985), (227,
+        0.998439), (228, 0.998044), (229, 0.99916), (230, 0.999779),
+        (231, 0.999988), (232, 0.999787), (233, 0.99991), (234,
+        0.999806), (235, 0.999948), (236, 0.999994), (237, 0.999437),
+        (238, 0.999784), (239, 0.999937), (240, 0.999603), (241,
+        0.999006), (242, 0.999914), (243, 0.999898), (244, 0.999979),
+        (245, 0.999643), (246, 0.99934), (247, 0.999512), (248,
+        0.992603), (249, 0.988451), (250, 0.999896), (251, 0.999404),
+        (252, 0.999974), (253, 0.999939), (254, 0.999994), (255,
+        0.999941), (256, 0.999993), (257, 0.999987), (258, 0.999816),
+        (259, 0.999965), (260, 0.999986), (261, 0.999942), (262,
+        0.999831), (263, 0.999429), (264, 0.999963), (265, 0.999388),
+        (266, 0.999931), (267, 0.999839), (268, 0.998776), (269,
+        0.999891), (270, 0.999641), (271, 0.999985), (272, 0.997899),
+        (273, 0.999981), (274, 0.997957), (275, 0.999991), (276,
+        0.99974), (277, 0.999983), (278, 0.999704), (279, 0.999943),
+        (280, 0.999523), (281, 0.999909), (282, 0.999981), (283,
+        0.99931), (284, 0.999377), (285, 0.999361), (286, 0.999979),
+        (287, 0.999968), (288, 0.999983), (289, 0.999989), (290,
+        0.999464), (291, 0.999796), (292, 0.999835), (293, 0.999329),
+        (294, 0.994087), (295, 0.999967), (296, 0.999202), (297,
+        0.998435), (298, 0.99999), (299, 0.997433), (300, 0.999939),
+        (301, 0.999361), (302, 0.999182), (303, 0.999589), (304,
+        0.99972), (305, 0.999974), (306, 0.999496), (307, 0.999846),
+        (308, 0.999991), (309, 0.999878), (310, 0.999983), (311,
+        0.996301), (312, 0.996916), (313, 0.99995), (314, 0.999407),
+        (315, 0.999743), (316, 0.999548), (317, 0.999165), (318,
+        0.999932), (319, 0.999293), (320, 0.999123), (321, 0.99997),
+        (322, 0.999964), (323, 0.999819), (324, 0.99998), (325,
+        0.999575), (326, 0.999953), (327, 0.999978), (328, 0.998904),
+        (329, 0.998787), (330, 0.997274), (331, 0.99992), (332,
+        0.999931), (333, 0.999985), (334, 0.997692), (335, 0.999934),
+        (336, 0.999704), (337, 0.999946), (338, 0.999988), (339,
+        0.999973), (340, 0.999932), (341, 0.999226), (342, 0.999994),
+        (343, 0.99996), (344, 0.999871), (345, 0.999686), (346,
+        0.999617), (347, 0.999983), (348, 0.999949), (349, 0.999557),
+        (350, 0.990537), (351, 0.999847), (352, 0.041624), (353,
+        0.999927), (354, 0.999517), (355, 0.999104), (356, 0.999957),
+        (357, 0.999939), (358, 0.999994), (359, 0.997864), (360,
+        0.996342), (361, 0.99997), (362, 0.999988), (363, 0.999951),
+        (364, 0.999976), (365, 0.999994), (366, 0.997784), (367,
+        0.99994), (368, 0.999993), (369, 0.998227), (370, 0.999983),
+        (371, 0.999719), (372, 0.999992), (373, 0.998616), (374,
+        0.999967), (375, 0.999894), (376, 0.999869), (377, 0.999912),
+        (378, 0.997898), (379, 0.999856), (380, 0.999916), (381,
+        0.999686), (382, 0.999752), (383, 0.999932), (384, 0.999992),
+        (385, 0.999488), (386, 0.99631), (387, 0.999959), (388,
+        0.99991), (389, 0.999983), (390, 0.999988), (391, 0.999964),
+        (392, 0.999991), (393, 0.999577), (394, 0.999985), (395,
+        0.999524), (396, 0.999965), (397, 0.998499), (398, 0.999982),
+        (399, 0.999967), (400, 0.99992), (401, 0.998498), (402,
+        0.999981), (403, 0.99969), (404, 0.99991), (405, 0.999269),
+        (406, 0.998373), (407, 0.999991), (408, 0.99999), (409,
+        0.999365), (410, 0.999803), (411, 0.998627), (412, 0.995911),
+        (413, 0.999839), (414, 0.999036), (415, 0.999579), (416,
+        0.999956), (417, 0.999699), (418, 0.999833), (419, 0.999993),
+        (420, 0.999577), (421, 0.999626), (422, 0.999598), (423,
+        0.999236), (424, 0.999155), (425, 0.999978), (426, 0.998621),
+        (427, 0.996608), (428, 0.999985), (429, 0.998573), (430,
+        0.999283), (431, 0.999978), (432, 0.999896), (433, 0.999991),
+        (434, 0.999883), (435, 0.999983), (436, 0.999957), (437,
+        0.999217), (438, 0.99999), (439, 0.999956), (440, 0.999976),
+        (441, 0.9966), (442, 0.998826), (443, 0.99941), (444, 0.997814),
+        (445, 0.999815), (446, 0.999962), (447, 0.999403), (448,
+        0.999948), (449, 0.999852), (450, 0.999983), (451, 0.999961),
+        (452, 0.999817), (453, 0.999648), (454, 0.999939), (455,
+        0.999994), (456, 0.999988), (457, 0.999953), (458, 0.999937),
+        (459, 0.999466), (460, 0.999916), (461, 0.999981), (462,
+        0.999937), (463, 0.998777), (464, 0.999864), (465, 0.999906),
+        (466, 0.999917), (467, 0.999174), (468, 0.999984), (469,
+        0.999989), (470, 0.999979), (471, 0.99975), (472, 0.999783),
+        (473, 0.999972), (474, 0.99983), (475, 0.999991), (476,
+        0.999991), (477, 0.999954), (478, 0.999912), (479, 0.998366),
+        (480, 0.99991), (481, 0.999994), (482, 0.998999), (483,
+        0.999979), (484, 0.999958), (485, 0.999981), (486, 0.999983),
+        (487, 0.9992), (488, 0.999974), (489, 0.999895), (490,
+        0.999891), (491, 0.999653), (492, 0.999991), (493, 0.04606),
+        (494, 0.999993), (495, 0.999908), (496, 0.992198), (497,
+        0.99999), (498, 0.998877), (499, 0.999922)
+    """
+    sqls["classifier_score"] = f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(model_quality AS DOUBLE) AS model_quality
+        FROM (VALUES {_clf_vals}) AS t(doc_id, model_quality)
+    """
     return sqls
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score with a FROZEN linear model (the fastText
+    deployment shape, Joulin 2016): hashed words+bigrams -> sparse dot +
+    sigmoid, entirely in whole-stage codegen — no ML runtime, no UDF, no
+    shuffle; the weight vector is one 32 KB broadcast literal. Weights
+    were trained once in-build (scripts/make_classifier_frozen.py, weak
+    labels from the heuristic screens) and frozen at 6 dp. Oracle =
+    golden VALUES from the INDEPENDENT Spark-free replay
+    (scripts/make_classifier_golden.py: pure-Python murmur3 replica +
+    dot + sigmoid — pinned against Spark hash() by tests/test_xxh.py)."""
+    from .operators.classifier import score_quality_frozen
+    from .operators.classifier_frozen import INTERCEPT, dense_weights
+
+    _register(spark, sf_dir, "documents")
+    out = score_quality_frozen(spark.table("documents"), "doc_id", dense_weights(), INTERCEPT)
+    return out.select(
+        "doc_id", F.round("model_quality", 6).alias("model_quality")
+    )
 
 
 def queries() -> dict:
@@ -1512,6 +1683,7 @@ def queries() -> dict:
         "sequence_packing": q_sequence_packing,
         "decontaminate": q_decontaminate,
         "ivfpq_topk": q_ivfpq_topk,  # rows-only (driver-state centroids/codebooks)
+        "classifier_score": q_classifier_score,
     }
 
 

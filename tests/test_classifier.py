@@ -96,3 +96,62 @@ def test_score_is_narrow_no_shuffle(spark):
     scored = classifier.score_quality(model, docs, "doc_id")
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # scoring shuffles nothing
+
+
+def test_frozen_scorer_matches_pure_python_replay(spark):
+    """score_quality_frozen (Catalyst: F.hash + pmod + aggregate + sigmoid)
+    vs a plain-Python replay of the same frozen weights — pins
+    tokenization, hashing, and arithmetic parity in-test, the same
+    two-implementation check the classifier_score golden oracle rides."""
+    import math
+    import re
+
+    from asf_tools_spark.core.xxh import murmur3_string
+
+    n_features = 256
+    rng = random.Random(11)
+    weights = {i: round(rng.uniform(-2, 2), 6) for i in rng.sample(range(n_features), 40)}
+    dense = [weights.get(i, 0.0) for i in range(n_features)]
+    intercept = -0.375
+    rows = [(i, t) for i, (_, t, _) in enumerate(_corpus(n=30, seed=9))]
+    rows.append((98, None))   # NULL text
+    rows.append((99, "   "))  # whitespace-only text
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r.doc_id: r.model_quality
+        for r in classifier.score_quality_frozen(
+            docs, "doc_id", dense, intercept, n_features=n_features
+        ).collect()
+    }
+
+    def replay(text):
+        norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        ws = norm.split(" ")
+        toks = ws + (["_".join(p) for p in zip(ws, ws[1:])] if len(ws) >= 2 else [])
+        dot = intercept + sum(
+            weights.get(((murmur3_string(t) % n_features) + n_features) % n_features, 0.0)
+            for t in toks
+        )
+        return 1.0 / (1.0 + math.exp(-dot))
+
+    for doc_id, text in rows:
+        assert got[doc_id] == pytest.approx(replay(text), abs=1e-12), doc_id
+
+
+def test_train_frozen_classifier_separates_planted(spark):
+    rows = _corpus(n=120, seed=3)
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string")
+    labels = spark.createDataFrame([(i, l) for i, _, l in rows], "doc_id long, label double")
+    weights, intercept = classifier.train_frozen_classifier(
+        docs, labels, "doc_id", n_features=1 << 10, max_iter=30
+    )
+    got = {
+        r.doc_id: r.model_quality
+        for r in classifier.score_quality_frozen(
+            docs, "doc_id", weights, intercept
+        ).collect()
+    }
+    good = [got[i] for i, _, l in rows if l == 1.0]
+    bad = [got[i] for i, _, l in rows if l == 0.0]
+    assert min(good) > max(bad)  # clean margin on well-separated plants
