@@ -70,11 +70,26 @@ def bpe_token_count_col(text: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / punctuation / stopword features + a [0,1] quality
     score (the usual web-text heuristics: too-short, low stopword density,
-    and symbol-heavy documents score low)."""
+    and symbol-heavy documents score low).
+
+    The normalized text is STAGED as a real column first: every feature
+    references it, and inlined it would re-run the `\\s+` regex once per
+    F.when branch — codegen subexpression elimination skips conditional
+    branches, and the measured cost was ~10 regex passes per row (the
+    whole corpus_funnel's largest single cost at sf0.1). A multi-referenced
+    non-cheap projection alone is not enough of a fence: Spark 4 pushes
+    FILTERS through a Project regardless (substituting the expression per
+    conjunct — the funnel filters on quality_score immediately), so the
+    stage rides the repo's Generate fence (explode of a 1-element array):
+    predicates referencing generator output cannot cross a Generate."""
     t = F.col(text_col)
-    norm = normalize_text(t)
+    staged = df.withColumn("_norm", F.explode(F.array(normalize_text(t))))
+    norm = F.col("_norm")
     n_chars = F.length(t)
-    n_tokens = token_count_col(t)
+    # token_count_col(t) inlined against the staged norm (same semantics)
+    n_tokens = F.when(F.length(norm) == 0, 0).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    )
     mean_tok = F.when(n_tokens > 0, (F.length(norm) - n_tokens + 1) / n_tokens).otherwise(0.0)
     n_punct = (
         _occurrences(norm, ".") + _occurrences(norm, ",") + _occurrences(norm, "!")
@@ -92,11 +107,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
     punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(F.lit(1.0) - F.least(punct_ratio, F.lit(1.0)))
     score = (length_score + stop_score + punct_ok) / 3.0
-    return df.withColumn("n_tokens", n_tokens.cast("long")).withColumn(
+    return staged.withColumn("n_tokens", n_tokens.cast("long")).withColumn(
         "mean_token_len", F.round(mean_tok, 6)
     ).withColumn("punct_ratio", F.round(punct_ratio, 6)).withColumn(
         "stopword_ratio", F.round(stop_ratio, 6)
-    ).withColumn("quality_score", F.round(score, 6))
+    ).withColumn("quality_score", F.round(score, 6)).drop("_norm")
 
 
 def winnow_fingerprints(
