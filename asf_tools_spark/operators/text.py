@@ -357,3 +357,88 @@ def pii_scrub(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") 
         .withColumn("n_longnums", n_nums.cast("long"))
         .withColumn(out_col, scrubbed)
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame, text_col: str = "text", window: int = 3,
+    min_count: int = 2, top_k: int | None = None,
+) -> DataFrame:
+    """(term_a, term_b, n_pairs, pmi): pointwise mutual information of
+    word pairs co-occurring within ``window`` token positions (Church &
+    Hanks 1990 — the collocation/embedding-preprocessing statistic):
+
+        pmi = ln( (n_pairs / P) / ((c_a / T) * (c_b / T)) )
+
+    with T = corpus token count, P = corpus pair count, pairs
+    position-ordered then canonicalized (a <= b) so (x,y) and (y,x)
+    accumulate together.
+
+    Spark-first: pairs are generated PER ROW by a nested array transform
+    over the token array (position i x offset 1..window) and exploded —
+    no positions self-join, no shuffle until the count aggregates; the
+    unigram join is vocabulary-sized. ``top_k`` orders by (pmi desc,
+    term_a, term_b) via sort+limit (TakeOrdered, no global window)."""
+    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    ws = F.split(norm, " ")
+    base = df.select(F.explode(F.array(ws)).alias("_ws")).where(F.size("_ws") > 0)
+
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_ws") - 1, F.lit(1))),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(window), F.size("_ws") - i)),
+                lambda d: F.struct(
+                    F.least(
+                        F.element_at("_ws", i.cast("int")),
+                        F.element_at("_ws", (i + d).cast("int")),
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at("_ws", i.cast("int")),
+                        F.element_at("_ws", (i + d).cast("int")),
+                    ).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs_all = (
+        base.where(F.size("_ws") >= 2)
+        .select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.a").alias("term_a"), F.col("_p.b").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    # P normalizes over ALL pairs (computed before the min_count screen —
+    # the screen only bounds the output, it must not reweight the scores)
+    pairs = pairs_all.where(F.col("n_pairs") >= min_count)
+    uni = (
+        base.select(F.explode("_ws").alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = uni.select(
+        F.sum("_c").cast("double").alias("_t"),
+    )
+    p_total = pairs_all.select(F.sum("n_pairs").cast("double").alias("_p_tot"))
+    out = (
+        pairs.join(uni.withColumnRenamed("term", "term_a").withColumnRenamed("_c", "_ca"), "term_a")
+        .join(uni.withColumnRenamed("term", "term_b").withColumnRenamed("_c", "_cb"), "term_b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(p_total))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pairs") / F.col("_p_tot"))
+                    / ((F.col("_ca") / F.col("_t")) * (F.col("_cb") / F.col("_t")))
+                ),
+                6,
+            ),
+        )
+        .select("term_a", "term_b", "n_pairs", "pmi")
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+        ).limit(top_k)
+    return out

@@ -521,7 +521,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "classifier_score",
+    "classifier_score", "tfidf_terms", "bm25_search", "cooccur_pmi",
+    "pagerank_domains",
     # round-4 additions (driver-green once, r4):
     "bpe_tokens", "substring_dedup", "bloom_join", "domain_stats",
     "corpus_budget_bpe",

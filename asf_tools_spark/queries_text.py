@@ -1622,7 +1622,118 @@ def _oracle_sqls() -> dict[str, str]:
                CAST(model_quality AS DOUBLE) AS model_quality
         FROM (VALUES {_clf_vals}) AS t(doc_id, model_quality)
     """
+
+    # --- r5 ranking/graph family ---
+    _toks_sql = f"""
+        SELECT doc_id, w AS term FROM (
+          SELECT doc_id, unnest(string_split({_norm_sql("text")}, ' ')) AS w
+          FROM documents) t
+        WHERE LENGTH(w) > 0
+    """
+    sqls["tfidf_terms"] = f"""
+        WITH toks AS ({_toks_sql}),
+        tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tc GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tc.doc_id, tc.term, tc.tf, dfreq.df_docs,
+                 ROUND(tc.tf * LN((n.n + 1.0) / (dfreq.df_docs + 1.0)), 6) AS tfidf
+          FROM tc JOIN dfreq ON tc.term = dfreq.term CROSS JOIN n
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df_docs,
+               CAST(tfidf AS DOUBLE) AS tfidf
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+              FROM scored) z
+        WHERE rk <= 3
+    """
+    _bm25_terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    sqls["bm25_search"] = f"""
+        WITH toks AS ({_toks_sql}),
+        tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, CASE WHEN LENGTH({_norm_sql("text")}) = 0 THEN 0
+                 ELSE LENGTH({_norm_sql("text")})
+                      - LENGTH(replace({_norm_sql("text")}, ' ', '')) + 1 END AS dl
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        q(term) AS (VALUES {_bm25_terms}),
+        matched AS (SELECT tc.* FROM tc JOIN q ON q.term = tc.term),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM matched GROUP BY 1)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bm25 AS DOUBLE) AS bm25 FROM (
+          SELECT m.doc_id,
+                 ROUND(SUM(
+                   LN(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                   * (m.tf * (1.2 + 1.0))
+                   / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                 ), 6) AS bm25
+          FROM matched m
+          JOIN dfreq f ON f.term = m.term
+          JOIN dl d ON d.doc_id = m.doc_id
+          CROSS JOIN stats s
+          GROUP BY m.doc_id
+        ) z
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """
+    sqls["cooccur_pmi"] = f"""
+        WITH base AS (
+          SELECT doc_id, string_split({_norm_sql("text")}, ' ') AS ws,
+                 len(string_split({_norm_sql("text")}, ' ')) AS nw
+          FROM documents
+        ),
+        toks AS (
+          SELECT b.doc_id, g.i AS q, b.ws[g.i] AS w
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
+          WHERE g.i <= b.nw
+        ),
+        uni AS (SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks WHERE LENGTH(w) > 0 GROUP BY 1),
+        tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni),
+        pairs_all AS (
+          SELECT LEAST(t1.w, t2.w) AS term_a, GREATEST(t1.w, t2.w) AS term_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM toks t1 JOIN toks t2
+            ON t1.doc_id = t2.doc_id AND t2.q BETWEEN t1.q + 1 AND t1.q + 3
+          GROUP BY 1, 2
+        ),
+        pt AS (SELECT CAST(SUM(n_pairs) AS DOUBLE) AS p FROM pairs_all)
+        SELECT term_a, term_b, n_pairs,
+               CAST(ROUND(LN((pa.n_pairs / pt.p)
+                    / ((ua.c / tt.t) * (ub.c / tt.t))), 6) AS DOUBLE) AS pmi
+        FROM pairs_all pa
+        JOIN uni ua ON ua.term = pa.term_a
+        JOIN uni ub ON ub.term = pa.term_b
+        CROSS JOIN tt CROSS JOIN pt
+        WHERE pa.n_pairs >= 5
+        ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 40
+    """
+    # pagerank: 10 power iterations UNROLLED (aggregation is illegal in a
+    # recursive CTE term); same simplified formulation as operators/graph
+    _pr = "SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes"
+    for _ in range(10):
+        _pr = f"""
+          SELECT n.node, 0.15 + 0.85 * COALESCE(s.s, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.deg) AS s
+            FROM ({_pr}) p
+            JOIN edges e ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node
+        """
+    sqls["pagerank_domains"] = f"""
+        WITH edges AS (
+          SELECT DISTINCT source AS src,
+                 'src' || CAST((doc_id % 13) AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
+        SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM ({_pr}) z
+    """
     return sqls
+
 
 
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1643,6 +1754,71 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("model_quality", 6).alias("model_quality")
     )
+
+
+
+BM25_QUERY_TERMS = ["window", "hash", "stream", "merge", "filter"]
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smooth idf ln((N+1)/(df+1))) —
+    keyword extraction over the corpus. One explode + two hash aggregates
+    + a vocabulary join; rank window is per-doc. Oracle: the same algebra
+    in DuckDB (round-6 before ranking on both sides)."""
+    from .operators.ranking import tfidf_terms
+
+    _register(spark, sf_dir, "documents")
+    return tfidf_terms(spark.table("documents"), "doc_id", top_k=3)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed query term set — the
+    retrieval scorer (k1=1.2, b=0.75). Query terms broadcast; postings are
+    semi-joined to them before any stats, so the whole scoring touches the
+    matched slice only; top-k rides sort+limit (TakeOrdered)."""
+    from .operators.ranking import bm25_scores
+
+    _register(spark, sf_dir, "documents")
+    return bm25_scores(
+        spark.table("documents"), BM25_QUERY_TERMS, "doc_id", top_k=20
+    )
+
+
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 collocations by PMI within a 3-token window (Church & Hanks
+    1990) — the embedding-preprocessing statistic. Pair generation is a
+    per-row nested array transform (no positions self-join); only the
+    count aggregates shuffle."""
+    from .operators.text import cooccurrence_pmi
+
+    _register(spark, sf_dir, "documents")
+    return cooccurrence_pmi(
+        spark.table("documents"), window=3, min_count=5, top_k=40
+    )
+
+
+def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 power iterations, d=0.85, classic simplified
+    formulation) over a deterministic source-domain link graph derived
+    from the documents table: every doc_id % 3 == 0 doc links its source
+    to 'src' || (doc_id % 13). Edges are hash-partitioned by src once and
+    reused across all iterations; the oracle replays the identical
+    iterations as unrolled CTE aggregates (aggregation is illegal in a
+    recursive term)."""
+    from .operators.graph import pagerank
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    edges = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 13).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, n_iters=10, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
 def queries() -> dict:
@@ -1684,6 +1860,10 @@ def queries() -> dict:
         "decontaminate": q_decontaminate,
         "ivfpq_topk": q_ivfpq_topk,  # rows-only (driver-state centroids/codebooks)
         "classifier_score": q_classifier_score,
+        "tfidf_terms": q_tfidf_terms,
+        "bm25_search": q_bm25_search,
+        "cooccur_pmi": q_cooccur_pmi,
+        "pagerank_domains": q_pagerank_domains,
     }
 
 

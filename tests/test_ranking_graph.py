@@ -1,0 +1,105 @@
+"""TF-IDF / BM25 / PMI / PageRank: hand-computed small-case pins plus the
+degenerate-input edges (empty text, uniform graph)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from asf_tools_spark.operators import graph, ranking, text
+
+
+def test_tfidf_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df_docs, r.tfidf)
+        for r in ranking.tfidf_terms(docs, "doc_id").collect()
+    }
+    # N=3; apple: tf=2 df=1 -> 2*ln(4/2); banana df=2 -> ln(4/3)
+    assert got[(1, "apple")] == (2, 1, round(2 * math.log(2.0), 6))
+    assert got[(1, "banana")] == (1, 2, round(math.log(4.0 / 3.0), 6))
+    assert got[(3, "date")] == (1, 1, round(math.log(2.0), 6))
+
+
+def test_tfidf_top_k_tie_break(spark):
+    docs = spark.createDataFrame(
+        [(1, "zz aa"), (2, "qq")], "doc_id long, text string"
+    )
+    # doc 1: zz and aa both tf=1 df=1 -> equal tfidf; k=1 keeps 'aa'
+    top = ranking.tfidf_terms(docs, "doc_id", top_k=1)
+    kept = {r.doc_id: r.term for r in top.collect()}
+    assert kept[1] == "aa"
+
+
+def test_bm25_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x x x y"), (3, "z w")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.bm25 for r in
+           ranking.bm25_scores(docs, ["x"], "doc_id").collect()}
+    assert set(got) == {1, 2}  # only matching docs
+    n, df, k1, b, avgdl = 3, 2, 1.2, 0.75, (2 + 4 + 2) / 3.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def s(tf, dl):
+        return round(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)), 6)
+
+    assert got[1] == pytest.approx(s(1, 2), abs=1e-6)
+    assert got[2] == pytest.approx(s(3, 4), abs=1e-6)
+    assert got[2] > got[1]  # higher tf wins at comparable length
+
+
+def test_pmi_hand_case(spark):
+    # "a b" always together; "c" background noise
+    rows = [(i, "a b") for i in range(5)] + [(i + 10, "c c c") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.term_a, r.term_b): (r.n_pairs, r.pmi)
+        for r in text.cooccurrence_pmi(docs, window=3, min_count=2).collect()
+    }
+    # tokens: a=5, b=5, c=15 -> T=25; pairs: (a,b)x5, (c,c)x15 -> P=20
+    n_ab, p_tot, t = 5, 20.0, 25.0
+    exp_ab = round(math.log((n_ab / p_tot) / ((5 / t) * (5 / t))), 6)
+    assert got[("a", "b")] == (5, exp_ab)
+    exp_cc = round(math.log((15 / 20.0) / ((15 / t) * (15 / t))), 6)
+    assert got[("c", "c")] == (15, exp_cc)
+
+
+def test_pagerank_star_vs_uniform(spark):
+    # star: everyone links to 'hub' -> hub rank grows, leaves get (1-d)
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(4)] + [("hub", "leaf0")],
+        "src string, dst string",
+    )
+    # 40 iterations: the hub/leaf0 pair oscillates early (mass bounces
+    # between them each step) and needs ~30 steps to settle near the
+    # fixed point h = 2.3784, l0 = 2.1716
+    got = {r.node: r.rank for r in graph.pagerank(
+        edges, n_iters=40, checkpoint_interval=10
+    ).collect()}
+    assert got["hub"] == pytest.approx(2.3784, abs=5e-3)
+    assert got["leaf0"] == pytest.approx(2.1716, abs=5e-3)
+    assert got["hub"] > got["leaf0"] > got["leaf1"]  # leaf0 gets hub's mass
+    assert got["leaf1"] == pytest.approx(0.15, abs=1e-9)
+
+    # uniform ring: all ranks stay exactly 1.0
+    ring = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)], "src string, dst string"
+    )
+    ranks = [r.rank for r in graph.pagerank(ring, n_iters=5).collect()]
+    assert all(r == pytest.approx(1.0, abs=1e-12) for r in ranks)
+
+
+def test_empty_and_null_text_rows_are_harmless(spark):
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    assert ranking.tfidf_terms(docs, "doc_id").where(
+        F.col("doc_id").isin(2, 3)
+    ).count() == 0
+    assert ranking.bm25_scores(docs, ["words"], "doc_id").count() == 1
+    assert text.cooccurrence_pmi(docs, min_count=1).count() > 0
