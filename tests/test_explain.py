@@ -106,6 +106,9 @@ _BNLJ_ALLOWED = {
     "histogram_smooth", "reverse_cdf_threshold", "flow_direction_grid",
     "lsh_recall_report",  # 1-row x 1-row final aggregate combine
     "pq_topk",  # ADC scan: corpus x broadcast 3-row query-LUT frame
+    # r5 ranking family: 1-row corpus-stat scalar joins (N, avgdl, token /
+    # pair totals) broadcast into the scoring projection
+    "tfidf_terms", "bm25_search", "cooccur_pmi",
 }
 
 # These queries execute eagerly while BUILDING (driver-side selection /
