@@ -1732,6 +1732,54 @@ def _oracle_sqls() -> dict[str, str]:
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
         SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM ({_pr}) z
     """
+    # lm_perplexity: full SQL replay of the add-alpha bigram LM (train on
+    # the doc_id % 5 = 0 slice, score all docs, NTILE(3) tertiles over the
+    # round-6 perplexity so the bucket boundary is bit-stable cross-engine)
+    _a = oracle.dbl(0.1)
+    sqls["lm_perplexity"] = f"""
+        WITH base AS (
+          SELECT doc_id, string_split({_norm_sql("text")}, ' ') AS ws,
+                 len(string_split({_norm_sql("text")}, ' ')) AS n
+          FROM documents
+        ),
+        train_tok AS (
+          SELECT w FROM (SELECT unnest(ws) AS w FROM base WHERE doc_id % 5 = 0) t
+          WHERE LENGTH(w) > 0
+        ),
+        uni AS (SELECT w AS w1, COUNT(*) AS c_u FROM train_tok GROUP BY w),
+        voc AS (SELECT COUNT(DISTINCT w) AS v FROM train_tok),
+        bi AS (
+          SELECT w1, w2, COUNT(*) AS c_b FROM (
+            SELECT b.ws[g.i] AS w1, b.ws[g.i + 1] AS w2
+            FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
+            WHERE b.doc_id % 5 = 0 AND g.i <= b.n - 1 AND LENGTH(b.ws[g.i]) > 0
+          ) t GROUP BY w1, w2
+        ),
+        doc_bg AS (
+          SELECT b.doc_id, b.ws[g.i] AS w1, b.ws[g.i + 1] AS w2
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
+          WHERE g.i <= b.n - 1 AND LENGTH(b.ws[g.i]) > 0
+        ),
+        sc AS (
+          SELECT d.doc_id,
+                 LN((COALESCE(bi.c_b, 0) + {_a})
+                    / (COALESCE(uni.c_u, 0) + {_a} * voc.v)) AS logp
+          FROM doc_bg d
+          LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+          LEFT JOIN uni ON uni.w1 = d.w1
+          CROSS JOIN voc
+        ),
+        ppl AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(ROUND(EXP(-SUM(logp) / COUNT(*)), 6) AS DOUBLE) AS ppl
+          FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, ppl,
+               CASE NTILE(3) OVER (ORDER BY ppl ASC, doc_id ASC)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ppl
+    """
     return sqls
 
 
@@ -1821,8 +1869,29 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality split (Wenzek 2020): train an add-alpha
+    bigram LM on the deterministic doc_id % 5 == 0 reference slice, score
+    every document's perplexity, bucket into head/middle/tail tertiles.
+    Token/bigram emission is Generate-only (no shuffle); LM counts are
+    partial/final hash aggregates; scoring joins broadcast the LM; the
+    tertile NTILE here is the cross-engine parity mode (ccnet_buckets
+    mode="quantile" is the 10^12-row path). Oracle: full SQL replay."""
+    from .operators import lm as lm_ops
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    model = lm_ops.train_bigram_lm(docs.where(F.col("doc_id") % 5 == 0))
+    scored = lm_ops.perplexity(docs, "doc_id", model)
+    out = lm_ops.ccnet_buckets(
+        scored.withColumn("ppl", F.round("ppl", 6)), "doc_id"
+    )
+    return out.select("doc_id", "n_bigrams", "ppl", "bucket")
+
+
 def queries() -> dict:
     return {
+        "lm_perplexity": q_lm_perplexity,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "lsh_recall_report": q_lsh_recall_report,

@@ -109,6 +109,7 @@ _BNLJ_ALLOWED = {
     # r5 ranking family: 1-row corpus-stat scalar joins (N, avgdl, token /
     # pair totals) broadcast into the scoring projection
     "tfidf_terms", "bm25_search", "cooccur_pmi",
+    "lm_perplexity",  # 1-row vocab-size scalar broadcast into LM smoothing
 }
 
 # These queries execute eagerly while BUILDING (driver-side selection /
