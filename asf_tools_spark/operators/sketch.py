@@ -11,7 +11,9 @@ a different algorithm); the error bound is pytest-pinned instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import oracle as _oracle
 
 
 def distinct_sketch(
@@ -36,3 +38,43 @@ def distinct_sketch(
         "n_rows",
     )
     return grouped.unionByName(rollup)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32,
+    salt: str = "kmv-",
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct estimate (Bar-Yossef
+    2002): hash every value into [0, 2^32), keep the k smallest DISTINCT
+    hashes per group, estimate n_distinct = (k-1) * 2^32 / h_k.
+
+    Unlike the HLL path above this is fully DETERMINISTIC given the hash —
+    the estimate itself cross-checks bit-for-bit against a SQL oracle
+    (the md5 parity idiom, oracle.hash8_sql). Groups with fewer than k
+    distinct hashes report their exact count (the standard small-set
+    convention).
+
+    Shape: one distinct hash-aggregate on (group, hash) — partial combine
+    collapses duplicate hashes map-side — then a per-group min-k window
+    (shuffle keyed by group; min-k-of-union = min-k-of-partial-min-ks, so
+    an RDD aggregateByKey bounded-heap partial is the drop-in if a group's
+    distinct count itself is extreme) and one final 1-row-per-group agg.
+
+    Output: (grp, k_used, kth_hash, est_distinct).
+    """
+    hv = F.expr(_oracle.hash8_sql(value_col, _oracle.SPARK, salt=salt))
+    pairs = df.select(
+        F.col(group_col).cast("string").alias("grp"), hv.alias("hv")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("hv").asc())
+    topk = pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return topk.groupBy("grp").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(4294967296.0) / F.max("hv")
+            ),
+            6,
+        ).alias("est_distinct"),
+    )

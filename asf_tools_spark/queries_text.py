@@ -1732,6 +1732,28 @@ def _oracle_sqls() -> dict[str, str]:
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
         SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM ({_pr}) z
     """
+    # kmv_distinct: identical hash family -> the estimate matches exactly
+    _kmv_h = _hash8("user_id", "kmv-")
+    sqls["kmv_distinct"] = f"""
+        WITH h AS (
+          SELECT DISTINCT CAST(event_type AS VARCHAR) AS grp, {_kmv_h} AS hv
+          FROM events
+        ),
+        r AS (
+          SELECT grp, hv,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv ASC) AS rk
+          FROM h
+        ),
+        k AS (
+          SELECT grp, COUNT(*) AS k_used, MAX(hv) AS kth FROM r
+          WHERE rk <= 32 GROUP BY grp
+        )
+        SELECT grp, CAST(k_used AS BIGINT) AS k_used, kth AS kth_hash,
+               CAST(ROUND(CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
+                    ELSE {oracle.dbl(31.0)} * {oracle.dbl(4294967296.0)} / kth
+                    END, 6) AS DOUBLE) AS est_distinct
+        FROM k
+    """
     # lm_perplexity: full SQL replay of the add-alpha bigram LM (train on
     # the doc_id % 5 = 0 slice, score all docs, NTILE(3) tertiles over the
     # round-6 perplexity so the bucket boundary is bit-stable cross-engine)
@@ -1869,6 +1891,17 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV distinct-user estimate — the DETERMINISTIC
+    sketch twin of hll_distinct: same md5 hash family on both engines, so
+    the ESTIMATE itself (not just row counts) is oracle-verified. One
+    distinct hash-aggregate + a per-group min-k window."""
+    from .operators.sketch import kmv_distinct
+
+    _register(spark, sf_dir, "events")
+    return kmv_distinct(spark.table("events"), "event_type", "user_id", k=32)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality split (Wenzek 2020): train an add-alpha
     bigram LM on the deterministic doc_id % 5 == 0 reference slice, score
@@ -1892,6 +1925,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict:
     return {
         "lm_perplexity": q_lm_perplexity,
+        "kmv_distinct": q_kmv_distinct,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "lsh_recall_report": q_lsh_recall_report,

@@ -441,6 +441,24 @@ def test_hll_distinct_error_bound_and_rollup(spark):
     assert got["ALL"].n_rows == 60_000
 
 
+def test_kmv_distinct_estimate_and_small_group_exact(spark):
+    from asf_tools_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 2).alias("g"),
+        # even ids mod 4999 (odd modulus) sweep all 4999 residues
+        F.when(F.col("id") % 2 == 0, F.col("id") % 4999)  # g=0: 4999 distinct
+        .otherwise(F.col("id") % 10).alias("v"),  # g=1: odd ids -> 5 residues (< k)
+    )
+    got = {r.grp: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    # big group: KMV k=64 -> relative sd ~ 1/sqrt(k-1) ~ 12.6%; allow 3 sd
+    assert abs(got["0"].est_distinct - 4999) / 4999 <= 0.38
+    assert got["0"].k_used == 64
+    # small group (< k distinct hashes): exact count, standard convention
+    assert got["1"].k_used == 5
+    assert got["1"].est_distinct == 5.0
+
+
 def test_asof_join_semantics(spark):
     from asf_tools_spark.operators.asof import asof_join
 
