@@ -45,6 +45,66 @@ def snapshot_diff(
     return j.select(key, status.alias("status"))
 
 
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> DataFrame:
+    """MERGE INTO semantics over immutable snapshots — the copy-on-write
+    upsert every table-format maintenance job needs (Iceberg/Delta MERGE
+    re-expressed Spark-first): produce the NEXT snapshot from the current
+    one plus a change feed.
+
+      key only in updates, op != delete  -> insert
+      key in both,        op != delete  -> update (update columns win)
+      key in updates,     op == delete  -> dropped from the snapshot
+      key only in base                   -> carry (row unchanged)
+
+    ONE full-outer equi-join co-partitioned on the key — no driver state,
+    no second pass; at 100 TB both sides shuffle once on the same key (or
+    zero times if base and feed are bucketed on it). Preconditions
+    (documented, not silently repaired): key is unique on each side;
+    ``updates`` carries every ``base`` payload column plus ``op_col``. A
+    delete for an absent key is a no-op, not a phantom insert.
+
+    Output: base schema + ``action`` in {insert, update, carry}.
+    """
+    cols = [c for c in base.columns if c != key]
+    payload = [c for c in updates.columns if c not in (key, op_col)]
+    if set(payload) != set(cols):
+        raise ValueError(
+            f"updates payload {sorted(payload)} != base payload {sorted(cols)}"
+        )
+    b = base.select(key, *cols, F.lit(True).alias("_inb"))
+    u = updates.select(
+        key,
+        *[F.col(c).alias(f"_u_{c}") for c in payload],
+        F.col(op_col).alias("_op"),
+        F.lit(True).alias("_inu"),
+    )
+    j = b.join(u, key, "full_outer")
+    take_update = F.col("_inu").isNotNull() & (F.col("_op") != delete_value)
+    action = (
+        F.when(F.col("_inu").isNull(), "carry")
+        .when(F.col("_op") == delete_value, "delete")
+        .when(F.col("_inb").isNull(), "insert")
+        .otherwise("update")
+    )
+    return (
+        j.select(
+            key,
+            *[
+                F.when(take_update, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+                for c in cols
+            ],
+            action.alias("action"),
+        )
+        .where(F.col("action") != "delete")
+    )
+
+
 def snapshot_diff_summary(
     old: DataFrame, new: DataFrame, key: str, text_col: str = "text"
 ) -> DataFrame:

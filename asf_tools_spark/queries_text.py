@@ -1732,6 +1732,34 @@ def _oracle_sqls() -> dict[str, str]:
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
         SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM ({_pr}) z
     """
+    # merge_upsert: SQL replay of the same merge; fp pins final content
+    sqls["merge_upsert"] = f"""
+        WITH b AS (SELECT doc_id, text FROM documents),
+        u AS (
+          SELECT doc_id, 'rev2 ' || text AS text, 'U' AS op
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, text, 'D' FROM documents
+          WHERE doc_id % 13 = 3 AND doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, 'new page ' || CAST(doc_id AS VARCHAR), 'U'
+          FROM documents WHERE doc_id % 11 = 5
+        ),
+        j AS (
+          SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+                 b.text AS btext, u.text AS utext, u.op,
+                 b.doc_id IS NOT NULL AS inb, u.doc_id IS NOT NULL AS inu
+          FROM b FULL OUTER JOIN u ON b.doc_id = u.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN NOT inu THEN 'carry'
+                    WHEN op = 'D' THEN 'delete'
+                    WHEN NOT inb THEN 'insert'
+                    ELSE 'update' END AS action,
+               md5({_norm_sql("CASE WHEN inu AND op <> 'D' THEN utext ELSE btext END")}) AS fp
+        FROM j
+        WHERE NOT (inu AND op = 'D')
+    """
     # kmv_distinct: identical hash family -> the estimate matches exactly
     _kmv_h = _hash8("user_id", "kmv-")
     sqls["kmv_distinct"] = f"""
@@ -1891,6 +1919,38 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the documents snapshot with a deterministic change
+    feed (updates doc_id%7=0, deletes doc_id%13=3 minus the update keys,
+    inserts doc_id%11=5 under key+1e6): one full-outer co-partitioned
+    join -> next snapshot + action column. Oracle replays the same merge
+    as SQL; fp = md5(normalized final text) pins every surviving row's
+    content, so update-wins / carry / delete semantics are value-checked."""
+    from .operators.diff import merge_upsert
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    upd = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("rev2 "), F.col("text")).alias("text"),
+        F.lit("U").alias("op"),
+    )
+    dels = docs.where(
+        (F.col("doc_id") % 13 == 3) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id", "text", F.lit("D").alias("op"))
+    ins = docs.where(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("U").alias("op"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    out = merge_upsert(docs, feed, "doc_id")
+    return out.select(
+        "doc_id", "action",
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fp"),
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type KMV distinct-user estimate — the DETERMINISTIC
     sketch twin of hll_distinct: same md5 hash family on both engines, so
@@ -1926,6 +1986,7 @@ def queries() -> dict:
     return {
         "lm_perplexity": q_lm_perplexity,
         "kmv_distinct": q_kmv_distinct,
+        "merge_upsert": q_merge_upsert,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "lsh_recall_report": q_lsh_recall_report,

@@ -441,6 +441,32 @@ def test_hll_distinct_error_bound_and_rollup(spark):
     assert got["ALL"].n_rows == 60_000
 
 
+def test_merge_upsert_semantics(spark):
+    from asf_tools_spark.operators.diff import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "k long, text string"
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, "two-v2", "U"),   # update
+            (3, None, "D"),       # delete
+            (4, "four", "U"),     # insert
+            (9, None, "D"),       # delete of absent key: no-op
+        ],
+        "k long, text string, op string",
+    )
+    got = {r.k: (r.text, r.action) for r in merge_upsert(base, feed, "k").collect()}
+    assert got == {
+        1: ("one", "carry"),
+        2: ("two-v2", "update"),
+        4: ("four", "insert"),
+    }
+    bad_feed = feed.withColumnRenamed("text", "body")
+    with pytest.raises(ValueError, match="payload"):
+        merge_upsert(base, bad_feed, "k")
+
+
 def test_kmv_distinct_estimate_and_small_group_exact(spark):
     from asf_tools_spark.operators.sketch import kmv_distinct
 
