@@ -87,9 +87,16 @@ def synth_docs(spark, n: int, partitions: int):
 def run_child(cpus: int, n_docs: int, job: str) -> None:
     from asf_tools_spark.session import get_spark
 
+    # smj: FIXED 32-way partitioning at BOTH levels (like the headline
+    # job's fixed 8 generator partitions) — a real cluster keeps the same
+    # shuffle partitioning as executors are added; scaling cpus-sized
+    # partitions makes the lo level sort n/2-row partitions that spill in
+    # the shared local JVM (measured: 96M rows, 2 shuffle partitions ->
+    # 262 s vs 73 s extrapolated), an artifact multi-executor clusters
+    # don't have.
     spark = get_spark(
         f"scaling-{job}", master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 2),
+        shuffle_partitions=32 if job == "smj" else max(cpus, 2),
         extra_conf={"spark.driver.memory": "16g"} if job == "smj" else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -119,10 +126,10 @@ def run_child(cpus: int, n_docs: int, job: str) -> None:
                 F.pmod(F.xxhash64("id", F.lit("v")), F.lit(100_000)).cast("double").alias("v"),
             )
 
-        pages = make_pages(n_docs, max(cpus, 2)).persist()
+        pages = make_pages(n_docs, 32).persist()
         n_tokens = pages.count()  # materialize input OUTSIDE the timed window
         # warm codegen/task-launch paths on a tiny input
-        smj_chain(make_pages(100_000, max(cpus, 2))).write.format("noop").mode(
+        smj_chain(make_pages(100_000, 32)).write.format("noop").mode(
             "overwrite"
         ).save()
         t0 = time.time()
