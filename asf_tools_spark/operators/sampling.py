@@ -93,3 +93,42 @@ def split_assign(
         "split",
         F.when(u < c1, names[0]).when(u < c2, names[1]).otherwise(names[2]),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsmp-",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006,
+    "A-ES"): every row gets score = ln(u) / w with u a deterministic
+    md5-derived uniform in (0, 1); the k LARGEST scores are exactly a
+    weight-proportional sample without replacement — the corpus-mixing
+    primitive ("sample 10B tokens, weighting quality^2") that a plain
+    rate filter can't express when weights are continuous.
+
+    Deterministic (no RNG state): re-runs, retries, and re-partitions
+    pick the identical sample, and the DuckDB oracle replays the exact
+    selection. Top-k rides sort+limit (TakeOrdered: per-partition heaps +
+    one k-row merge at the driver, never a global sort). Rows with
+    weight <= 0 can never be sampled and are excluded up front.
+
+    Output: (key, weight, score round-6) for the k selected rows.
+    """
+    w = F.col(weight_col).cast("double")
+    # (h + 1) / (2^32 + 1) keeps u strictly inside (0, 1): u = 0 would
+    # send ln(u) to -inf and u = 1 would tie every weight at score 0
+    u = (hash8_col(F.col(key), salt) + 1) / F.lit(float((1 << 32) + 1))
+    score = F.log(u) / w
+    return (
+        df.where(w > 0)
+        .select(
+            F.col(key),
+            w.alias("weight"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(key).asc())
+        .limit(k)
+    )

@@ -521,7 +521,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "lm_perplexity", "kmv_distinct", "merge_upsert",
+    "lm_perplexity", "kmv_distinct", "merge_upsert", "weighted_sample",
     "classifier_score", "tfidf_terms", "bm25_search", "cooccur_pmi",
     "pagerank_domains",
     # round-4 additions (driver-green once, r4):

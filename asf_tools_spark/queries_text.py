@@ -1732,6 +1732,17 @@ def _oracle_sqls() -> dict[str, str]:
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
         SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM ({_pr}) z
     """
+    # weighted_sample: exact A-ES selection replay (same u, same order)
+    _ws_h = _hash8("doc_id", "wsmp-")
+    sqls["weighted_sample"] = f"""
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+               CAST(ROUND(LN(({_ws_h} + 1) / {oracle.dbl(float((1 << 32) + 1))})
+                    / CAST(n_chars AS DOUBLE), 6) AS DOUBLE) AS score
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 60
+    """
     # merge_upsert: SQL replay of the same merge; fp pins final content
     sqls["merge_upsert"] = f"""
         WITH b AS (SELECT doc_id, text FROM documents),
@@ -1919,6 +1930,17 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample-without-replacement (top-60 by
+    ln(u)/w, u md5-deterministic, w = n_chars): the corpus-mixing
+    primitive. TakeOrdered top-k (no global sort); the oracle replays the
+    EXACT selection — the sampled set itself is cross-engine verified."""
+    from .operators.sampling import weighted_sample
+
+    _register(spark, sf_dir, "documents")
+    return weighted_sample(spark.table("documents"), "doc_id", "n_chars", k=60)
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO over the documents snapshot with a deterministic change
     feed (updates doc_id%7=0, deletes doc_id%13=3 minus the update keys,
@@ -1987,6 +2009,7 @@ def queries() -> dict:
         "lm_perplexity": q_lm_perplexity,
         "kmv_distinct": q_kmv_distinct,
         "merge_upsert": q_merge_upsert,
+        "weighted_sample": q_weighted_sample,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "lsh_recall_report": q_lsh_recall_report,

@@ -441,6 +441,28 @@ def test_hll_distinct_error_bound_and_rollup(spark):
     assert got["ALL"].n_rows == 60_000
 
 
+def test_weighted_sample_matches_pure_python_aes(spark):
+    import hashlib
+    import math
+
+    from asf_tools_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 23)) for i in range(200)] + [(900, 0.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = [(r.k, r.score) for r in weighted_sample(df, "k", "w", k=25).collect()]
+
+    def score(key, w):
+        h = int(hashlib.md5(f"wsmp-{key}".encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1) / float((1 << 32) + 1)) / w, 6)
+
+    expect = sorted(
+        ((k, score(k, w)) for k, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    assert got == expect
+    assert all(k != 900 for k, _ in got)  # zero-weight row can never sample
+
+
 def test_merge_upsert_semantics(spark):
     from asf_tools_spark.operators.diff import merge_upsert
 
