@@ -1841,6 +1841,120 @@ def _oracle_sqls() -> dict[str, str]:
                     ELSE 'tail' END AS bucket
         FROM ppl
     """
+    # heavy_hitters: full Count-Min replay — same md5 hash family, same
+    # d x w cells, same min-over-rows estimate (est >= exact by construction)
+    _cm_toks = f"""(
+      SELECT w AS term FROM (
+        SELECT unnest(string_split({_norm_sql("text")}, ' ')) AS w FROM documents
+      ) t WHERE LENGTH(w) > 0
+    )"""
+    _cm_build = " UNION ALL ".join(
+        f"SELECT {i} AS row, ({_hash8('term', f'cm{i}-')}) % 256 AS bucket FROM toks"
+        for i in range(4)
+    )
+    _cm_probe = " UNION ALL ".join(
+        f"SELECT term, exact_n, {i} AS row,"
+        f" ({_hash8('term', f'cm{i}-')}) % 256 AS bucket FROM cand"
+        for i in range(4)
+    )
+    sqls["heavy_hitters"] = f"""
+        WITH toks AS (SELECT * FROM {_cm_toks} z),
+        cells AS (
+          SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ({_cm_build}) p GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1
+        ),
+        cand AS (SELECT * FROM exact ORDER BY exact_n DESC, term ASC LIMIT 25)
+        SELECT p.term, p.exact_n,
+               CAST(MIN(c.c) AS BIGINT) AS est_n,
+               CAST(MIN(c.c) - p.exact_n AS BIGINT) AS overcount
+        FROM ({_cm_probe}) p
+        JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+        GROUP BY 1, 2
+    """
+    # histogram_quantile: fixed-bin mergeable quantile estimator replay —
+    # identical bin math + cumulative window + interpolation, so the
+    # ESTIMATE itself hash-matches (all arithmetic single-op deterministic)
+    _hq_bin = (
+        f"GREATEST(0, LEAST(63, CAST(FLOOR((CAST(n_chars AS DOUBLE) - {oracle.dbl(0.0)})"
+        f" / {oracle.dbl(10.0)}) AS INTEGER)))"
+    )
+    sqls["histogram_quantile"] = f"""
+        WITH b AS (
+          SELECT CAST(lang AS VARCHAR) AS grp, {_hq_bin} AS bin FROM documents
+        ),
+        counts AS (
+          SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT grp, bin, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin ASC) AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total
+          FROM counts
+        ),
+        q(q) AS (VALUES ({oracle.dbl(0.5)}), ({oracle.dbl(0.9)}), ({oracle.dbl(0.99)}))
+        SELECT grp, q,
+               CAST(ROUND({oracle.dbl(0.0)} + bin * {oracle.dbl(10.0)}
+                    + {oracle.dbl(10.0)} * (q * total - (cum - cnt)) / cnt,
+                    6) AS DOUBLE) AS est
+        FROM cum CROSS JOIN q
+        WHERE cum >= q * total AND (cum - cnt) < q * total
+    """
+    # cube_stats: GROUPING SETS rollup parity (CUBE over lang x source);
+    # integer sums stay exact in double so ROUND(AVG) is bit-stable
+    sqls["cube_stats"] = """
+        SELECT COALESCE(lang, 'ALL') AS lang,
+               COALESCE(source, 'ALL') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS DOUBLE) AS avg_chars
+        FROM documents
+        GROUP BY CUBE (lang, source)
+    """
+    # sorted_neighborhood: blocked SNM replay — same block prefix, same
+    # within-block sort, same lead-window neighbors, same token-set Jaccard
+    _sn_leads = ",\n                 ".join(
+        f"lead(key_a, {i}) OVER w AS kb{i}, lead(toks, {i}) OVER w AS tb{i}"
+        for i in range(1, 4)
+    )
+    _sn_pairs = " UNION ALL ".join(
+        f"SELECT key_a, toks AS toks_a, kb{i} AS key_b, tb{i} AS toks_b"
+        f" FROM nb WHERE kb{i} IS NOT NULL"
+        for i in range(1, 4)
+    )
+    sqls["sorted_neighborhood"] = f"""
+        WITH base AS (
+          SELECT doc_id AS key_a, {_norm_sql("text")} AS skey,
+                 list_distinct(list_filter(
+                   string_split({_norm_sql("text")}, ' '),
+                   x -> LENGTH(x) > 0)) AS toks
+          FROM documents
+        ),
+        b2 AS (SELECT key_a, skey, toks, substr(skey, 1, 2) AS block FROM base),
+        nb AS (
+          SELECT key_a, toks,
+                 {_sn_leads}
+          FROM b2 WINDOW w AS (PARTITION BY block ORDER BY skey ASC, key_a ASC)
+        ),
+        pairs AS ({_sn_pairs}),
+        j AS (
+          SELECT key_a, key_b,
+                 CAST(len(list_filter(toks_a, x -> list_contains(toks_b, x)))
+                      AS DOUBLE) AS isz,
+                 CAST(len(toks_a) + len(toks_b) AS DOUBLE) AS sz
+          FROM pairs
+        ),
+        scored AS (
+          SELECT LEAST(key_a, key_b) AS key_a, GREATEST(key_a, key_b) AS key_b,
+                 CAST(ROUND(CASE WHEN sz - isz > {oracle.dbl(0.0)}
+                                 THEN isz / (sz - isz)
+                                 ELSE {oracle.dbl(1.0)} END, 6) AS DOUBLE) AS jaccard
+          FROM j
+        )
+        SELECT * FROM scored WHERE jaccard >= {oracle.dbl(0.5)}
+    """
     return sqls
 
 
@@ -2004,8 +2118,88 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_bigrams", "ppl", "bucket")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (Cormode & Muthukrishnan 2005): build a
+    4x256 sketch over token occurrences (ONE Generate + one map-side-
+    combined aggregate into <= d*w cells — constant-size state at 10^12
+    rows, mergeable cell-wise), then point-estimate the true top-25 terms
+    from the sketch. est_n >= exact_n always (collisions only overcount);
+    the exact counts double as the in-row accuracy report. The estimate
+    itself is oracle-verified (md5 parity hash family)."""
+    from .operators.sketch import countmin_build, countmin_estimate
+
+    _register(spark, sf_dir, "documents")
+    norm = dedup.normalize_text(F.col("text"))
+    toks = (
+        spark.table("documents")
+        .select(F.explode(F.split(norm, " ")).alias("term"))
+        .where(F.length("term") > 0)
+    )
+    sk = countmin_build(toks, "term", depth=4, width=256)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    cand = exact.orderBy(F.col("exact_n").desc(), F.col("term").asc()).limit(25)
+    est = countmin_estimate(sk, cand, "term", depth=4, width=256)
+    return est.select(
+        "term", "exact_n", "est_n",
+        (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile estimates from a fixed-width histogram — the
+    single-pass MERGEABLE quantile sketch (per-partition bin counts
+    partial-combine; two histograms merge by cell-wise sum). Bin math,
+    cumulative window, and interpolation are replayed exactly by the
+    oracle, so the ESTIMATE is value-checked, not just row counts."""
+    from .operators.sketch import histogram_quantiles
+
+    _register(spark, sf_dir, "documents")
+    return histogram_quantiles(
+        spark.table("documents"), "lang", "n_chars",
+        qs=(0.5, 0.9, 0.99), n_bins=64, lo=0.0, hi=640.0,
+    )
+
+
+def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (lang, source): all four grouping sets in ONE pass
+    (Spark expands grouping sets before the hash aggregate — no
+    re-scan per rollup level, partial aggregation map-side). Null
+    grouping keys are COALESCEd to 'ALL' identically on both engines."""
+    _register(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs", "sum_chars", "avg_chars",
+        )
+    )
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood near-dup candidates — the sort-based
+    alternative to LSH banding (Hernandez & Stolfo 1995): candidate
+    volume is n * window by construction. Full SQL replay: same block
+    prefix, within-block sort, lead-window neighbors, token-set Jaccard."""
+    _register(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        spark.table("documents"), "doc_id",
+        window=3, block_chars=2, jaccard_threshold=0.5,
+    )
+
+
 def queries() -> dict:
     return {
+        "heavy_hitters": q_heavy_hitters,
+        "histogram_quantile": q_histogram_quantile,
+        "cube_stats": q_cube_stats,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "lm_perplexity": q_lm_perplexity,
         "kmv_distinct": q_kmv_distinct,
         "merge_upsert": q_merge_upsert,
