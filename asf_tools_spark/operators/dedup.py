@@ -463,3 +463,127 @@ def sorted_neighborhood_pairs(
             "jaccard",
         )
     )
+
+
+def ngram_shingle_sets(
+    df: DataFrame, key: str, text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """(key, toks: array<string>, n_toks): the DISTINCT word n-gram
+    shingle set per document, as one array row. Shingles are built by a
+    per-row array transform (zip of the token array against its own
+    shifted self) — no positions explode/self-join.
+
+    The token array rides the Generate fence (explode of a 1-element
+    array): element_at inside the transform lambda would otherwise
+    re-substitute and re-evaluate the whole normalize+split+filter chain
+    PER ELEMENT PER n — ~3n regex normalizations per document (measured
+    14.8s -> 1.4s for 5000 sf0.1 docs)."""
+    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    ws_expr = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
+    staged = df.select(F.col(key), F.explode(F.array(ws_expr)).alias("_ws"))
+    ws = F.col("_ws")
+    grams = F.array_distinct(
+        F.transform(
+            F.slice(ws, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return staged.select(
+        F.col(key), grams.alias("toks"), F.size(grams).alias("n_toks")
+    )
+
+
+def setsim_join(
+    df: DataFrame, key: str, text_col: str = "text",
+    threshold: float = 0.5, shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri 2006
+    / PPJoin, Xiao 2008) — the third candidate-generation paradigm next to
+    LSH banding and sorted neighborhood, and unlike LSH it has NO recall
+    loss: every pair with Jaccard >= threshold is found.
+
+    Filters, in order of cheapness:
+    - length filter: |A| >= ceil(t * |B|) (joined as a range predicate on
+      the carried sizes — a pair whose sizes differ too much cannot reach
+      t even with full containment);
+    - prefix filter: order every set by GLOBAL shingle frequency
+      (rarest first, ties lexicographic); a qualifying pair must share a
+      shingle within each side's first n - ceil(t*n) + 1 elements. Rare
+      shingles go first, so prefix postings are the SMALL end of the Zipf
+      skew — the exact opposite of the "the"-posting hot spot;
+    - positional (ppjoin) filter: for the FIRST shared token of any
+      qualifying pair, every earlier token on each side is absent from
+      the other, so i <= 1 + min(na-pa, nb-pb); require that bound to
+      reach alpha = ceil(t/(1+t) * (na+nb)), the minimum intersection any
+      Jaccard >= t pair must have. Rows for later shared tokens may be
+      (correctly) dropped — the first-token row always survives;
+    - exact verify: array_intersect Jaccard on the full sets.
+
+    Shape: shingle-df aggregate (vocab-sized), sort per doc (per-row array
+    sort, no shuffle), prefix explode -> equi-join on shingle, then ONE
+    join back per side to the full sets by key. `ranked` feeds three
+    branches of one job, so it is eagerly materialized (localCheckpoint)
+    — on a cluster this is one narrow cached stage, and without it the
+    shingle+df subtree re-executes per branch. At 10^12 docs the prefix
+    postings table is the only fan-out and it is bounded by prefix length,
+    not document length.
+
+    Output: (key_a, key_b, jaccard) — all pairs >= threshold.
+    """
+    t = float(threshold)
+    sets = ngram_shingle_sets(df, key, text_col, n=shingle_n).where(
+        F.col("n_toks") > 0
+    )
+    flat = sets.select(F.col(key), F.explode("toks").alias("sh"))
+    dfreq = flat.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df_sh"))
+    ranked = (
+        flat.join(dfreq, "sh")
+        .groupBy(key)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_sh", "sh"))),
+                lambda s: s["sh"],
+            ).alias("toks")
+        )
+        .withColumn("n_toks", F.size("toks"))
+    ).localCheckpoint(eager=True)
+    pref_len = F.col("n_toks") - F.ceil(F.lit(t) * F.col("n_toks")).cast("int") + 1
+    prefix = ranked.select(
+        F.col(key), "n_toks",
+        F.posexplode(F.slice("toks", 1, pref_len)).alias("p0", "sh"),
+    )
+    a = prefix.select(
+        F.col(key).alias("key_a"), F.col("n_toks").alias("na"),
+        (F.col("p0") + 1).alias("pa"), "sh",
+    )
+    b = prefix.select(
+        F.col(key).alias("key_b"), F.col("n_toks").alias("nb"),
+        (F.col("p0") + 1).alias("pb"), "sh",
+    )
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (a["na"] + b["nb"]))
+    cand = (
+        a.join(
+            b,
+            (a["sh"] == b["sh"])
+            & (a["key_a"] < b["key_b"])
+            # length filter: t <= jac <= min(na,nb)/max(na,nb)
+            & (a["na"] * F.lit(1.0) >= F.lit(t) * b["nb"])
+            & (b["nb"] * F.lit(1.0) >= F.lit(t) * a["na"])
+            # ppjoin positional upper bound vs the alpha overlap floor
+            & (F.lit(1) + F.least(a["na"] - a["pa"], b["nb"] - b["pb"]) >= alpha),
+        )
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    sa = ranked.select(F.col(key).alias("key_a"), F.col("toks").alias("ta"))
+    sb = ranked.select(F.col(key).alias("key_b"), F.col("toks").alias("tb"))
+    verified = cand.join(sa, "key_a").join(sb, "key_b")
+    isz = F.size(F.array_intersect("ta", "tb")).cast("double")
+    usz = (F.size("ta") + F.size("tb")).cast("double") - isz
+    jac = isz / usz
+    return (
+        verified.where(jac >= F.lit(float(threshold)))
+        .select("key_a", "key_b", F.round(jac, 6).alias("jaccard"))
+    )

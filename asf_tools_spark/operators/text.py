@@ -442,3 +442,126 @@ def cooccurrence_pmi(
             F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
         ).limit(top_k)
     return out
+
+
+def phrase_search(
+    df: DataFrame, key: str, phrase: str, text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase (consecutive-token) search via positional postings —
+    the inverted-index primitive BM25/TF-IDF can't express (bag-of-words
+    loses order). ONE window pass: posexplode tokens, lead(i) the next
+    k-1 terms within the document, count positions where all k align.
+    Single shuffle keyed by doc; no per-term self-joins (the oracle
+    replays it AS the k-way positional join — two different formulations
+    of the same semantics).
+
+    At 10^12 docs the win over a regex LIKE scan is that the token
+    explode already exists in this engine's postings pipelines — phrase
+    matching shares that shuffle instead of re-reading raw text.
+
+    Output: (key, n_matches, first_pos) for documents with >= 1 match;
+    first_pos is 1-based token position.
+    """
+    from pyspark.sql.window import Window as _W
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    toks = df.select(
+        F.col(key), F.posexplode(F.split(norm, " ")).alias("pos", "term")
+    ).where(F.length("term") > 0)
+    w = _W.partitionBy(key).orderBy("pos")
+    cond = F.col("term") == terms[0]
+    cur = toks
+    for i, t in enumerate(terms[1:], start=1):
+        cur = cur.withColumn(f"_t{i}", F.lead("term", i).over(w))
+        cond = cond & (F.col(f"_t{i}") == t)
+    hits = cur.where(cond)
+    return hits.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+    )
+
+
+def chunk_passages(
+    df: DataFrame, key: str, text_col: str = "text",
+    size: int = 32, overlap: int = 8,
+) -> DataFrame:
+    """Overlapping passage chunking (the RAG / context-window prep step):
+    split each document's normalized token stream into windows of ``size``
+    tokens starting every ``size - overlap`` tokens; the last chunk is the
+    (possibly shorter) tail. Chunk k covers tokens [k*stride, k*stride+size);
+    starts run while k*stride < n_tokens, so every token lands in >= 1 chunk
+    and docs with zero tokens emit zero chunks.
+
+    All JVM-side: the token array rides the Generate fence (see
+    ngram_shingle_sets — element_at/slice inside per-element lambdas would
+    otherwise re-evaluate the normalize chain per element), chunk ids come
+    from an exploded sequence, each chunk is one array slice + join. One
+    Generate per row — no shuffle at all; at 10^12 docs this is a pure
+    map stage that scales linearly with input splits.
+
+    Output: (key, chunk_id, chunk_text, n_chunk_toks), chunk_id 0-based.
+    """
+    if not (0 <= overlap < size):
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    ws_expr = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
+    staged = df.select(F.col(key), F.explode(F.array(ws_expr)).alias("_ws"))
+    n_toks = F.size("_ws")
+    # sequence(0, -1) would DESCEND in Spark — empty docs must hit the
+    # empty-array branch, not the sequence
+    ks = F.when(
+        n_toks > 0,
+        F.sequence(F.lit(0), F.floor((n_toks - 1) / stride).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice("_ws", F.col("chunk_id") * stride + 1, size)
+    return (
+        staged.select(F.col(key), "_ws", F.explode(ks).alias("chunk_id"))
+        .select(
+            F.col(key),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_chunk_toks"),
+        )
+    )
+
+
+def sliding_window_counts(
+    df: DataFrame, ts_col: str, group_col: str,
+    duration: str = "6 hours", slide: str = "3 hours",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Sliding-window aggregation over an event-time column — Spark's
+    native F.window operator (the same expression Structured Streaming
+    uses, so this plan lifts to readStream unchanged; watermark + append
+    mode is the only delta). Each event lands in duration/slide windows;
+    the aggregate partial-combines map-side per (group, window).
+
+    Parity note: the value sum rides integer CENTS (ROUND(value*100)) —
+    float SUM order across engines/partitions is not associative-stable,
+    integer sums are. Window starts are emitted as epoch MICROS (the
+    engine's cross-dialect timestamp idiom, see q_event_sessions).
+
+    Output: (grp, win_start_us, n_events[, sum_cents]).
+    """
+    win = F.window(F.col(ts_col), duration, slide)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long").alias("sum_cents")
+        )
+    return (
+        df.groupBy(
+            F.col(group_col).cast("string").alias("grp"), win.alias("w")
+        )
+        .agg(*aggs)
+        .select(
+            "grp",
+            F.unix_micros(F.col("w.start").cast("timestamp_ltz")).alias("win_start_us"),
+            *[c for c in (["n_events"] + (["sum_cents"] if value_col else []))],
+        )
+    )

@@ -25,6 +25,10 @@ RECALL_SAMPLE = 400  # deterministic doc_id slice bounding the O(n^2) truth join
 # oracle silently drop tail n-grams -> tests/test_oracle_types.py pins the
 # testdata max word count under this cap so a fixture regen fails LOUDLY.
 ORACLE_MAX_WORDS = 2000
+# phrase_search needle: the corpus's most frequent word trigram at sf0.01
+# (8 hits in 5 docs — exercises n_matches > 1); absent at sf0.001 (0 rows
+# from entry-smoke is fine, the correctness gate runs at sf0.01)
+PHRASE = "slow hash batch"
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,6 +1959,139 @@ def _oracle_sqls() -> dict[str, str]:
         )
         SELECT * FROM scored WHERE jaccard >= {oracle.dbl(0.5)}
     """
+    # setsim_join: the oracle is the BRUTE-FORCE all-pairs exact-Jaccard
+    # join over the same distinct word-trigram shingle sets — if Spark's
+    # prefix filter drops any qualifying pair, the row-count/hash check
+    # fails, so the PASS is an exactness proof of the PPJoin-style filters.
+    _tok_cte = f"""
+        n AS (SELECT doc_id, {_norm_sql("text")} AS t FROM documents),
+        toks AS (
+          SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS i
+          FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w,
+                       generate_subscripts(string_split(t, ' '), 1) AS p FROM n) z
+          WHERE LENGTH(w) > 0
+        )"""
+    sqls["setsim_join"] = f"""
+        WITH {_tok_cte},
+        tri AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+          FROM toks a
+          JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS isz
+          FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.key_a, i.key_b,
+               CAST(ROUND(i.isz * {oracle.dbl(1.0)}
+                          / (sa.sz + sb.sz - i.isz), 6) AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.key_a
+        JOIN sizes sb ON sb.doc_id = i.key_b
+        WHERE i.isz * {oracle.dbl(1.0)} / (sa.sz + sb.sz - i.isz) >= {oracle.dbl(0.5)}
+    """
+    # phrase_search: the oracle is the k-way POSITIONAL SELF-JOIN — the
+    # classic inverted-index formulation — vs Spark's one-pass lead()
+    # window; two independent formulations of consecutive-token matching.
+    _terms = PHRASE.split()
+    _joins = "\n          ".join(
+        f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.i = t0.i + {i}"
+        f" AND t{i}.w = '{t}'"
+        for i, t in enumerate(_terms[1:], start=1)
+    )
+    sqls["phrase_search"] = f"""
+        WITH {_tok_cte},
+        hits AS (
+          SELECT t0.doc_id, t0.i AS pos
+          FROM toks t0
+          {_joins}
+          WHERE t0.w = '{_terms[0]}'
+        )
+        SELECT doc_id, COUNT(*) AS n_matches, CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM hits GROUP BY doc_id
+    """
+    # sliding_windows: arithmetic window-assignment replay — with
+    # duration = 2*slide every event lands in exactly the two epoch-aligned
+    # starts floor(us/slide)*slide - k*slide, k in {{0,1}} (us >= 0 here, so
+    # integer division IS floor). CAST(SUM AS BIGINT): DuckDB SUM(BIGINT)
+    # is HUGEINT (decimal128) vs Spark int64.
+    _slide_us = 3 * 3600 * 1_000_000
+    sqls["sliding_windows"] = f"""
+        WITH ev AS (
+          SELECT event_type AS grp, epoch_us(ts) AS us, value FROM events
+        ),
+        assigned AS (
+          SELECT grp,
+                 (us // {_slide_us}) * {_slide_us} - k.k * {_slide_us} AS win_start_us,
+                 value
+          FROM ev CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+        )
+        SELECT grp, win_start_us, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM assigned GROUP BY grp, win_start_us
+    """
+    # hits: 8 max-normalized iterations as a MATERIALIZED-CTE chain —
+    # auth/hub levels are each referenced twice (values + scalar max), so
+    # pagerank-style nested unrolling would go exponential; max (not L2)
+    # normalization keeps the replay free of float-association drift.
+    _zero = oracle.dbl(0.0)
+    _cte = [
+        """edges AS MATERIALIZED (
+          SELECT DISTINCT source AS src,
+                 'src' || CAST((doc_id % 13) AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 3 = 0
+        )""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, {oracle.dbl(1.0)} AS hub FROM nodes)",
+    ]
+    for i in range(1, 9):
+        _cte.append(f"""a{i}f AS MATERIALIZED (
+          SELECT n.node, COALESCE(s.a, {_zero}) AS a
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.hub) AS a
+            FROM h{i - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst
+          ) s ON s.node = n.node)""")
+        _cte.append(
+            f"a{i} AS MATERIALIZED (SELECT node, a / (SELECT MAX(a) FROM a{i}f) AS auth FROM a{i}f)"
+        )
+        _cte.append(f"""h{i}f AS MATERIALIZED (
+          SELECT n.node, COALESCE(s.h, {_zero}) AS h
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, SUM(p.auth) AS h
+            FROM a{i} p JOIN edges e ON e.dst = p.node GROUP BY e.src
+          ) s ON s.node = n.node)""")
+        _cte.append(
+            f"h{i} AS MATERIALIZED (SELECT node, h / (SELECT MAX(h) FROM h{i}f) AS hub FROM h{i}f)"
+        )
+    sqls["hits_scores"] = f"""
+        WITH {",\n        ".join(_cte)}
+        SELECT h8.node, CAST(ROUND(h8.hub, 6) AS DOUBLE) AS hub,
+               CAST(ROUND(a8.auth, 6) AS DOUBLE) AS auth
+        FROM h8 JOIN a8 ON a8.node = h8.node
+    """
+    # chunk_passages: arithmetic replay — chunk k of doc covers tokens
+    # [k*stride, k*stride+size); starts while k*stride < n_tokens. range
+    # bound 256 >> ceil(ORACLE_MAX_WORDS/stride) per the constant-bound
+    # convention.
+    sqls["chunk_passages"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split({_norm_sql("text")}, ' '),
+                             x -> LENGTH(x) > 0) AS ws
+          FROM documents
+        ),
+        sz AS (SELECT doc_id, ws, len(ws) AS n FROM base)
+        SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(ws, g.k * 24 + 1, g.k * 24 + 32), ' ')
+                 AS chunk_text,
+               CAST(len(list_slice(ws, g.k * 24 + 1, g.k * 24 + 32)) AS BIGINT)
+                 AS n_chunk_toks
+        FROM sz, (SELECT unnest(range(0, 256)) AS k) g
+        WHERE sz.n > 0 AND g.k <= (sz.n - 1) // 24
+    """
     return sqls
 
 
@@ -2194,8 +2331,78 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-normalized HITS hubs/authorities (8 iterations) over the same
+    deterministic source->domain link graph as pagerank_domains; the
+    oracle replays the iterations as a MATERIALIZED-CTE chain (each level
+    is referenced twice — value + scalar max — so nested unrolling would
+    duplicate the prior level per reference)."""
+    from .operators.graph import hits
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    edges = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 13).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(edges, n_iters=8)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage chunking (size 32, overlap 8) — the RAG prep
+    step; pure map stage (Generate fence + exploded sequence + array
+    slices, zero shuffles). Oracle: arithmetic chunk-id replay with
+    list_slice (range+WHERE per the DuckDB constant-bound convention)."""
+    _register(spark, sf_dir, "documents")
+    return text.chunk_passages(
+        spark.table("documents"), "doc_id", size=32, overlap=8
+    )
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin-style)
+    over trigram shingle sets — no recall loss, unlike LSH. The oracle is
+    the BRUTE-FORCE all-pairs join: if the prefix filter dropped any
+    qualifying pair, the row-count/hash check fails — the oracle IS the
+    exactness proof."""
+    _register(spark, sf_dir, "documents")
+    return dedup.setsim_join(
+        spark.table("documents"), "doc_id", threshold=0.5, shingle_n=3
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional postings: ONE window pass
+    (posexplode + lead equality), vs the oracle's k-way positional
+    self-join — two formulations of consecutive-token matching."""
+    _register(spark, sf_dir, "documents")
+    return text.phrase_search(spark.table("documents"), "doc_id", PHRASE)
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event aggregation (6h windows every 3h) with
+    Spark's native F.window — the Structured-Streaming-compatible
+    operator; the oracle replays window assignment arithmetically
+    (each event in exactly duration/slide epoch-aligned slots)."""
+    _register(spark, sf_dir, "events")
+    return text.sliding_window_counts(
+        spark.table("events"), "ts", "event_type",
+        duration="6 hours", slide="3 hours", value_col="value",
+    )
+
+
 def queries() -> dict:
     return {
+        "setsim_join": q_setsim_join,
+        "phrase_search": q_phrase_search,
+        "sliding_windows": q_sliding_windows,
         "heavy_hitters": q_heavy_hitters,
         "histogram_quantile": q_histogram_quantile,
         "cube_stats": q_cube_stats,

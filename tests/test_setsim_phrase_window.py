@@ -1,0 +1,128 @@
+"""PPJoin-style exact set-similarity join, positional phrase search,
+sliding-window aggregation."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from asf_tools_spark.operators import dedup, text
+
+
+def _trigrams(s: str, n: int = 3) -> set[str]:
+    toks = s.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_pairs(docs: list[tuple[int, str]], t: float, n: int = 3):
+    sets = {k: _trigrams(s, n) for k, s in docs}
+    out = {}
+    for (ka, sa), (kb, sb) in itertools.combinations(sorted(sets.items()), 2):
+        if not sa or not sb:
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= t:
+            out[(ka, kb)] = round(jac, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "a completely different sentence about spark engines"),
+        (5, "a completely different sentence about spark engines too"),
+        (6, "short doc"),  # < 3 tokens: no trigrams at all
+        (7, "one two three four five six seven eight nine ten"),
+        (8, "one two three four five six seven eight nine eleven"),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_setsim_matches_brute_force(docs_df):
+    rows, df = docs_df
+    got = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in dedup.setsim_join(df, "doc_id", threshold=0.5).collect()
+    }
+    assert got == _brute_pairs(rows, 0.5)
+
+
+def test_setsim_exact_dup_is_jaccard_one(docs_df):
+    _, df = docs_df
+    got = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in dedup.setsim_join(df, "doc_id", threshold=0.9).collect()
+    }
+    assert got == {(1, 3): 1.0}
+
+
+def test_setsim_threshold_sweep(docs_df):
+    # exactness must hold at every threshold (prefix length varies with t)
+    rows, df = docs_df
+    for t in (0.3, 0.6, 0.8):
+        got = {
+            (r.key_a, r.key_b): r.jaccard
+            for r in dedup.setsim_join(df, "doc_id", threshold=t).collect()
+        }
+        assert got == _brute_pairs(rows, t), f"threshold {t}"
+
+
+def test_phrase_search_counts_and_positions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "big data small data big data wins"),  # 2 matches, first at 1
+            (2, "there is big data here"),  # 1 match at position 3
+            (3, "big small data"),  # non-consecutive: no match
+            (4, "data big"),  # reversed: no match
+            (5, "Big   DATA everywhere"),  # normalization: case + whitespace
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in text.phrase_search(df, "doc_id", "big data").collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 3), 5: (1, 1)}
+
+
+def test_phrase_search_overlapping_matches(spark):
+    # "a a a a" has THREE positions matching "a a" — overlap must count
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    [r] = text.phrase_search(df, "doc_id", "a a").collect()
+    assert (r.n_matches, r.first_pos) == (3, 1)
+
+
+def test_phrase_search_empty_phrase_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.phrase_search(df, "doc_id", "   ")
+
+
+def test_sliding_windows_assignment(spark):
+    # slide=3h, duration=6h: event at 04:00 lands in the 00:00 and 03:00
+    # windows; event at 03:00 sharp in 00:00 and 03:00; event at 07:30 in
+    # 03:00 and 06:00
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 04:00:00", "click", 1.25),
+            (2, "2024-01-01 03:00:00", "click", 2.0),
+            (3, "2024-01-01 07:30:00", "click", None),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = text.sliding_window_counts(
+        df, "ts", "event_type", duration="6 hours", slide="3 hours",
+        value_col="value",
+    )
+    h = 3600 * 1_000_000
+    base = 1704067200 * 1_000_000  # 2024-01-01 00:00 UTC
+    got = {r.win_start_us: (r.n_events, r.sum_cents) for r in out.collect()}
+    assert got == {
+        base + 0 * h: (2, 325),   # events 1, 2
+        base + 3 * h: (3, 325),   # all three
+        base + 6 * h: (1, None),  # event 3 only; null value -> null sum
+    }
