@@ -67,3 +67,112 @@ def pagerank(
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    n_iters: int = 8, checkpoint_interval: int | None = 1,
+    local_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, hub, auth) after ``n_iters`` of MAX-normalized HITS
+    (Kleinberg 1999): auth'(v) = sum of hub over in-edges, hub'(u) = sum
+    of auth over out-edges, each vector divided by its max after every
+    half-step.
+
+    Max normalization instead of the textbook L2: the fixed point is the
+    same up to scale (both are scalar renormalizations of the same linear
+    map), and max — unlike a sum of squares — is an order-independent
+    aggregate, so the unrolled-SQL oracle replay stays exact to round-6
+    with no float-association drift. Nodes with no in-edges get auth 0,
+    no out-edges hub 0; multi-edges count once per input row.
+
+    Spark-first: the edge table is hash-partitioned ONCE and persisted;
+    every iteration is two join+aggregate pairs over the same co-located
+    edges. The per-half-step max rides a broadcast 1-row cross join (a
+    scalar, never a shuffle of the scores). Unlike pagerank, the score
+    vector is referenced TWICE per half-step (values + its max) — a fully
+    lazy plan would duplicate the prior iteration's subtree per reference
+    (~4^n_iters blowup; Catalyst never dedups common subtrees), so
+    lineage is truncated by an eager localCheckpoint every
+    ``checkpoint_interval`` iterations (default every iteration — the
+    standard Pregel-style iterate-and-checkpoint shape; the oracle's
+    MATERIALIZED CTE chain is the same idea in SQL).
+
+    Small-graph guard (the repo's kmeans/union-find discipline): when the
+    edge list fits comfortably on the driver (<= ``local_threshold``
+    rows), the 2*n_iters distributed half-steps are ~all job-launch
+    overhead — collect once and run the same iterations in numpy sparse
+    ops instead (identical semantics to round-6; pinned equal to the
+    distributed path by test). Pass local_threshold=0 to force the
+    distributed path.
+    """
+    e = edges.select(src, dst).persist()
+    if local_threshold:
+        # ONE bounded action: take(k+1) both answers "small enough?" and,
+        # when yes, IS the collected edge list
+        rows = e.take(local_threshold + 1)
+        if len(rows) <= local_threshold:
+            return _hits_local(e.sparkSession, rows, src, dst, n_iters)
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for i in range(n_iters):
+        a_raw = (
+            e.join(scores, e[src] == scores["node"])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("_a", F.lit(0.0)).alias("_a")
+        )
+        amax = auth.agg(F.max("_a").alias("_amax"))
+        auth = auth.crossJoin(F.broadcast(amax)).select(
+            "node", (F.col("_a") / F.col("_amax")).alias("auth")
+        )
+        h_raw = (
+            e.join(auth, e[dst] == auth["node"])
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("_h", F.lit(0.0)).alias("_h")
+        )
+        hmax = hub.agg(F.max("_h").alias("_hmax"))
+        hub = hub.crossJoin(F.broadcast(hmax)).select(
+            "node", (F.col("_h") / F.col("_hmax")).alias("hub")
+        )
+        scores = hub.join(auth, "node").select("node", "hub", "auth")
+        if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
+            scores = scores.localCheckpoint(eager=True)
+    return scores
+
+
+def _hits_local(spark, edge_rows, src: str, dst: str, n_iters: int) -> DataFrame:
+    """Driver-local replay of exactly the distributed iterations (dedup'd
+    edges? no — multi-edges count once per input row, same as the join)."""
+    import numpy as np
+
+    if not edge_rows:
+        return spark.createDataFrame(
+            [], "node string, hub double, auth double"
+        )
+    srcs = [r[src] for r in edge_rows]
+    dsts = [r[dst] for r in edge_rows]
+    nodes = sorted(set(srcs) | set(dsts))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.array([idx[s] for s in srcs])
+    di = np.array([idx[d] for d in dsts])
+    hub = np.ones(len(nodes))
+    auth = np.ones(len(nodes))
+    for _ in range(n_iters):
+        auth = np.bincount(di, weights=hub[si], minlength=len(nodes))
+        auth = auth / auth.max()
+        hub = np.bincount(si, weights=auth[di], minlength=len(nodes))
+        hub = hub / hub.max()
+    return spark.createDataFrame(
+        [(n, float(hub[idx[n]]), float(auth[idx[n]])) for n in nodes],
+        "node string, hub double, auth double",
+    )

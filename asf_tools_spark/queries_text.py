@@ -2066,8 +2066,9 @@ def _oracle_sqls() -> dict[str, str]:
         _cte.append(
             f"h{i} AS MATERIALIZED (SELECT node, h / (SELECT MAX(h) FROM h{i}f) AS hub FROM h{i}f)"
         )
+    _cte_sql = ",\n        ".join(_cte)
     sqls["hits_scores"] = f"""
-        WITH {",\n        ".join(_cte)}
+        WITH {_cte_sql}
         SELECT h8.node, CAST(ROUND(h8.hub, 6) AS DOUBLE) AS hub,
                CAST(ROUND(a8.auth, 6) AS DOUBLE) AS auth
         FROM h8 JOIN a8 ON a8.node = h8.node
@@ -2400,6 +2401,8 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict:
     return {
+        "hits_scores": q_hits_scores,
+        "chunk_passages": q_chunk_passages,
         "setsim_join": q_setsim_join,
         "phrase_search": q_phrase_search,
         "sliding_windows": q_sliding_windows,

@@ -103,3 +103,36 @@ def test_empty_and_null_text_rows_are_harmless(spark):
     ).count() == 0
     assert ranking.bm25_scores(docs, ["words"], "doc_id").count() == 1
     assert text.cooccurrence_pmi(docs, min_count=1).count() > 0
+
+
+def test_hits_hub_authority_structure(spark):
+    # h1 and h2 both point at a1, a2; h3 points only at a1. a1 is the top
+    # authority (3 in-links), h1/h2 the top hubs (link to both authorities).
+    edges = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a2"), ("h3", "a1")],
+        "src string, dst string",
+    )
+    got = {r.node: (r.hub, r.auth) for r in graph.hits(edges, n_iters=8).collect()}
+    assert got["a1"][1] == 1.0  # max-normalized top authority
+    assert got["h1"][0] == got["h2"][0] == 1.0  # symmetric top hubs
+    assert got["a1"][1] > got["a2"][1] > 0
+    assert got["h1"][0] > got["h3"][0] > 0
+    assert got["a1"][0] == 0.0  # no out-edges: zero hub
+    assert got["h1"][1] == 0.0  # no in-edges: zero auth
+
+
+def test_hits_distributed_equals_local(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        list({(f"s{rng.randrange(12)}", f"d{rng.randrange(7)}") for _ in range(60)}),
+        "src string, dst string",
+    )
+    local = {r.node: (r.hub, r.auth) for r in graph.hits(edges, n_iters=5).collect()}
+    dist = {r.node: (r.hub, r.auth)
+            for r in graph.hits(edges, n_iters=5, local_threshold=0).collect()}
+    assert local.keys() == dist.keys()
+    for n in local:
+        assert local[n][0] == pytest.approx(dist[n][0], abs=1e-9)
+        assert local[n][1] == pytest.approx(dist[n][1], abs=1e-9)

@@ -126,3 +126,37 @@ def test_sliding_windows_assignment(spark):
         base + 3 * h: (3, 325),   # all three
         base + 6 * h: (1, None),  # event 3 only; null value -> null sum
     }
+
+
+def test_chunk_passages_coverage_and_overlap(spark):
+    toks = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = text.chunk_passages(df, "doc_id", size=20, overlap=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 50 tokens, stride 15 -> starts 0,15,30,45 -> 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text.split() == [f"t{i}" for i in range(20)]
+    assert c1[1].chunk_text.split() == [f"t{i}" for i in range(15, 35)]
+    assert c1[3].chunk_text.split() == [f"t{i}" for i in range(45, 50)]  # tail
+    assert c1[3].n_chunk_toks == 5
+    # every token covered, consecutive chunks overlap by 5
+    assert set().union(*[set(r.chunk_text.split()) for r in c1]) == set(toks.split())
+    assert set(c1[0].chunk_text.split()) & set(c1[1].chunk_text.split()) == {
+        f"t{i}" for i in range(15, 20)
+    }
+    # doc 2: shorter than one chunk -> single chunk, itself
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[2]] == [(0, "a b c")]
+    # empty/null docs emit nothing
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_passages_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.chunk_passages(df, "doc_id", size=10, overlap=10)
