@@ -554,25 +554,30 @@ def setsim_join(
         F.col(key), "n_toks",
         F.posexplode(F.slice("toks", 1, pref_len)).alias("p0", "sh"),
     )
+    # distinct column names per side: a self-join on a shared-lineage 'sh'
+    # column logs Spark's trivially-true-predicate warning and leans on
+    # dataset-id disambiguation — explicit aliases make the equi-join key
+    # unambiguous
     a = prefix.select(
         F.col(key).alias("key_a"), F.col("n_toks").alias("na"),
-        (F.col("p0") + 1).alias("pa"), "sh",
+        (F.col("p0") + 1).alias("pa"), F.col("sh").alias("sh_a"),
     )
     b = prefix.select(
         F.col(key).alias("key_b"), F.col("n_toks").alias("nb"),
-        (F.col("p0") + 1).alias("pb"), "sh",
+        (F.col("p0") + 1).alias("pb"), F.col("sh").alias("sh_b"),
     )
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (a["na"] + b["nb"]))
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
     cand = (
         a.join(
             b,
-            (a["sh"] == b["sh"])
-            & (a["key_a"] < b["key_b"])
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("key_a") < F.col("key_b"))
             # length filter: t <= jac <= min(na,nb)/max(na,nb)
-            & (a["na"] * F.lit(1.0) >= F.lit(t) * b["nb"])
-            & (b["nb"] * F.lit(1.0) >= F.lit(t) * a["na"])
+            & (F.col("na") * F.lit(1.0) >= F.lit(t) * F.col("nb"))
+            & (F.col("nb") * F.lit(1.0) >= F.lit(t) * F.col("na"))
             # ppjoin positional upper bound vs the alpha overlap floor
-            & (F.lit(1) + F.least(a["na"] - a["pa"], b["nb"] - b["pb"]) >= alpha),
+            & (F.lit(1) + F.least(F.col("na") - F.col("pa"),
+                                  F.col("nb") - F.col("pb")) >= alpha),
         )
         .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
