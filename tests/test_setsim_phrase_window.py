@@ -160,3 +160,77 @@ def test_chunk_passages_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         text.chunk_passages(df, "doc_id", size=10, overlap=10)
+
+
+def test_sliding_windows_lifts_to_streaming(spark, tmp_path):
+    # the docstring's claim, executed: the SAME operator over readStream.
+    # complete mode (overwrite sink) must equal the batch aggregation;
+    # append mode + watermark must emit exactly the windows the final
+    # watermark closed, with values identical to batch.
+    import pandas as pd
+
+    rows = []
+    base = pd.Timestamp("2024-03-01")
+    for i in range(200):
+        rows.append((i, base + pd.Timedelta(minutes=17 * i), f"t{i % 3}", float(i) / 7.0))
+    full = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    half = len(full) // 2
+
+    batch = {
+        (r.grp, r.win_start_us): (r.n_events, r.sum_cents)
+        for r in text.sliding_window_counts(
+            spark.createDataFrame(full), "ts", "event_type",
+            duration="6 hours", slide="3 hours", value_col="value",
+        ).collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_c, ck_c = str(tmp_path / "out_c"), str(tmp_path / "ck_c")
+    out_a, ck_a = str(tmp_path / "out_a"), str(tmp_path / "ck_a")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def feed(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(str(src / "data"))
+
+    def run(mode, out_dir, ckpt, watermark):
+        stream = spark.readStream.schema(schema).parquet(str(src / "data"))
+        if watermark:
+            stream = stream.withWatermark("ts", watermark)
+        agg = text.sliding_window_counts(
+            stream, "ts", "event_type",
+            duration="6 hours", slide="3 hours", value_col="value",
+        )
+        wmode = "overwrite" if mode == "complete" else "append"
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode(wmode).parquet(out_dir)
+
+        q = (
+            agg.writeStream.outputMode(mode).foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    for pdf in (full.iloc[:half], full.iloc[half:]):
+        feed(pdf)
+        run("complete", out_c, ck_c, None)
+        run("append", out_a, ck_a, "1 hour")
+
+    got_c = {
+        (r.grp, r.win_start_us): (r.n_events, r.sum_cents)
+        for r in spark.read.parquet(out_c).collect()
+    }
+    assert got_c == batch
+
+    # append mode: the final watermark is max(ts) - 1h; exactly the windows
+    # whose END is at or below it have been emitted, values equal to batch
+    wm_us = int((full.ts.max() - pd.Timedelta(hours=1)).timestamp() * 1_000_000)
+    dur_us = 6 * 3600 * 1_000_000
+    closed = {k: v for k, v in batch.items() if k[1] + dur_us <= wm_us}
+    got_a = {
+        (r.grp, r.win_start_us): (r.n_events, r.sum_cents)
+        for r in spark.read.parquet(out_a).collect()
+    }
+    assert got_a == closed
