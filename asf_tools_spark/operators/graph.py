@@ -150,6 +150,74 @@ def hits(
     return scores
 
 
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, src: str = "src", dst: str = "dst",
+    node: str = "node", max_hops: int = 6,
+    checkpoint_interval: int | None = 2, local_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, hops): minimum directed hop count from ANY seed node, for
+    every node reachable within ``max_hops`` (seeds themselves at 0) —
+    multi-source BFS, the crawl-frontier / link-distance primitive.
+
+    Spark-first frontier expansion: the frontier (newly reached nodes
+    only) joins the src-partitioned edge table once per hop; visited is
+    the growing union, and the next frontier is an anti-join against it —
+    each hop is one equi-join + one distinct, never a full-graph pass
+    over already-settled nodes. Lineage is truncated every
+    ``checkpoint_interval`` hops (the visited union otherwise deepens the
+    plan linearly and re-executes per reference). Same driver-local
+    small-graph guard as hits(): one take(k+1) action doubles as the
+    collect.
+    """
+    e = edges.select(src, dst).persist()
+    if local_threshold:
+        rows = e.take(local_threshold + 1)
+        if len(rows) <= local_threshold:
+            seed_vals = [r[node] for r in seeds.select(node).collect()]
+            return _bfs_local(e.sparkSession, rows, src, dst, seed_vals, max_hops)
+    visited = seeds.select(F.col(node).alias("node"), F.lit(0).alias("hops"))
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e[src] == frontier["node"])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # branches below reuse it
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(h).alias("hops"))
+        )
+        if checkpoint_interval and h % checkpoint_interval == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+def _bfs_local(spark, edge_rows, src, dst, seed_vals, max_hops: int) -> DataFrame:
+    """Driver-local replay of the identical frontier expansion."""
+    adj: dict = {}
+    for r in edge_rows:
+        adj.setdefault(r[src], set()).add(r[dst])
+    hops = {s: 0 for s in seed_vals}
+    frontier = set(seed_vals)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= hops.keys()
+        if not nxt:
+            break
+        for v in nxt:
+            hops[v] = h
+        frontier = nxt
+    return spark.createDataFrame(
+        [(n, h) for n, h in sorted(hops.items())], "node string, hops long"
+    )
+
+
 def _hits_local(spark, edge_rows, src: str, dst: str, n_iters: int) -> DataFrame:
     """Driver-local replay of exactly the distributed iterations (dedup'd
     edges? no — multi-edges count once per input row, same as the join)."""

@@ -484,6 +484,99 @@ def phrase_search(
     )
 
 
+def char_entropy(
+    df: DataFrame, key: str, text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (nats)
+    over normalized text — the cheap gibberish/obfuscation screen that
+    complements the word-level quality features: random bytes score high,
+    single-char runs near 0, natural language sits in a narrow band.
+
+    entropy = ln(n) - sum(c*ln(c))/n over per-char counts c — computed in
+    exactly this algebraic form on BOTH engines so the only float drift
+    is one round-6 sum over <= alphabet-size terms. Shape: char explode
+    -> (doc, char) count -> per-doc rollup; both aggregates partial-combine
+    map-side, and the explode fan-out is n_chars rows of 1-char strings —
+    the same order of bytes as the input itself.
+
+    Output: (key, n_chars, entropy), empty/null docs dropped.
+    """
+    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    staged = df.select(F.col(key), F.explode(F.array(norm)).alias("_norm"))
+    chars = staged.select(
+        F.col(key), F.explode(F.split("_norm", "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    counts = chars.groupBy(key, "ch").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n = F.sum("c")
+    return counts.groupBy(key).agg(
+        n.cast("long").alias("n_chars"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy"),
+    )
+
+
+def event_funnel(
+    df: DataFrame, user_col: str, ts_col: str, type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel completion (view -> click -> purchase style): a user
+    completes step i when an event of type steps[i] occurs STRICTLY after
+    their step i-1 completion time (first match wins). ONE shuffle: events
+    collect per user, sort by (ts, type), and a single F.aggregate fold
+    walks the timeline carrying the per-step completion timestamps —
+    conditions test ts > prev explicitly, so tie ordering inside the sort
+    can't change the outcome (mirrored verbatim by the oracle's
+    min-after-join formulation, an independent algebra of the same spec).
+
+    Per-user event counts are bounded (a user's history fits one task);
+    skewed mega-users would call for the repo's salting idiom upstream.
+
+    Output: ONE row — n_users, then n_step1..n_stepK completion counts and
+    round-6 conversion rates vs n_users.
+    """
+    k = len(steps)
+    if k < 1:
+        raise ValueError("need at least one step")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    ).where(F.col(type_col).isin(steps))
+    acc0 = F.struct(*[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(k)])
+
+    def _step(acc, e):
+        fields = []
+        for i in range(k):
+            prev_ok = F.lit(True) if i == 0 else (
+                acc[f"t{i - 1}"].isNotNull() & (e["ts"] > acc[f"t{i - 1}"])
+            )
+            fields.append(
+                F.when(
+                    acc[f"t{i}"].isNull() & (e["et"] == steps[i]) & prev_ok, e["ts"]
+                ).otherwise(acc[f"t{i}"]).alias(f"t{i}")
+            )
+        return F.struct(*fields)
+
+    per_user = (
+        ev.groupBy("u")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "et"))).alias("evs"))
+        .select("u", F.aggregate("evs", acc0, _step).alias("f"))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_users")]
+    for i in range(k):
+        aggs.append(
+            F.sum(F.when(F.col(f"f.t{i}").isNotNull(), 1).otherwise(0))
+            .cast("long").alias(f"n_{steps[i]}")
+        )
+    out = per_user.agg(*aggs)
+    rates = [
+        F.round(F.col(f"n_{steps[i]}") / F.col("n_users"), 6).alias(f"rate_{steps[i]}")
+        for i in range(k)
+    ]
+    return out.select("n_users", *[F.col(f"n_{s}") for s in steps], *rates)
+
+
 def chunk_passages(
     df: DataFrame, key: str, text_col: str = "text",
     size: int = 32, overlap: int = 8,

@@ -521,7 +521,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "hits_scores", "chunk_passages",
+    "hits_scores", "chunk_passages", "bfs_hops", "char_entropy",
+    "event_funnel",
     "setsim_join", "phrase_search", "sliding_windows",
     "heavy_hitters", "histogram_quantile", "cube_stats", "sorted_neighborhood",
     "lm_perplexity", "kmv_distinct", "merge_upsert", "weighted_sample",

@@ -2073,6 +2073,71 @@ def _oracle_sqls() -> dict[str, str]:
                CAST(ROUND(a8.auth, 6) AS DOUBLE) AS auth
         FROM h8 JOIN a8 ON a8.node = h8.node
     """
+    # char_entropy: substring position enumeration (constant bound +
+    # WHERE); the entropy is computed in the SAME algebraic form as Spark
+    # (ln(n) - sum(c*ln(c))/n) so the only drift surface is one round-6
+    # sum over alphabet-size terms
+    sqls["char_entropy"] = f"""
+        WITH n AS (SELECT doc_id, {_norm_sql("text")} AS t FROM documents),
+        ch AS (
+          SELECT doc_id, SUBSTRING(t, g.p, 1) AS ch
+          FROM n, (SELECT unnest(range(1, 4096)) AS p) g
+          WHERE g.p <= LENGTH(t)
+        ),
+        cnt AS (
+          SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM ch GROUP BY doc_id, ch
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS DOUBLE)
+                 AS entropy
+        FROM cnt GROUP BY doc_id
+    """
+    # event_funnel: min-after join chain — the independent formulation of
+    # "step i strictly after step i-1, first match wins" vs Spark's
+    # sorted fold
+    sqls["event_funnel"] = f"""
+        WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT e.user_id, MIN(e.ts) AS t
+               FROM events e JOIN s0 ON s0.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+               FROM events e JOIN s1 ON s1.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+        u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events WHERE event_type IN ('view', 'click', 'purchase'))
+        SELECT u.n_users,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_view,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_click,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_purchase,
+               CAST(ROUND((SELECT COUNT(*) FROM s0) * {oracle.dbl(1.0)} / u.n_users, 6) AS DOUBLE) AS rate_view,
+               CAST(ROUND((SELECT COUNT(*) FROM s1) * {oracle.dbl(1.0)} / u.n_users, 6) AS DOUBLE) AS rate_click,
+               CAST(ROUND((SELECT COUNT(*) FROM s2) * {oracle.dbl(1.0)} / u.n_users, 6) AS DOUBLE) AS rate_purchase
+        FROM u
+    """
+    # bfs_hops: recursive reachability enumeration, MIN(depth) outside
+    # the recursion; UNION (not UNION ALL) dedups (node, depth) pairs so
+    # the recursion terminates at the depth bound
+    sqls["bfs_hops"] = """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT 'n' || CAST((doc_id % 97) AS VARCHAR) AS src,
+                 'n' || CAST(((3 * (doc_id % 97) + 1) % 97) AS VARCHAR) AS dst
+          FROM documents
+          UNION
+          SELECT DISTINCT 'n' || CAST((doc_id % 97) AS VARCHAR),
+                 'n' || CAST(((5 * (doc_id % 97) + 2) % 97) AS VARCHAR)
+          FROM documents
+        ),
+        reach(node, d) AS (
+          SELECT 'n0', 0
+          UNION
+          SELECT e.dst, r.d + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.d < 6
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM reach GROUP BY node
+    """
     # chunk_passages: arithmetic replay — chunk k of doc covers tokens
     # [k*stride, k*stride+size); starts while k*stride < n_tokens. range
     # bound 256 >> ceil(ORACLE_MAX_WORDS/stride) per the constant-bound
@@ -2356,6 +2421,50 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (gibberish screen);
+    ln(n) - sum(c*ln(c))/n computed in the identical algebraic form on
+    both engines (oracle enumerates positions via the constant-bound
+    range + WHERE idiom)."""
+    _register(spark, sf_dir, "documents")
+    return text.char_entropy(spark.table("documents"), "doc_id")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel: one sorted-fold shuffle on
+    Spark vs the oracle's min-after join chain — two independent algebras
+    of 'step i strictly after step i-1, first match wins'."""
+    _register(spark, sf_dir, "events")
+    return text.event_funnel(
+        spark.table("events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over a deterministic 97-node
+    expander (two functional edges per node: a -> 3a+1 and a -> 5a+2
+    mod 97, derived from doc_id residues) from seed n0, max 6 hops. The
+    oracle enumerates reachable (node, depth) pairs with a recursive CTE
+    (UNION-dedup'd, depth-bounded) and takes MIN(depth) OUTSIDE the
+    recursion (aggregation is illegal in the recursive term)."""
+    from .operators.graph import bfs_hops
+
+    _register(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 97).cast("long")
+    docs = spark.table("documents")
+    mk = lambda m, c: F.concat(F.lit("n"), ((m * a + c) % 97).cast("string"))
+    edges = (
+        docs.select(F.concat(F.lit("n"), a.cast("string")).alias("src"), mk(3, 1).alias("dst"))
+        .unionByName(
+            docs.select(F.concat(F.lit("n"), a.cast("string")).alias("src"), mk(5, 2).alias("dst"))
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    return bfs_hops(edges, seeds, max_hops=6)
+
+
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping passage chunking (size 32, overlap 8) — the RAG prep
     step; pure map stage (Generate fence + exploded sequence + array
@@ -2403,6 +2512,9 @@ def queries() -> dict:
     return {
         "hits_scores": q_hits_scores,
         "chunk_passages": q_chunk_passages,
+        "bfs_hops": q_bfs_hops,
+        "char_entropy": q_char_entropy,
+        "event_funnel": q_event_funnel,
         "setsim_join": q_setsim_join,
         "phrase_search": q_phrase_search,
         "sliding_windows": q_sliding_windows,

@@ -136,3 +136,36 @@ def test_hits_distributed_equals_local(spark):
     for n in local:
         assert local[n][0] == pytest.approx(dist[n][0], abs=1e-9)
         assert local[n][1] == pytest.approx(dist[n][1], abs=1e-9)
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    # chain a->b->c->d plus shortcut a->c: min-hop wins (c at 1, not 2);
+    # e is unreachable; max_hops truncates
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in graph.bfs_hops(edges, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    got1 = {r.node: r.hops for r in graph.bfs_hops(edges, seeds, max_hops=1).collect()}
+    assert got1 == {"a": 0, "b": 1, "c": 1}
+    # multi-source: seed e too — everything shifts to min over both seeds
+    seeds2 = spark.createDataFrame([("a",), ("e",)], "node string")
+    got2 = {r.node: r.hops for r in graph.bfs_hops(edges, seeds2).collect()}
+    assert got2 == {"a": 0, "e": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_distributed_equals_local(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        list({(f"s{rng.randrange(30)}", f"s{rng.randrange(30)}") for _ in range(80)}),
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s0",), ("s7",)], "node string")
+    local = {r.node: r.hops for r in graph.bfs_hops(edges, seeds, max_hops=5).collect()}
+    dist = {r.node: r.hops
+            for r in graph.bfs_hops(edges, seeds, max_hops=5, local_threshold=0).collect()}
+    assert local == dist

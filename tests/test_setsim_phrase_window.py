@@ -234,3 +234,41 @@ def test_sliding_windows_lifts_to_streaming(spark, tmp_path):
         for r in spark.read.parquet(out_a).collect()
     }
     assert got_a == closed
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in
+           text.char_entropy(df, "doc_id").collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, round(math.log(2), 6))
+    assert got[3] == (4, round(math.log(4), 6))
+    assert 4 not in got and 5 not in got
+
+
+def test_event_funnel_ordering_semantics(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        # u1 completes all three in order
+        (1, dt(2024, 1, 1, 0), "view"), (1, dt(2024, 1, 1, 1), "click"),
+        (1, dt(2024, 1, 1, 2), "purchase"),
+        # u2: click BEFORE view, purchase after view but no click after view
+        (2, dt(2024, 1, 1, 0), "click"), (2, dt(2024, 1, 1, 1), "view"),
+        (2, dt(2024, 1, 1, 2), "purchase"),
+        # u3: click at the SAME instant as view -> strictly-after fails
+        (3, dt(2024, 1, 1, 0), "view"), (3, dt(2024, 1, 1, 0), "click"),
+        # u4: only purchases
+        (4, dt(2024, 1, 1, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    [r] = text.event_funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()
+    assert (r.n_users, r.n_view, r.n_click, r.n_purchase) == (4, 3, 1, 1)
+    assert r.rate_purchase == 0.25
