@@ -244,3 +244,64 @@ def _hits_local(spark, edge_rows, src: str, dst: str, n_iters: int) -> DataFrame
         [(n, float(hub[idx[n]]), float(auth[idx[n]])) for n in nodes],
         "node string, hub double, auth double",
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, n_triangles): how many triangles each node participates in,
+    over the undirected simple graph induced by ``edges`` (self-loops
+    dropped, direction and multiplicity ignored). The clustering /
+    spam-farm signal of web-graph analysis (link farms are near-cliques).
+
+    Spark-first, skew-proof shape (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer" — public MapReduce
+    formulation): orient every undirected edge from its lower-degree
+    endpoint to its higher-degree endpoint (ties broken by node id).
+    Wedge generation then pairs only the DEGREE-ORDERED out-neighbors of
+    each node, so a celebrity node of degree d contributes O(sum of its
+    low-degree neighbors' choices) instead of O(d^2) — total wedge count
+    is O(m^{3/2}) regardless of skew. Each wedge (u, v, w) closes iff the
+    oriented edge (v, w) exists: one semi-ish inner join against the
+    oriented edge set. Every triangle is found exactly once (at its
+    lowest-order corner), then exploded to its three corners for the
+    per-node rollup. Three shuffles total (degree agg, wedge join,
+    closing join), all on node keys.
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_degb"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.struct(F.col("_degb").alias("_dega"), F.col("b").alias("n")))
+        .otherwise(F.struct("_dega", F.col("a").alias("n")))
+        .alias("_hi"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("_hi").alias("_k1"))
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("_hi").alias("_k2")
+    )
+    wedges = e1.join(e2, (e1["u"] == e2["u2"]) & (e1["_k1"] < e2["_k2"])).select(
+        "u", "v1", "v2"
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"])
+    corners = tris.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -521,6 +521,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
+    "interval_merge", "triangle_counts", "morph_open_grid",
     "hits_scores", "chunk_passages", "bfs_hops", "char_entropy",
     "event_funnel",
     "setsim_join", "phrase_search", "sliding_windows",
@@ -557,7 +558,7 @@ _REGISTRY_TAIL = [
     # rows-only by design (seeded hyperplanes / k-means / codec stub /
     # 64-bit xxhash64 simhash):
     "ivf_topk", "embedding_near_dup", "media_features", "simhash64_pairs",
-    "pq_topk", "hll_distinct", "ivfpq_topk",
+    "pq_topk", "hll_distinct", "ivfpq_topk", "ivfpq_rerank",
 ]
 # Retired as redundant (VERDICT r2): "token_count" duplicated
 # bpe_token_count's ws_tokens column; "fingerprint" overlapped

@@ -462,6 +462,52 @@ def _oracle_sqls() -> dict[str, str]:
                     ELSE ROUND(GREATEST(g3.elev - r2.drain_elev, 0.0), 6) END AS hand
         FROM {flow} g3 LEFT JOIN resolved r2 ON r2.sr = g3.row AND r2.sc = g3.col
     """
+    # morph_open_grid: neighbor-JOIN formulation (vs Spark's explode
+    # stencil). Zero padding => erosion is 0 on the boundary ring and
+    # MIN over the full 3x3 elsewhere; dilation is MAX over whatever
+    # in-bounds neighbors exist (padded zeros never win a MAX).
+    wg = f"""(
+      SELECT row, col,
+             CASE WHEN v <= {_WATER_THR} AND valid THEN 1 ELSE 0 END AS water
+      FROM {grid} g0
+    )"""
+    nbr = (
+        "b.row BETWEEN a.row - 1 AND a.row + 1 "
+        "AND b.col BETWEEN a.col - 1 AND a.col + 1"
+    )
+    interior = (
+        f"a.row >= 1 AND a.row <= {_H - 2} AND a.col >= 1 AND a.col <= {_W - 2}"
+    )
+    sqls["morph_open_grid"] = f"""
+        WITH wg AS (SELECT * FROM {wg} w0),
+        er AS (
+          SELECT a.row, a.col,
+                 CASE WHEN {interior} THEN MIN(b.water) ELSE 0 END AS w
+          FROM wg a JOIN wg b ON {nbr}
+          GROUP BY a.row, a.col
+        ),
+        opened AS (
+          SELECT a.row, a.col, MAX(b.w) AS w
+          FROM er a JOIN er b ON {nbr}
+          GROUP BY a.row, a.col
+        ),
+        di AS (
+          SELECT a.row, a.col, MAX(b.water) AS w
+          FROM wg a JOIN wg b ON {nbr}
+          GROUP BY a.row, a.col
+        ),
+        closed AS (
+          SELECT a.row, a.col,
+                 CASE WHEN {interior} THEN MIN(b.w) ELSE 0 END AS w
+          FROM di a JOIN di b ON {nbr}
+          GROUP BY a.row, a.col
+        )
+        SELECT wg.row, wg.col, wg.water,
+               opened.w AS opened, closed.w AS closed
+        FROM wg
+        JOIN opened ON opened.row = wg.row AND opened.col = wg.col
+        JOIN closed ON closed.row = wg.row AND closed.col = wg.col
+    """
     values = ", ".join(f"({tid}, {thr!r})" for tid, thr in _em_expected())
     sqls["em_fixture_thresholds"] = f"""
         SELECT CAST(tile_id AS BIGINT) AS tile_id,
@@ -471,8 +517,27 @@ def _oracle_sqls() -> dict[str, str]:
     return sqls
 
 
+def q_morph_open_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary morphology on the thresholded water mask (3x3 element, zero
+    padding): opening drops sub-element speckle (the pixel-scale sibling
+    of remove_small_segments, ref water_map.py:145-147), closing fills
+    pinholes before segmentation. Spark side is the explode-stencil +
+    hash-aggregate shape (one Generate + one shuffle per pass, no 9-way
+    self-join); the oracle is the INDEPENDENT neighbor-join formulation,
+    so the stencil algebra is cross-verified."""
+    from .operators.morphology import binary_close, binary_open
+
+    g = _grid_df(spark)
+    water = ((F.col("v") <= F.lit(_WATER_THR)) & F.col("valid")).cast("int")
+    wg = g.select("row", "col", water.alias("water"))
+    opened = binary_open(wg, "water", _H, _W).withColumnRenamed("water", "opened")
+    closed = binary_close(wg, "water", _H, _W).withColumnRenamed("water", "closed")
+    return wg.join(opened, ["row", "col"]).join(closed, ["row", "col"])
+
+
 def queries() -> dict:
     return {
+        "morph_open_grid": q_morph_open_grid,
         "threshold_water_map": q_threshold_water_map,
         "slope_rows": q_slope_rows,
         "grid_labels": q_grid_labels,

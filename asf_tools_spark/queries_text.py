@@ -2158,6 +2158,58 @@ def _oracle_sqls() -> dict[str, str]:
         FROM sz, (SELECT unnest(range(0, 256)) AS k) g
         WHERE sz.n > 0 AND g.k <= (sz.n - 1) // 24
     """
+    # interval_merge: same gaps-and-islands formulation (the window algebra
+    # IS the spec); all-BIGINT epoch-micro arithmetic on both engines.
+    sqls["interval_merge"] = """
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + (300 + (event_id * 37) % 3300) * 1000000 AS e
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id, s, e,
+                 CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                      THEN 1 ELSE 0 END AS opens
+          FROM iv
+          WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        numbered AS (
+          SELECT user_id, s, e,
+                 SUM(opens) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM flagged
+        )
+        SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+               COUNT(*) AS n_intervals, MAX(e) - MIN(s) AS covered
+        FROM numbered GROUP BY user_id, island
+    """
+    # triangle_counts: independent brute-force oracle — canonical a<b
+    # edges, x<y<z three-way join finds each triangle once, corner
+    # explosion rolls up per node (the Spark side's degree ordering is a
+    # pure optimization; outputs must be identical).
+    sqls["triangle_counts"] = """
+        WITH e0 AS (
+          SELECT DISTINCT
+                 LEAST(doc_id % 61, (doc_id // 61) % 61) AS a,
+                 GREATEST(doc_id % 61, (doc_id // 61) % 61) AS b
+          FROM documents
+          WHERE doc_id % 61 <> (doc_id // 61) % 61
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e0 e1
+          JOIN e0 e2 ON e2.a = e1.b
+          JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    """
     return sqls
 
 
@@ -2508,8 +2560,76 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: each event opens a deterministic
+    activity interval [ts, ts + 300..3599 s] (duration derived from
+    event_id by integer arithmetic — exact on both engines); overlapping
+    or touching intervals per user collapse into islands. ONE window pass
+    (running max of ends -> open flags -> running island number) + one
+    hash aggregate — no interval self-join, so a mega-user costs a sorted
+    spill, not O(n^2). Oracle: the same gaps-and-islands formulation in
+    SQL (epoch_us micros both sides)."""
+    from .operators.intervals import merge_intervals
+
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    s_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    dur_us = (F.lit(300) + (F.col("event_id") * 37) % 3300) * F.lit(1_000_000)
+    iv = ev.select(
+        "user_id", s_us.alias("s"), (s_us + dur_us).alias("e")
+    )
+    out = merge_intervals(iv, "user_id", "s", "e", min_gap=0)
+    return out.select(
+        "user_id", "island_start", "island_end", "n_intervals", "covered"
+    )
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over a deterministic 61-node
+    quasi-random link graph derived from documents (edge doc_id%61 <->
+    (doc_id//61)%61): the link-farm / clustering-coefficient signal.
+    Spark side is the degree-ordered wedge formulation (Suri &
+    Vassilvitskii 2011 — O(m^1.5) wedges regardless of skew); the oracle
+    is the INDEPENDENT brute-force a<b<c three-way self-join, so the PASS
+    cross-verifies the orientation trick end-to-end."""
+    from .operators.graph import triangle_count
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    edges = docs.select(
+        (F.col("doc_id") % 61).alias("src"),
+        (F.floor(F.col("doc_id") / 61) % 61).cast("long").alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (FAISS refine shape): IVFPQ ADC proposes an
+    oversampled k'=20 shortlist, exact full-precision L2 reranks it to
+    the final top-5 — quantization error affects shortlist RECALL only,
+    never the final ordering. Rows-only like the other ANN rows (coarse
+    centroids + residual codebooks are sample-trained driver state);
+    order restoration vs brute force is pytest-pinned
+    (tests/test_pq.py::test_rerank_exact_restores_bruteforce_order)."""
+    from .operators import pq
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    cents, assigned = _ivf_assigned(spark, sf_dir)
+    cb = pq.pq_train_residual(
+        emb, cents, m=8, nbits=4, sample_size=256, seed=0, assigned=assigned
+    )
+    codes = pq.ivfpq_encode(emb, cents, cb, assigned=assigned)
+    queries = emb.where(F.col("vec_id") < 3)
+    shortlist = pq.ivfpq_topk(codes, queries, cents, cb, k=20, nprobe=2)
+    return pq.rerank_exact(shortlist, emb, queries, k=5, metric="l2")
+
+
 def queries() -> dict:
     return {
+        "interval_merge": q_interval_merge,
+        "triangle_counts": q_triangle_counts,
+        "ivfpq_rerank": q_ivfpq_rerank,  # rows-only (driver-state codebooks)
         "hits_scores": q_hits_scores,
         "chunk_passages": q_chunk_passages,
         "bfs_hops": q_bfs_hops,

@@ -120,6 +120,7 @@ _EAGER_BUILD = {
     "grid_labels", "segment_areas_grid", "label_bboxes", "gaussian_infill",
     "flow_accum_grid", "hand_grid", "em_fixture_thresholds", "ivf_topk",
     "flood_depth_grid", "pq_topk", "ivfpq_topk", "corpus_funnel",
+    "ivfpq_rerank",
 }
 
 
