@@ -150,8 +150,11 @@ def main() -> None:
     # durable record; stdout stays short for the tail-capture.
     try:
         os.makedirs(os.path.join(os.path.dirname(__file__) or ".", "BENCH"), exist_ok=True)
+        # Round-stamped when the env says so, else ONE overwritten
+        # "last" file — a session of repeated driver bench runs must not
+        # accumulate timestamped litter in BENCH/ (it did in r5).
         rnd = os.environ.get("BENCH_ROUND", "")
-        fname = f"queries_r{rnd}.json" if rnd else f"queries_{time.strftime('%Y%m%dT%H%M%S')}.json"
+        fname = f"queries_r{rnd}.json" if rnd else "queries_last.json"
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH", fname), "w") as f:
             json.dump(result, f, indent=1)
         print(f"# full per-query record: BENCH/{fname}", file=sys.stderr)
