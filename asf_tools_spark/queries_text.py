@@ -2210,6 +2210,37 @@ def _oracle_sqls() -> dict[str, str]:
         )
         SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
     """
+    # pareto_frontier: NOT-EXISTS dominance (independent of the Spark
+    # side's bucketed prefix-scan sweep). Ties: equal points survive.
+    sqls["pareto_frontier"] = """
+        WITH per_user AS (
+          SELECT user_id, COUNT(*) AS n_events,
+                 ROUND(SUM(value), 6) AS total_value
+          FROM events GROUP BY user_id
+        )
+        SELECT p.user_id, p.n_events, p.total_value FROM per_user p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM per_user q
+          WHERE q.n_events >= p.n_events AND q.total_value >= p.total_value
+            AND (q.n_events > p.n_events OR q.total_value > p.total_value)
+        )
+    """
+    # trend_ols: DuckDB's native regression aggregates vs Spark's
+    # sufficient-statistics formulation — two implementations of OLS.
+    sqls["trend_ols"] = """
+        WITH pts AS (
+          SELECT event_type,
+                 (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS t,
+                 value AS v
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(REGR_SLOPE(v, t), 6) AS slope,
+               ROUND(REGR_INTERCEPT(v, t), 6) AS intercept,
+               ROUND(CORR(v, t), 6) AS r
+        FROM pts GROUP BY event_type
+        HAVING COUNT(*) >= 2 AND VAR_POP(t) > 0
+    """
     return sqls
 
 
@@ -2625,8 +2656,61 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.rerank_exact(shortlist, emb, queries, k=5, metric="l2")
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of users over (n_events, total_value) — skyline
+    corpus pruning. Spark side is the distributed prefix-scan sweep
+    (bucketed quantile ranges + per-bucket window + driver suffix-max of
+    O(buckets) scalars — NO global single-partition window); the oracle
+    is the INDEPENDENT NOT-EXISTS dominance formulation, so the sweep's
+    strict/tie semantics are cross-verified."""
+    from .operators.skyline import pareto_frontier
+
+    _register(spark, sf_dir, "events")
+    per_user = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    return pareto_frontier(per_user, "n_events", "total_value")
+
+
+# events are Jan 2024; center the OLS abscissa there (mantissa hygiene —
+# see operators/regression.py)
+_OLS_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value trend: closed-form simple OLS (slope/
+    intercept/r of value vs days-since-2024-01-01) in ONE partial/final
+    hash aggregate — five sufficient statistics per group, no window, no
+    second pass. Oracle: DuckDB's native REGR_SLOPE/REGR_INTERCEPT/CORR —
+    a genuinely independent implementation of the estimator."""
+    from .operators.regression import groupwise_ols
+
+    _register(spark, sf_dir, "events")
+    t_days = (
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.lit(_OLS_EPOCH_US)
+    ) / F.lit(86400e6)
+    pts = spark.table("events").select(
+        "event_type", t_days.alias("t"), F.col("value").alias("v")
+    )
+    out = groupwise_ols(pts, "event_type", "t", "v")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r", 6).alias("r"),
+    )
+
+
 def queries() -> dict:
     return {
+        "pareto_frontier": q_pareto_frontier,
+        "trend_ols": q_trend_ols,
         "interval_merge": q_interval_merge,
         "triangle_counts": q_triangle_counts,
         "ivfpq_rerank": q_ivfpq_rerank,  # rows-only (driver-state codebooks)

@@ -121,6 +121,7 @@ _EAGER_BUILD = {
     "flow_accum_grid", "hand_grid", "em_fixture_thresholds", "ivf_topk",
     "flood_depth_grid", "pq_topk", "ivfpq_topk", "corpus_funnel",
     "ivfpq_rerank",
+    "pareto_frontier",  # approxQuantile bucket boundaries run eagerly
 }
 
 
