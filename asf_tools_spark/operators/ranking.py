@@ -136,3 +136,63 @@ def bm25_scores(
         # which would funnel every matched doc through one partition
         scored = scored.orderBy(F.col("bm25").desc(), F.col(key).asc()).limit(top_k)
     return scored
+
+
+def chi2_terms(
+    df: DataFrame, key: str, label: str, text_col: str = "text",
+    min_df: int = 5, top_k: int | None = 30,
+) -> DataFrame:
+    """(term, df_docs, chi2): chi-square association between term PRESENCE
+    and a document label (language, source, quality bucket) — the classic
+    feature-selection / domain-drift screen (the fastText-era supervised
+    vocabulary pruning; Yang & Pedersen 1997, public literature).
+
+    Full 2 x L contingency per term: observed = docs of label l containing
+    the term; both the present and absent rows contribute (o - e)^2 / e.
+    Terms never seen with a label still contribute that label's cells —
+    the label-marginal frame (L rows, tiny) is CROSS-JOINED onto the
+    vocabulary and the observed counts are left-joined with a 0 fill, so
+    no cell is silently dropped. Shapes: the postings explode + two hash
+    aggregates (presence, df), one broadcast L-row replication, one
+    vocabulary-keyed left join; top-k via sort+limit (TakeOrdered), never
+    a global window. Degenerate cells (a term in EVERY doc makes the
+    absent-row e = 0) contribute 0 by the standard convention.
+    """
+    pres = term_counts(df, key, text_col).select(key, "term")
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("_n"))
+    coltot = (
+        df.groupBy(label)
+        .agg(F.count(F.lit(1)).cast("long").alias("_cl"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    rowtot = pres.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    if min_df:
+        rowtot = rowtot.where(F.col("df_docs") >= min_df)
+    obs = (
+        pres.join(df.select(key, label), key)
+        .groupBy("term", label)
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    cells = (
+        rowtot.crossJoin(F.broadcast(coltot))
+        .join(obs, ["term", label], "left")
+        .withColumn("_o", F.coalesce(F.col("_o"), F.lit(0)))
+    )
+    e_p = F.col("df_docs") * F.col("_cl") / F.col("_n")
+    e_a = (F.col("_n") - F.col("df_docs")) * F.col("_cl") / F.col("_n")
+    o_a = F.col("_cl") - F.col("_o")
+    contrib = F.when(
+        e_p > 0, (F.col("_o") - e_p) * (F.col("_o") - e_p) / e_p
+    ).otherwise(0.0) + F.when(e_a > 0, (o_a - e_a) * (o_a - e_a) / e_a).otherwise(
+        0.0
+    )
+    out = (
+        cells.withColumn("_x", contrib)
+        .groupBy("term", "df_docs")
+        .agg(F.round(F.sum("_x"), 6).alias("chi2"))
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(top_k)
+    return out.select("term", "df_docs", "chi2")

@@ -339,6 +339,26 @@ def _domain_stats_oracle() -> str:
     """
 
 
+def _poly_verts_sql() -> str:
+    from .sources.polygons import vertices_values_sql, watershed_polygons
+
+    return vertices_values_sql(watershed_polygons())
+
+
+def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-layer metrics (shoelace area / centroid / perimeter) over
+    the watershed 12-gon rings as an exploded vertex table — the
+    DataFrame re-expression of the reference's per-feature OGR loops
+    (ref vector.py get_features). Ring closure via one co-partitioned
+    (poly_id, idx) self-join; everything else is hash aggregates. Oracle:
+    the same shoelace algebra over an identical VALUES vertex table."""
+    from .operators.geometry import polygon_stats
+    from .sources.polygons import polygon_vertices_df, watershed_polygons
+
+    verts = polygon_vertices_df(spark, watershed_polygons())
+    return polygon_stats(verts)
+
+
 def _oracle_sqls() -> dict[str, str]:
     d = oracle.DUCKDB
     docs = oracle.geotagged_documents_sql(8, d)
@@ -507,6 +527,31 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE p.hand > 0
             GROUP BY b.poly_id
         """,
+        "polygon_stats": f"""
+            WITH v AS (SELECT * FROM {_poly_verts_sql()} pv),
+            k AS (SELECT poly_id, COUNT(*) AS k FROM v GROUP BY poly_id),
+            e AS (
+              SELECT a.poly_id, k.k,
+                     a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2,
+                     a.lon * b.lat - b.lon * a.lat AS cr
+              FROM v a
+              JOIN k ON k.poly_id = a.poly_id
+              JOIN v b ON b.poly_id = a.poly_id AND b.idx = (a.idx + 1) % k.k
+            ),
+            agg AS (
+              SELECT poly_id, MAX(k) AS n_vertices, SUM(cr) / 2.0 AS sa,
+                     SUM((x1 + x2) * cr) AS sx, SUM((y1 + y2) * cr) AS sy,
+                     SUM(SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))
+                       AS per
+              FROM e GROUP BY poly_id
+            )
+            SELECT poly_id, CAST(n_vertices AS BIGINT) AS n_vertices,
+                   ROUND(ABS(sa), 6) AS area,
+                   ROUND(CASE WHEN sa <> 0 THEN sx / (6.0 * sa) END, 6) AS cx,
+                   ROUND(CASE WHEN sa <> 0 THEN sy / (6.0 * sa) END, 6) AS cy,
+                   ROUND(per, 6) AS perimeter
+            FROM agg
+        """,
     }
 
 
@@ -521,7 +566,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "pareto_frontier", "trend_ols",
+    "polygon_stats", "chi2_terms", "pareto_frontier", "trend_ols",
     "interval_merge", "triangle_counts", "morph_open_grid",
     "hits_scores", "chunk_passages", "bfs_hops", "char_entropy",
     "event_funnel",
@@ -603,6 +648,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "bloom_join": q_bloom_join,
         "domain_stats": q_domain_stats,
+        "polygon_stats": q_polygon_stats,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }

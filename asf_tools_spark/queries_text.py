@@ -2210,6 +2210,45 @@ def _oracle_sqls() -> dict[str, str]:
         )
         SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
     """
+    # chi2_terms: full-SQL replay of the 2xL contingency algebra (all
+    # cells, zero-filled observed counts, degenerate-cell convention).
+    sqls["chi2_terms"] = f"""
+        WITH toks AS ({_toks_sql}),
+        pres AS (SELECT DISTINCT doc_id, term FROM toks),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        coltot AS (SELECT lang, COUNT(*) AS cl FROM documents GROUP BY 1),
+        rowtot AS (
+          SELECT term, COUNT(*) AS rt FROM pres GROUP BY 1
+          HAVING COUNT(*) >= 5
+        ),
+        obs AS (
+          SELECT p.term, d.lang, COUNT(*) AS o
+          FROM pres p JOIN documents d ON d.doc_id = p.doc_id
+          GROUP BY 1, 2
+        ),
+        cells AS (
+          SELECT r.term, r.rt, c.lang, c.cl, n.n, COALESCE(o.o, 0) AS o
+          FROM rowtot r CROSS JOIN coltot c CROSS JOIN n
+          LEFT JOIN obs o ON o.term = r.term AND o.lang = c.lang
+        ),
+        contrib AS (
+          SELECT term, rt,
+                 CASE WHEN rt * cl / n > 0
+                      THEN (o - rt * cl / n) * (o - rt * cl / n)
+                           / (rt * cl / n)
+                      ELSE 0.0 END
+               + CASE WHEN (n - rt) * cl / n > 0
+                      THEN ((cl - o) - (n - rt) * cl / n)
+                           * ((cl - o) - (n - rt) * cl / n)
+                           / ((n - rt) * cl / n)
+                      ELSE 0.0 END AS x
+          FROM cells
+        )
+        SELECT term, CAST(rt AS BIGINT) AS df_docs,
+               ROUND(SUM(x), 6) AS chi2
+        FROM contrib GROUP BY term, rt
+        ORDER BY chi2 DESC, term ASC LIMIT 30
+    """
     # pareto_frontier: NOT-EXISTS dominance (independent of the Spark
     # side's bucketed prefix-scan sweep). Ties: equal points survive.
     sqls["pareto_frontier"] = """
@@ -2656,6 +2695,20 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.rerank_exact(shortlist, emb, queries, k=5, metric="l2")
 
 
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 language-discriminative terms by full 2xL chi-square over
+    term presence (feature selection / domain drift). All cells counted —
+    labels a term never co-occurs with included via the L-row marginal
+    cross join + zero-filled left join; top-k is sort+limit. Oracle: full
+    SQL replay of the identical contingency algebra."""
+    from .operators.ranking import chi2_terms
+
+    _register(spark, sf_dir, "documents")
+    return chi2_terms(
+        spark.table("documents"), "doc_id", "lang", min_df=5, top_k=30
+    )
+
+
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of users over (n_events, total_value) — skyline
     corpus pruning. Spark side is the distributed prefix-scan sweep
@@ -2709,6 +2762,7 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict:
     return {
+        "chi2_terms": q_chi2_terms,
         "pareto_frontier": q_pareto_frontier,
         "trend_ols": q_trend_ols,
         "interval_merge": q_interval_merge,

@@ -64,3 +64,28 @@ def watershed_polygons(n: int = 24, seed: int = 42, n_vertices: int = 12) -> lis
         ring = np.stack([clon + radii * np.cos(angles), clat + radii * np.sin(angles)], axis=1)
         out.append({"poly_id": i, "ring": ring, "file_path": f"s3://watersheds/poly_{i:04d}.geojson"})
     return out
+
+
+def polygon_vertices_df(spark, polys: list[dict]):
+    """Exploded (poly_id, idx, lon, lat) vertex table for the ring list —
+    the DataFrame twin of :func:`vertices_values_sql` (identical float
+    literals both ways: repr round-trips the exact double)."""
+    rows = [
+        (p["poly_id"], i, float(v[0]), float(v[1]))
+        for p in polys
+        for i, v in enumerate(p["ring"])
+    ]
+    return spark.createDataFrame(rows, "poly_id int, idx int, lon double, lat double")
+
+
+def vertices_values_sql(polys: list[dict]) -> str:
+    """DuckDB VALUES emitter for the same vertex table."""
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    rows = ", ".join(
+        f"({p['poly_id']}, {i}, {d(float(v[0]))}, {d(float(v[1]))})"
+        for p in polys
+        for i, v in enumerate(p["ring"])
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(poly_id, idx, lon, lat))"

@@ -110,6 +110,7 @@ _BNLJ_ALLOWED = {
     # pair totals) broadcast into the scoring projection
     "tfidf_terms", "bm25_search", "cooccur_pmi",
     "lm_perplexity",  # 1-row vocab-size scalar broadcast into LM smoothing
+    "chi2_terms",  # 1-row N + L-row label-marginal broadcast replication
     "histogram_quantile",  # 3-row quantile-literal frame broadcast into bins
 }
 

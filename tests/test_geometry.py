@@ -1,0 +1,78 @@
+"""polygon_stats: closed-form pins (unit square, triangle, CW vs CCW
+orientation, degenerate ring) plus registry-vs-source consistency."""
+
+import math
+
+from asf_tools_spark.operators.geometry import polygon_stats
+
+
+def _verts(spark, rings):
+    rows = [
+        (pid, i, float(x), float(y))
+        for pid, ring in rings.items()
+        for i, (x, y) in enumerate(ring)
+    ]
+    return spark.createDataFrame(rows, "poly_id int, idx int, lon double, lat double")
+
+
+def test_unit_square_ccw(spark):
+    v = _verts(spark, {0: [(0, 0), (1, 0), (1, 1), (0, 1)]})
+    r = polygon_stats(v).collect()[0]
+    assert (r.n_vertices, r.area, r.cx, r.cy, r.perimeter) == (4, 1.0, 0.5, 0.5, 4.0)
+
+
+def test_cw_orientation_same_area_and_centroid(spark):
+    # clockwise ring: signed area flips, |area| and centroid are unchanged
+    v = _verts(spark, {0: [(0, 0), (0, 1), (1, 1), (1, 0)]})
+    r = polygon_stats(v).collect()[0]
+    assert (r.area, r.cx, r.cy) == (1.0, 0.5, 0.5)
+
+
+def test_right_triangle(spark):
+    v = _verts(spark, {7: [(0, 0), (3, 0), (0, 4)]})
+    r = polygon_stats(v).collect()[0]
+    assert r.area == 6.0
+    assert (r.cx, r.cy) == (1.0, round(4.0 / 3.0, 6))
+    assert r.perimeter == 12.0  # 3 + 4 + 5
+
+
+def test_degenerate_ring_null_centroid(spark):
+    # all vertices collinear: area 0, centroid NULL, perimeter = 2 * length
+    v = _verts(spark, {1: [(0, 0), (1, 0), (2, 0)]})
+    r = polygon_stats(v).collect()[0]
+    assert r.area == 0.0 and r.cx is None and r.cy is None
+    assert r.perimeter == 4.0
+
+
+def test_multiple_polygons_grouped(spark):
+    v = _verts(
+        spark,
+        {0: [(0, 0), (1, 0), (1, 1), (0, 1)], 1: [(0, 0), (2, 0), (2, 2), (0, 2)]},
+    )
+    got = {r.poly_id: r.area for r in polygon_stats(v).collect()}
+    assert got == {0: 1.0, 1: 4.0}
+
+
+def test_watershed_source_matches_shoelace_numpy(spark):
+    import numpy as np
+
+    from asf_tools_spark.sources.polygons import (
+        polygon_vertices_df,
+        watershed_polygons,
+    )
+
+    polys = watershed_polygons(n=4)
+    got = {r.poly_id: r for r in polygon_stats(polygon_vertices_df(spark, polys)).collect()}
+    for p in polys:
+        ring = p["ring"]
+        x, y = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        cross = x * y2 - x2 * y
+        sa = cross.sum() / 2.0
+        r = got[p["poly_id"]]
+        assert r.area == round(abs(sa), 6)
+        assert r.cx == round(((x + x2) * cross).sum() / (6.0 * sa), 6)
+        assert r.perimeter == round(
+            float(np.hypot(x2 - x, y2 - y).sum()), 6
+        )
+        assert math.isfinite(r.cy)

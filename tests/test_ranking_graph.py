@@ -169,3 +169,36 @@ def test_bfs_distributed_equals_local(spark):
     dist = {r.node: r.hops
             for r in graph.bfs_hops(edges, seeds, max_hops=5, local_threshold=0).collect()}
     assert local == dist
+
+
+def test_chi2_hand_case(spark):
+    # 4 docs en, 2 docs fr; "kiwi" in all en docs and no fr doc (perfectly
+    # discriminative), "the" in every doc (chi2 = 0, degenerate absent row)
+    rows = [(i, "kiwi the", "en") for i in range(4)] + [
+        (i + 10, "vin the", "fr") for i in range(2)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.term: (r.df_docs, r.chi2)
+        for r in ranking.chi2_terms(docs, "doc_id", "lang", min_df=1).collect()
+    }
+    # kiwi: n=6, df=4; en cell o=4 e=4*4/6; fr cell o=0 e=4*2/6;
+    # absent rows: en o=0 e=2*4/6; fr o=2 e=2*2/6  -> chi2 = 6.0 exactly
+    n, df = 6.0, 4.0
+    x = 0.0
+    for cl, o in ((4.0, 4.0), (2.0, 0.0)):
+        e_p = df * cl / n
+        e_a = (n - df) * cl / n
+        x += (o - e_p) ** 2 / e_p + ((cl - o) - e_a) ** 2 / e_a
+    assert got["kiwi"] == (4, round(x, 6))
+    assert got["vin"] == (2, round(x, 6))  # symmetric perfect separator
+    assert got["the"] == (6, 0.0)  # present in all docs: degenerate cells -> 0
+
+
+def test_chi2_min_df_and_top_k(spark):
+    rows = [(1, "aa bb", "x"), (2, "bb", "y"), (3, "bb", "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    terms = {r.term for r in ranking.chi2_terms(docs, "doc_id", "lang", min_df=2).collect()}
+    assert terms == {"bb"}  # aa (df=1) pruned
+    top = ranking.chi2_terms(docs, "doc_id", "lang", min_df=1, top_k=1).collect()
+    assert len(top) == 1
