@@ -566,7 +566,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "polygon_stats", "chi2_terms", "pareto_frontier", "trend_ols",
+    "editsim_pairs", "polygon_stats", "chi2_terms",
+    "pareto_frontier", "trend_ols",
     "interval_merge", "triangle_counts", "morph_open_grid",
     "hits_scores", "chunk_passages", "bfs_hops", "char_entropy",
     "event_funnel",

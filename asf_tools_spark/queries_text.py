@@ -1971,6 +1971,20 @@ def _oracle_sqls() -> dict[str, str]:
                        generate_subscripts(string_split(t, ' '), 1) AS p FROM n) z
           WHERE LENGTH(w) > 0
         )"""
+    # editsim_pairs: brute-force all-pairs levenshtein — if the Spark
+    # side's deletion-neighborhood filter dropped ANY qualifying pair,
+    # the row-count/hash check fails (exactness proof, like setsim_join).
+    sqls["editsim_pairs"] = """
+        WITH t AS (
+          SELECT DISTINCT trim(substr(text, 1, 12)) AS title FROM documents
+        )
+        SELECT a.title AS title_a, b.title AS title_b,
+               CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        FROM t a JOIN t b
+          ON a.title < b.title
+         AND abs(length(a.title) - length(b.title)) <= 1
+        WHERE levenshtein(a.title, b.title) <= 1
+    """
     sqls["setsim_join"] = f"""
         WITH {_tok_cte},
         tri AS (
@@ -2709,6 +2723,28 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_editsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Levenshtein<=1 self-join over distinct 12-char document
+    title prefixes (near-identical-title dedup — the step between exact
+    line dedup and token MinHash). Candidates from deletion-neighborhood
+    signatures (FastSS), NEVER all pairs; the oracle IS the brute-force
+    all-pairs levenshtein join, so the PASS is an exactness proof."""
+    from .operators.editsim import editsim_join
+
+    _register(spark, sf_dir, "documents")
+    titles = (
+        spark.table("documents")
+        .select(F.trim(F.substring("text", 1, 12)).alias("title"))
+        .distinct()
+    )
+    pairs = editsim_join(titles, "title", "title", max_dist=1)
+    return pairs.select(
+        F.col("key_a").alias("title_a"),
+        F.col("key_b").alias("title_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of users over (n_events, total_value) — skyline
     corpus pruning. Spark side is the distributed prefix-scan sweep
@@ -2762,6 +2798,7 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict:
     return {
+        "editsim_pairs": q_editsim_pairs,
         "chi2_terms": q_chi2_terms,
         "pareto_frontier": q_pareto_frontier,
         "trend_ols": q_trend_ols,
