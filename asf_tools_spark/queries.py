@@ -339,6 +339,88 @@ def _domain_stats_oracle() -> str:
     """
 
 
+_HOTSPOT_RES = 5  # 32x32 cells
+_HOTSPOT_MIN_PAGES = 3
+
+
+def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN-style geographic hotspot clusters of pages: cell-bin the
+    geotagged pages (res 5), keep DENSE cells (>= 3 pages), 8-connect them
+    into clusters (the W3 connected-components operator re-used on the
+    density grid — per-tile pandas labeling + cross-tile merge), and roll
+    up per-cluster page/cell counts + bbox. Grid-based density clustering
+    avoids any point-to-point distance join: one salt-free cell aggregate,
+    a components pass over ONLY the dense cells (<< page count), one hash
+    rollup. Oracle: recursive-CTE reachability over the same dense cells."""
+    from .core import cells as C
+    from .operators.labeling import label_connected
+
+    res, thr = _HOTSPOT_RES, _HOTSPOT_MIN_PAGES
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    dense = (
+        pages.select(
+            F.expr(C.grid_y_sql("lat", res)).alias("row"),
+            F.expr(C.grid_x_sql("lon", res)).alias("col"),
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .where(F.col("n_pages") >= thr)
+    )
+    labeled = label_connected(
+        dense.withColumn("flag", F.lit(True)), "flag", (8, 8)
+    )
+    stride = F.lit(1 << res).cast("long")
+    return (
+        labeled.join(dense, ["row", "col"])
+        .groupBy("label")
+        .agg(
+            F.min(F.col("row") * stride + F.col("col")).alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_pages").alias("n_pages"),
+            F.min("row").alias("min_row"),
+            F.max("row").alias("max_row"),
+            F.min("col").alias("min_col"),
+            F.max("col").alias("max_col"),
+        )
+        .drop("label")
+    )
+
+
+def _hotspot_oracle() -> str:
+    from .core import cells as C
+
+    res, thr = _HOTSPOT_RES, _HOTSPOT_MIN_PAGES
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    px, py = C.grid_x_sql("lon", res), C.grid_y_sql("lat", res)
+    return f"""
+        WITH RECURSIVE dense AS (
+          SELECT row, col, n_pages, CAST(row * {1 << res} + col AS BIGINT) AS pid
+          FROM (
+            SELECT {py} AS row, {px} AS col, COUNT(*) AS n_pages
+            FROM {docs} p GROUP BY 1, 2
+          ) c WHERE n_pages >= {thr}
+        ),
+        e AS (
+          SELECT a.pid AS src, b.pid AS dst
+          FROM dense a JOIN dense b
+            ON ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1
+           AND a.pid <> b.pid
+        ),
+        reach(pid, r) AS (
+          SELECT pid, pid FROM dense
+          UNION
+          SELECT reach.pid, e.dst FROM reach JOIN e ON e.src = reach.r
+        ),
+        m AS (SELECT pid, MIN(r) AS cluster_id FROM reach GROUP BY pid)
+        SELECT m.cluster_id, COUNT(*) AS n_cells,
+               CAST(SUM(d.n_pages) AS BIGINT) AS n_pages,
+               MIN(d.row) AS min_row, MAX(d.row) AS max_row,
+               MIN(d.col) AS min_col, MAX(d.col) AS max_col
+        FROM dense d JOIN m ON m.pid = d.pid
+        GROUP BY m.cluster_id
+    """
+
+
 def _poly_verts_sql() -> str:
     from .sources.polygons import vertices_values_sql, watershed_polygons
 
@@ -527,6 +609,7 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE p.hand > 0
             GROUP BY b.poly_id
         """,
+        "hotspot_clusters": _hotspot_oracle(),
         "polygon_stats": f"""
             WITH v AS (SELECT * FROM {_poly_verts_sql()} pv),
             k AS (SELECT poly_id, COUNT(*) AS k FROM v GROUP BY poly_id),
@@ -566,7 +649,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "editsim_pairs", "polygon_stats", "chi2_terms",
+    "hotspot_clusters", "editsim_pairs", "polygon_stats", "chi2_terms",
     "pareto_frontier", "trend_ols",
     "interval_merge", "triangle_counts", "morph_open_grid",
     "hits_scores", "chunk_passages", "bfs_hops", "char_entropy",
@@ -650,6 +733,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "domain_stats": q_domain_stats,
         "polygon_stats": q_polygon_stats,
+        "hotspot_clusters": q_hotspot_clusters,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }

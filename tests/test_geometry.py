@@ -76,3 +76,30 @@ def test_watershed_source_matches_shoelace_numpy(spark):
             float(np.hypot(x2 - x, y2 - y).sum()), 6
         )
         assert math.isfinite(r.cy)
+
+
+def test_hotspot_cluster_semantics(spark):
+    # two blobs: a 2x2 block and a diagonal-touching cell (8-conn merges
+    # them); a far cell is its own cluster. Rollup = the registry query's.
+    from pyspark.sql import functions as F
+
+    from asf_tools_spark.operators.labeling import label_connected
+
+    dense = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 3), (2, 1, 4), (2, 2, 3), (3, 3, 7), (10, 10, 3)],
+        "row long, col long, n_pages long",
+    )
+    labeled = label_connected(dense.withColumn("flag", F.lit(True)), "flag", (8, 8))
+    stride = F.lit(32).cast("long")
+    got = {
+        r.cluster_id: (r.n_cells, r.n_pages)
+        for r in labeled.join(dense, ["row", "col"])
+        .groupBy("label")
+        .agg(
+            F.min(F.col("row") * stride + F.col("col")).alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_pages").alias("n_pages"),
+        )
+        .collect()
+    }
+    assert got == {33: (5, 22), 330: (1, 3)}
