@@ -97,7 +97,7 @@ def run_child(cpus: int, n_docs: int, job: str) -> None:
     spark = get_spark(
         f"scaling-{job}", master=f"local[{cpus}]",
         shuffle_partitions=32 if job == "smj" else max(cpus, 2),
-        extra_conf={"spark.driver.memory": "16g"} if job == "smj" else None,
+        extra_conf={"spark.driver.memory": os.environ.get("SMJ_DRIVER_MEM", "16g")} if job == "smj" else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     funnel = None
