@@ -51,6 +51,7 @@ def test_every_query_has_oracle_or_documented_rows_only(con):
         "pq_topk",        # sample-trained codebooks are driver state
         "hll_distinct",   # DuckDB approx_count_distinct is a different estimator
         "ivfpq_topk",     # driver-state centroids/codebooks, like pq_topk
+        "ivfpq_rerank",   # same driver-state codebooks (two-stage refine)
     }
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
