@@ -76,3 +76,74 @@ def polygon_stats(verts: DataFrame, key: str = "poly_id") -> DataFrame:
         ).alias("cy"),
         F.round("_per", 6).alias("perimeter"),
     )
+
+
+def pip_candidates(
+    points: DataFrame, edges: DataFrame,
+    key: str = "doc_id", lat: str = "lat", lon: str = "lon",
+    cover: DataFrame | None = None, cell_col: str = "cell_id",
+) -> DataFrame:
+    """(poly_id, key, lat, lon, inside) — exact crossing-number
+    point-in-polygon over TRUE rings, entirely in whole-stage codegen
+    (the UDF-free twin of spatial_join's Pandas-UDF refine; ref
+    vector.py get_features + the driver-side OGR Contains loop).
+
+    Shape for 10^12 points: per-polygon bboxes are DERIVED from the edge
+    table (min/max only — exact, no float drift) and BROADCAST to prune
+    candidates map-side; the surviving (point, poly) pairs join the
+    broadcast edge table (|polys| x ring_len rows) and an upward-ray
+    crossing is counted per edge with the standard strict-inequality
+    rule; inside = odd crossing count per pair. Zero crossings never
+    reach the parity aggregate — the left join restores those pairs as
+    outside. Points exactly ON an edge are knife-edge by construction
+    (both engines evaluate the identical IEEE expression, so the verdict
+    matches bit-for-bit either way).
+
+    With ``cover`` (a (poly_id, cell_col) bbox-cover table — build with
+    cells.cover_bbox so cover SUPERSETS the bbox test), the prune is an
+    EQUI BroadcastHashJoin on the cell key with the bbox test as a
+    residual on the poly_id-keyed box join — the flagship cover-join
+    shape; the page side never sees a nested-loop join. Without it the
+    box prune is a BNLJ against the |polys|-row box table (fine for
+    tests, not for 10^12 points)."""
+    boxes = edges.groupBy("poly_id").agg(
+        F.min(F.least("x1", "x2")).alias("_minx"),
+        F.max(F.greatest("x1", "x2")).alias("_maxx"),
+        F.min(F.least("y1", "y2")).alias("_miny"),
+        F.max(F.greatest("y1", "y2")).alias("_maxy"),
+    )
+    in_box = (
+        (F.col(lon) >= F.col("_minx")) & (F.col(lon) <= F.col("_maxx"))
+        & (F.col(lat) >= F.col("_miny")) & (F.col(lat) <= F.col("_maxy"))
+    )
+    if cover is not None:
+        cand = (
+            points.select(key, lat, lon, cell_col)
+            .join(F.broadcast(cover), cell_col)
+            .join(F.broadcast(boxes), "poly_id")
+            .where(in_box)
+            .select("poly_id", key, lat, lon)
+        )
+    else:
+        cand = points.select(key, lat, lon).join(
+            F.broadcast(boxes), in_box
+        ).select("poly_id", key, lat, lon)
+    crossing = (
+        (F.col("y1") > F.col(lat)) != (F.col("y2") > F.col(lat))
+    ) & (
+        F.col(lon)
+        < F.col("x1")
+        + (F.col(lat) - F.col("y1"))
+        * (F.col("x2") - F.col("x1"))
+        / (F.col("y2") - F.col("y1"))
+    )
+    parity = (
+        cand.join(F.broadcast(edges), "poly_id")
+        .where(crossing)
+        .groupBy("poly_id", key)
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    return cand.join(parity, ["poly_id", key], "left").select(
+        "poly_id", key, lat, lon,
+        F.coalesce(F.pmod(F.col("_nc"), F.lit(2)) == 1, F.lit(False)).alias("inside"),
+    )

@@ -427,6 +427,73 @@ def _poly_verts_sql() -> str:
     return vertices_values_sql(watershed_polygons())
 
 
+def q_pip_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon page counts over TRUE 12-gon rings — the
+    UDF-free crossing-number refine as a driver-gated row (J2's exact
+    stage; ref vector.py get_features/OGR Contains). bbox prune
+    (broadcast, map-side) -> broadcast ring-edge join -> crossing parity;
+    n_candidates counts the bbox survivors, n_inside the exact hits, so
+    the row also PINS how much the refine tightens the cover join.
+    Oracle: the identical ray-crossing algebra over a VALUES edge table
+    (same repr-rendered double literals)."""
+    from .core import cells as C
+    from .operators.geometry import pip_candidates
+    from .sources.polygons import polygon_edges_df, watershed_polygons
+
+    polys = watershed_polygons()
+    edges = polygon_edges_df(spark, polys)
+    cover_rows = []
+    for p in polys:
+        ring = p["ring"]
+        for c in C.cover_bbox(
+            float(ring[:, 1].min()), float(ring[:, 0].min()),
+            float(ring[:, 1].max()), float(ring[:, 0].max()), 8,
+        ):
+            cover_rows.append((int(p["poly_id"]), int(c)))
+    cover = spark.createDataFrame(cover_rows, "poly_id int, cell_id long")
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    flags = pip_candidates(pages, edges, key="doc_id", cover=cover)
+    return flags.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("inside"), 1).otherwise(0)).cast("long").alias("n_inside"),
+    )
+
+
+def _pip_oracle() -> str:
+    from .sources.polygons import edges_values_sql, watershed_polygons
+
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    edges = edges_values_sql(watershed_polygons())
+    return f"""
+        WITH edges AS (SELECT * FROM {edges} e),
+        boxes AS (
+          SELECT poly_id,
+                 MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
+                 MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
+          FROM edges GROUP BY poly_id
+        ),
+        cand AS (
+          SELECT b.poly_id, p.doc_id, p.lat, p.lon
+          FROM {docs} p JOIN boxes b
+            ON p.lon >= b.minx AND p.lon <= b.maxx
+           AND p.lat >= b.miny AND p.lat <= b.maxy
+        ),
+        par AS (
+          SELECT c.poly_id, c.doc_id, COUNT(*) AS nc
+          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
+           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
+           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+          GROUP BY c.poly_id, c.doc_id
+        )
+        SELECT c.poly_id, COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN p.nc % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_inside
+        FROM cand c
+        LEFT JOIN par p ON p.poly_id = c.poly_id AND p.doc_id = c.doc_id
+        GROUP BY c.poly_id
+    """
+
+
 def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-layer metrics (shoelace area / centroid / perimeter) over
     the watershed 12-gon rings as an exploded vertex table — the
@@ -610,6 +677,7 @@ def _oracle_sqls() -> dict[str, str]:
             GROUP BY b.poly_id
         """,
         "hotspot_clusters": _hotspot_oracle(),
+        "pip_page_counts": _pip_oracle(),
         "polygon_stats": f"""
             WITH v AS (SELECT * FROM {_poly_verts_sql()} pv),
             k AS (SELECT poly_id, COUNT(*) AS k FROM v GROUP BY poly_id),
@@ -649,7 +717,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "hotspot_clusters", "editsim_pairs", "polygon_stats", "chi2_terms",
+    "pip_page_counts", "hotspot_clusters", "editsim_pairs",
+    "polygon_stats", "chi2_terms",
     "pareto_frontier", "trend_ols",
     "interval_merge", "triangle_counts", "morph_open_grid",
     "hits_scores", "chunk_passages", "bfs_hops", "char_entropy",
@@ -734,6 +803,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "polygon_stats": q_polygon_stats,
         "hotspot_clusters": q_hotspot_clusters,
+        "pip_page_counts": q_pip_page_counts,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }

@@ -89,3 +89,44 @@ def vertices_values_sql(polys: list[dict]) -> str:
         for i, v in enumerate(p["ring"])
     )
     return f"(SELECT * FROM (VALUES {rows}) AS t(poly_id, idx, lon, lat))"
+
+
+def polygon_edges_df(spark, polys: list[dict]):
+    """Exploded (poly_id, x1, y1, x2, y2) RING-EDGE table (closing edge
+    included) — the broadcast build side of the pure-Catalyst
+    crossing-number PIP join; float literals identical to
+    :func:`edges_values_sql` (repr round-trips the exact double)."""
+    rows = []
+    for p in polys:
+        ring = p["ring"]
+        k = len(ring)
+        for i in range(k):
+            a, b = ring[i], ring[(i + 1) % k]
+            rows.append(
+                (p["poly_id"], float(a[0]), float(a[1]), float(b[0]), float(b[1]))
+            )
+    return spark.createDataFrame(
+        rows, "poly_id int, x1 double, y1 double, x2 double, y2 double"
+    )
+
+
+def edges_values_sql(polys: list[dict]) -> str:
+    """DuckDB VALUES emitter for the same ring-edge table."""
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    parts = []
+    for p in polys:
+        ring = p["ring"]
+        k = len(ring)
+        for i in range(k):
+            a, b = ring[i], ring[(i + 1) % k]
+            parts.append(
+                f"({p['poly_id']}, {d(float(a[0]))}, {d(float(a[1]))},"
+                f" {d(float(b[0]))}, {d(float(b[1]))})"
+            )
+    return (
+        "(SELECT * FROM (VALUES "
+        + ", ".join(parts)
+        + ") AS t(poly_id, x1, y1, x2, y2))"
+    )

@@ -103,3 +103,77 @@ def test_hotspot_cluster_semantics(spark):
         .collect()
     }
     assert got == {33: (5, 22), 330: (1, 3)}
+
+
+def _edges_df(spark, rings):
+    rows = []
+    for pid, ring in rings.items():
+        k = len(ring)
+        for i in range(k):
+            a, b = ring[i], ring[(i + 1) % k]
+            rows.append((pid, float(a[0]), float(a[1]), float(b[0]), float(b[1])))
+    return spark.createDataFrame(
+        rows, "poly_id int, x1 double, y1 double, x2 double, y2 double"
+    )
+
+
+def test_pip_concave_polygon(spark):
+    # C-shape: bbox [0,3]x[0,3]; the notch (1,1)-(3,2) open to the right
+    # is INSIDE the bbox but OUTSIDE the ring
+    from asf_tools_spark.operators.geometry import pip_candidates
+
+    ring = [(0, 0), (3, 0), (3, 1), (1, 1), (1, 2), (3, 2), (3, 3), (0, 3)]
+    edges = _edges_df(spark, {0: ring})
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 1.5, 2.0), (3, 2.5, 0.5), (4, 1.5, 5.0)],
+        "doc_id long, lat double, lon double",
+    )
+    got = {r.doc_id: r.inside for r in pip_candidates(pts, edges).collect()}
+    # (lon, lat): doc1 (0.5, 0.5) inside; doc2 (2.0, 1.5) in the notch ->
+    # bbox candidate but OUTSIDE; doc3 (0.5, 2.5) inside; doc4 lon 5 -> no row
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_pip_differential_vs_python_raycast(spark):
+    import random
+
+    from asf_tools_spark.operators.geometry import pip_candidates
+    from asf_tools_spark.sources.polygons import polygon_edges_df, watershed_polygons
+
+    polys = watershed_polygons(n=6)
+    rng = random.Random(3)
+    pts = []
+    for i in range(400):
+        p = polys[rng.randrange(len(polys))]
+        clat = float(p["ring"][:, 1].mean())
+        clon = float(p["ring"][:, 0].mean())
+        pts.append((i, clat + rng.uniform(-3, 3), clon + rng.uniform(-3, 3)))
+    pdf = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    got = {
+        (r.poly_id, r.doc_id): r.inside
+        for r in pip_candidates(pdf, polygon_edges_df(spark, polys)).collect()
+    }
+
+    def raycast(ring, x, y):
+        n, c = len(ring), False
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                c = not c
+        return c
+
+    checked = 0
+    for p in polys:
+        ring = [(float(a), float(b)) for a, b in p["ring"]]
+        xs = [v[0] for v in ring]
+        ys = [v[1] for v in ring]
+        for i, lat, lon in pts:
+            in_bbox = min(xs) <= lon <= max(xs) and min(ys) <= lat <= max(ys)
+            key = (p["poly_id"], i)
+            if in_bbox:
+                assert got[key] == raycast(ring, lon, lat)
+                checked += 1
+            else:
+                assert key not in got
+    assert checked > 50  # the differential actually exercised candidates
