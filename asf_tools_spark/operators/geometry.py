@@ -147,3 +147,49 @@ def pip_candidates(
         "poly_id", key, lat, lon,
         F.coalesce(F.pmod(F.col("_nc"), F.lit(2)) == 1, F.lit(False)).alias("inside"),
     )
+
+
+def idw_interpolate(
+    points: DataFrame, res: int,
+    lat: str = "lat", lon: str = "lon", value_col: str = "value",
+    ring: int = 1, eps: float = 1e-6,
+) -> DataFrame:
+    """(row, col, idw_value, n_contrib): inverse-distance-weighted
+    interpolation of scattered point values onto the res-level cell grid
+    (Shepard 1968; the scattered-point twin of the W2 grid infill). Each
+    point contributes to its own cell and the ring-`ring` neighbors with
+    weight 1/(d^2 + eps), d = planar distance to the neighbor's cell
+    CENTER. ONE constant-fan-out explode ((2*ring+1)^2) + ONE
+    partial/final hash aggregate — at 10^12 points the exchange carries
+    one (sum_wv, sum_w) partial per (partition, cell). Edges clamp (no
+    wraparound)."""
+    from ..core import cells as C
+
+    n = 1 << res
+    span = range(-ring, ring + 1)
+    offs = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr in span for dc in span
+    ])
+    base = points.select(
+        F.expr(C.grid_y_sql(lat, res)).alias("_py"),
+        F.expr(C.grid_x_sql(lon, res)).alias("_px"),
+        F.col(lat).alias("_lat"), F.col(lon).alias("_lon"),
+        F.col(value_col).alias("_v"),
+    )
+    tgt = base.withColumn("_o", F.explode(offs)).select(
+        (F.col("_py") + F.col("_o.dr")).alias("row"),
+        (F.col("_px") + F.col("_o.dc")).alias("col"),
+        "_lat", "_lon", "_v",
+    ).where(
+        (F.col("row") >= 0) & (F.col("row") < n)
+        & (F.col("col") >= 0) & (F.col("col") < n)
+    )
+    clat = F.lit(-90.0) + (F.col("row").cast("double") + F.lit(0.5)) * (F.lit(180.0) / F.lit(float(n)))
+    clon = F.lit(-180.0) + (F.col("col").cast("double") + F.lit(0.5)) * (F.lit(360.0) / F.lit(float(n)))
+    d2 = (F.col("_lat") - clat) * (F.col("_lat") - clat) + (F.col("_lon") - clon) * (F.col("_lon") - clon)
+    w = F.lit(1.0) / (d2 + F.lit(float(eps)))
+    return tgt.groupBy("row", "col").agg(
+        F.round(F.sum(w * F.col("_v")) / F.sum(w), 6).alias("idw_value"),
+        F.count(F.lit(1)).alias("n_contrib"),
+    )

@@ -421,6 +421,63 @@ def _hotspot_oracle() -> str:
     """
 
 
+_IDW_RES = 5
+_IDW_EPS = 1e-6
+_IDW_OFFSETS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+
+
+def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation of page values onto the
+    res-5 cell grid (the scattered-point twin of W2's Gaussian grid
+    infill; classic geostatistics, Shepard 1968). Each page contributes
+    to its own cell and the 8 ring-1 neighbors with weight
+    1/(d^2 + eps), d = planar distance to the neighbor's cell CENTER —
+    so every target cell aggregates only pages within its 3x3 ring,
+    never a global scan. Spark shape: one 9-way offset explode (constant
+    fan-out) + ONE partial/final hash aggregate on the target cell; at
+    10^12 pages the exchange carries one partial (sum_wv, sum_w) pair
+    per (partition, cell). Grid edges: neighbors outside [0, 2^res)
+    are dropped (no wraparound), identically in the oracle."""
+    from .operators.geometry import idw_interpolate
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    return idw_interpolate(pages, _IDW_RES, eps=_IDW_EPS)
+
+
+def _idw_oracle() -> str:
+    from .core import cells as C
+
+    res, n = _IDW_RES, 1 << _IDW_RES
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    px, py = C.grid_x_sql("lon", res), C.grid_y_sql("lat", res)
+    offs = ", ".join(f"({dr}, {dc})" for dr, dc in _IDW_OFFSETS)
+    d = oracle.dbl
+    return f"""
+        WITH base AS (
+          SELECT {py} AS py, {px} AS px, lat, lon, value FROM {docs} p
+        ),
+        tgt AS (
+          SELECT b.py + o.dr AS row, b.px + o.dc AS col, b.lat, b.lon, b.value
+          FROM base b CROSS JOIN (VALUES {offs}) AS o(dr, dc)
+          WHERE b.py + o.dr >= 0 AND b.py + o.dr < {n}
+            AND b.px + o.dc >= 0 AND b.px + o.dc < {n}
+        ),
+        wt AS (
+          SELECT row, col, value,
+                 {d(1.0)} / (
+                   (lat - ({d(-90.0)} + (CAST(row AS DOUBLE) + {d(0.5)}) * ({d(180.0)} / {d(float(n))})))
+                 * (lat - ({d(-90.0)} + (CAST(row AS DOUBLE) + {d(0.5)}) * ({d(180.0)} / {d(float(n))})))
+                 + (lon - ({d(-180.0)} + (CAST(col AS DOUBLE) + {d(0.5)}) * ({d(360.0)} / {d(float(n))})))
+                 * (lon - ({d(-180.0)} + (CAST(col AS DOUBLE) + {d(0.5)}) * ({d(360.0)} / {d(float(n))})))
+                 + {d(_IDW_EPS)}) AS w
+          FROM tgt
+        )
+        SELECT row, col, ROUND(SUM(w * value) / SUM(w), 6) AS idw_value,
+               COUNT(*) AS n_contrib
+        FROM wt GROUP BY row, col
+    """
+
+
 def _poly_verts_sql() -> str:
     from .sources.polygons import vertices_values_sql, watershed_polygons
 
@@ -678,6 +735,7 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "hotspot_clusters": _hotspot_oracle(),
         "pip_page_counts": _pip_oracle(),
+        "idw_grid": _idw_oracle(),
         "polygon_stats": f"""
             WITH v AS (SELECT * FROM {_poly_verts_sql()} pv),
             k AS (SELECT poly_id, COUNT(*) AS k FROM v GROUP BY poly_id),
@@ -717,7 +775,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "pip_page_counts", "hotspot_clusters", "editsim_pairs",
+    "idw_grid", "pip_page_counts", "hotspot_clusters", "editsim_pairs",
     "polygon_stats", "chi2_terms",
     "pareto_frontier", "trend_ols",
     "interval_merge", "triangle_counts", "morph_open_grid",
@@ -804,6 +862,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "hotspot_clusters": q_hotspot_clusters,
         "pip_page_counts": q_pip_page_counts,
+        "idw_grid": q_idw_grid,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }

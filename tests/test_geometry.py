@@ -177,3 +177,40 @@ def test_pip_differential_vs_python_raycast(spark):
             else:
                 assert key not in got
     assert checked > 50  # the differential actually exercised candidates
+
+
+def test_idw_single_point_recovers_value(spark):
+    # one point: sole contributor to all 9 ring cells -> idw == value
+    from asf_tools_spark.operators.geometry import idw_interpolate
+
+    pts = spark.createDataFrame([(10.0, 20.0, 7.5)], "lat double, lon double, value double")
+    got = idw_interpolate(pts, 5).collect()
+    assert len(got) == 9
+    assert all(r.idw_value == 7.5 and r.n_contrib == 1 for r in got)
+
+
+def test_idw_weighting_and_edge_clamp(spark):
+    import math
+
+    from asf_tools_spark.operators.geometry import idw_interpolate
+
+    # two points in different cells sharing a ring cell; the closer point
+    # dominates. Also: a corner point's out-of-grid neighbors are dropped.
+    n = 32
+    # cell (row 16, col 16) center:
+    cy = -90.0 + (16 + 0.5) * (180.0 / n)
+    cx = -180.0 + (16 + 0.5) * (360.0 / n)
+    pts = spark.createDataFrame(
+        [(cy + 0.1, cx + 0.1, 10.0), (cy + 5.0, cx + 5.0, 0.0), (-89.9, -179.9, 1.0)],
+        "lat double, lon double, value double",
+    )
+    got = {(r.row, r.col): r for r in idw_interpolate(pts, 5).collect()}
+    r = got[(16, 16)]
+    w1 = 1.0 / (0.1 * 0.1 + 0.1 * 0.1 + 1e-6)
+    d2b = (cy + 5.0 - cy) ** 2 + (cx + 5.0 - cx) ** 2
+    w2 = 1.0 / (d2b + 1e-6)
+    assert r.n_contrib == 2
+    assert math.isclose(r.idw_value, round(w1 * 10.0 / (w1 + w2), 6), abs_tol=1e-6)
+    # corner point (row 0, col 0): only the 4 in-grid neighbors exist
+    corner_cells = {(rr, cc) for (rr, cc), v in got.items() if v.idw_value == 1.0}
+    assert corner_cells == {(0, 0), (0, 1), (1, 0), (1, 1)}
