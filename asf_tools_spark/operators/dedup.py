@@ -173,6 +173,32 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, key: str) -> DataFra
     )
 
 
+def containment_on_pairs(pairs: DataFrame, shingles: DataFrame, key: str) -> DataFrame:
+    """Exact one-sided containment for candidate pairs:
+    cont_a = |A ∩ B| / |A|, cont_b = |A ∩ B| / |B| — the quote/subset
+    detector symmetric Jaccard misses (a short doc fully quoted inside a
+    long one has tiny Jaccard but cont_short = 1.0; Broder 1997's
+    containment). Identical join shape to jaccard_on_pairs: one shingle
+    equi-join for the intersection, two size joins."""
+    sizes = shingles.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(key).alias("key_a"), "shingle")
+    sb = shingles.select(F.col(key).alias("key_b"), "shingle")
+    inter = (
+        pairs.join(sa, "key_a").join(sb, ["key_b", "shingle"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(key, "key_a").withColumnRenamed("sz", "sz_a"), "key_a")
+        .join(sizes.withColumnRenamed(key, "key_b").withColumnRenamed("sz", "sz_b"), "key_b")
+        .select(
+            "key_a", "key_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("cont_a"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("cont_b"),
+        )
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame, pairs: DataFrame, key: str,
     key_a: str = "key_a", key_b: str = "key_b", local_max_edges: int = 200_000,

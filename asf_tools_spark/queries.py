@@ -775,7 +775,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "idw_grid", "pip_page_counts", "hotspot_clusters", "editsim_pairs",
+    "containment_pairs", "idw_grid", "pip_page_counts",
+    "hotspot_clusters", "editsim_pairs",
     "polygon_stats", "chi2_terms",
     "pareto_frontier", "trend_ols",
     "interval_merge", "triangle_counts", "morph_open_grid",

@@ -52,6 +52,20 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle containment on LSH candidate pairs (Broder 1997)
+    — the quote/subset detector symmetric Jaccard misses (a short doc
+    fully quoted in a long one: tiny Jaccard, cont_short = 1). Same
+    intersection equi-join shape as jaccard_pairs; oracle replays the
+    identical algebra."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    sh = dedup.word_shingles(docs, "doc_id")
+    return dedup.containment_on_pairs(pairs, sh, "doc_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup DECISION: MinHash -> LSH candidates ->
     exact-Jaccard verify (>= 0.8) -> transitive clusters (BSP connected
@@ -742,9 +756,31 @@ def _jaccard_sql(src: str = "documents") -> str:
     """
 
 
+def _containment_sql(src: str = "documents") -> str:
+    return f"""
+        WITH pairs AS ({_lsh_pairs_sql(src)}),
+        sh AS (SELECT * FROM {_shingles_sql(src)} s),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.key_a, p.key_b, COUNT(*) AS i
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.key_a
+          JOIN sh b ON b.doc_id = p.key_b AND b.shingle = a.shingle
+          GROUP BY p.key_a, p.key_b
+        )
+        SELECT i.key_a, i.key_b,
+               ROUND(i.i * 1.0 / sa.sz, 6) AS cont_a,
+               ROUND(i.i * 1.0 / sb.sz, 6) AS cont_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.key_a
+        JOIN sizes sb ON sb.doc_id = i.key_b
+    """
+
+
 def _oracle_sqls() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["minhash_signatures"] = f"SELECT * FROM {_minhash_sql()} m"
+    sqls["containment_pairs"] = _containment_sql()
     sqls["lsh_pairs"] = _lsh_pairs_sql()
     sqls["jaccard_pairs"] = _jaccard_sql()
     nb = []
@@ -2798,6 +2834,7 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict:
     return {
+        "containment_pairs": q_containment_pairs,
         "editsim_pairs": q_editsim_pairs,
         "chi2_terms": q_chi2_terms,
         "pareto_frontier": q_pareto_frontier,

@@ -653,3 +653,23 @@ def test_pii_scrub_replaces_and_counts(spark):
     assert "@" not in got[0].scrubbed and "4111111111111111" not in got[0].scrubbed
     assert got[1].n_emails == 0 and got[1].n_longnums == 0
     assert got[1].scrubbed == "nothing sensitive here 12345678"
+
+
+def test_containment_subset_detection(spark):
+    from pyspark.sql import functions as F
+
+    from asf_tools_spark.operators import dedup
+
+    # doc 2's shingle set is a strict subset of doc 1's
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base + " lambda mu nu xi omicron pi rho sigma"), (2, base)],
+        "doc_id long, text string",
+    )
+    sh = dedup.word_shingles(docs, "doc_id")
+    pairs = spark.createDataFrame([(1, 2)], "key_a long, key_b long")
+    r = dedup.containment_on_pairs(pairs, sh, "doc_id").collect()[0]
+    assert r.cont_b == 1.0  # the short doc is fully contained
+    assert r.cont_a < 1.0
+    szs = {x.doc_id: x.sz for x in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).collect()}
+    assert r.cont_a == round(szs[2] / szs[1], 6)
