@@ -193,3 +193,79 @@ def idw_interpolate(
         F.round(F.sum(w * F.col("_v")) / F.sum(w), 6).alias("idw_value"),
         F.count(F.lit(1)).alias("n_contrib"),
     )
+
+
+def _dp_keep_mask_np(x, y, tol: float):
+    """numpy Douglas-Peucker keep mask for an OPEN chain (both endpoints
+    kept). Iterative stack; argmax picks the FIRST index at the max
+    (deterministic tie rule — the oracle's pure-Python replay must use
+    the same)."""
+    import numpy as np
+
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay, bx, by = x[i], y[i], x[j], y[j]
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        num = np.abs((bx - ax) * (ay - py) - (ax - px) * (by - ay))
+        den = ((bx - ax) ** 2 + (by - ay) ** 2) ** 0.5
+        d = num / den if den > 0 else ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify_rings(verts: DataFrame, tolerance: float, key: str = "poly_id") -> DataFrame:
+    """Douglas-Peucker ring simplification (Douglas & Peucker 1973) over
+    an exploded (key, idx, lon, lat) vertex table — the polygon
+    generalization step of a vector pipeline, distributed one ring per
+    Arrow batch group (numpy semantics are the contract here, the repo's
+    sanctioned grouped-UDF case; rings are independent so the groupBy
+    shuffles each ring's vertices once and nothing else).
+
+    Closed-ring handling: anchor at vertex 0 and at the euclidean-
+    farthest vertex from it, DP each open half, union the keep masks —
+    the standard ring split. Ties (equal max distance / equal anchor
+    distance) resolve to the FIRST index in ring order, identically in
+    the pure-Python oracle replay. Output: the kept vertices
+    (key, idx, lon, lat), idx = original ring position."""
+    import numpy as np
+    import pandas as pd
+
+    tol = float(tolerance)
+
+    def per_ring(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        x = pdf["lon"].to_numpy(dtype=np.float64)
+        y = pdf["lat"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n <= 3:
+            return pdf
+        d0 = (x - x[0]) ** 2 + (y - y[0]) ** 2
+        s = int(np.argmax(d0))  # first farthest-from-v0, ties -> first
+        # two open chains: 0..s and s..n-1..0 (wrap via concatenation)
+        keep = np.zeros(n, dtype=bool)
+        m1 = _dp_keep_mask_np(x[: s + 1], y[: s + 1], tol)
+        keep[: s + 1] |= m1
+        xi = np.concatenate([x[s:], x[:1]])
+        yi = np.concatenate([y[s:], y[:1]])
+        m2 = _dp_keep_mask_np(xi, yi, tol)
+        keep[s:] |= m2[:-1]
+        keep[0] = True
+        return pdf[keep]
+
+    schema = f"{key} int, idx int, lon double, lat double"
+    return (
+        verts.select(key, "idx", "lon", "lat")
+        .groupBy(key)
+        .applyInPandas(per_ring, schema=schema)
+    )

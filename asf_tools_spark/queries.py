@@ -551,6 +551,30 @@ def _pip_oracle() -> str:
     """
 
 
+_SIMPLIFY_TOL = 0.35
+
+
+def q_simplify_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker polygon generalization over the watershed rings —
+    numpy DP per ring in ONE Arrow batch group (rings independent; the
+    repo's sanctioned grouped-UDF case). Oracle: a PURE-PYTHON DP replay
+    (sources/polygons.simplify_rings_py — no numpy, no Spark) emitted as
+    VALUES at oracle-build time: a genuine two-implementation check the
+    driver re-runs fresh each round (no stored goldens)."""
+    from .operators.geometry import simplify_rings
+    from .sources.polygons import polygon_vertices_df, watershed_polygons
+
+    verts = polygon_vertices_df(spark, watershed_polygons())
+    return simplify_rings(verts, _SIMPLIFY_TOL)
+
+
+def _simplify_oracle() -> str:
+    from .sources.polygons import simplified_values_sql, watershed_polygons
+
+    vals = simplified_values_sql(watershed_polygons(), _SIMPLIFY_TOL)
+    return f"SELECT poly_id, idx, lon, lat FROM {vals} sv"
+
+
 def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-layer metrics (shoelace area / centroid / perimeter) over
     the watershed 12-gon rings as an exploded vertex table — the
@@ -736,6 +760,7 @@ def _oracle_sqls() -> dict[str, str]:
         "hotspot_clusters": _hotspot_oracle(),
         "pip_page_counts": _pip_oracle(),
         "idw_grid": _idw_oracle(),
+        "simplify_rings": _simplify_oracle(),
         "polygon_stats": f"""
             WITH v AS (SELECT * FROM {_poly_verts_sql()} pv),
             k AS (SELECT poly_id, COUNT(*) AS k FROM v GROUP BY poly_id),
@@ -775,7 +800,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "containment_pairs", "idw_grid", "pip_page_counts",
+    "simplify_rings", "containment_pairs", "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",
     "polygon_stats", "chi2_terms",
     "pareto_frontier", "trend_ols",
@@ -864,6 +889,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_clusters": q_hotspot_clusters,
         "pip_page_counts": q_pip_page_counts,
         "idw_grid": q_idw_grid,
+        "simplify_rings": q_simplify_rings,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }

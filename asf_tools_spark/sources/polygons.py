@@ -130,3 +130,84 @@ def edges_values_sql(polys: list[dict]) -> str:
         + ", ".join(parts)
         + ") AS t(poly_id, x1, y1, x2, y2))"
     )
+
+
+def _dp_keep_mask_py(x: list, y: list, tol: float) -> list:
+    """Pure-Python (no numpy) Douglas-Peucker keep mask for an open
+    chain — the ORACLE's independent replay of
+    operators.geometry._dp_keep_mask_np. Must keep the identical
+    deterministic tie rule: first index at the max."""
+    n = len(x)
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay, bx, by = x[i], y[i], x[j], y[j]
+        den = ((bx - ax) ** 2 + (by - ay) ** 2) ** 0.5
+        best_k, best_d = 0, -1.0
+        for k in range(j - i - 1):
+            px, py = x[i + 1 + k], y[i + 1 + k]
+            if den > 0:
+                d = abs((bx - ax) * (ay - py) - (ax - px) * (by - ay)) / den
+            else:
+                d = ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+            if d > best_d:
+                best_k, best_d = k, d
+        if best_d > tol:
+            m = i + 1 + best_k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify_rings_py(polys: list[dict], tol: float) -> list[tuple]:
+    """(poly_id, idx, lon, lat) kept vertices per ring — pure-Python DP
+    replay (same ring-split anchors and tie rules as
+    geometry.simplify_rings)."""
+    out = []
+    for p in polys:
+        ring = [(float(v[0]), float(v[1])) for v in p["ring"]]
+        x = [v[0] for v in ring]
+        y = [v[1] for v in ring]
+        n = len(x)
+        if n <= 3:
+            keep = [True] * n
+        else:
+            d0 = [(x[i] - x[0]) ** 2 + (y[i] - y[0]) ** 2 for i in range(n)]
+            s, best = 0, -1.0
+            for i in range(n):
+                if d0[i] > best:
+                    s, best = i, d0[i]
+            keep = [False] * n
+            m1 = _dp_keep_mask_py(x[: s + 1], y[: s + 1], tol)
+            for i in range(s + 1):
+                keep[i] = keep[i] or m1[i]
+            xi = x[s:] + x[:1]
+            yi = y[s:] + y[:1]
+            m2 = _dp_keep_mask_py(xi, yi, tol)
+            for i in range(n - s):
+                keep[s + i] = keep[s + i] or m2[i]
+            keep[0] = True
+        out.extend(
+            (p["poly_id"], i, x[i], y[i]) for i in range(n) if keep[i]
+        )
+    return out
+
+
+def simplified_values_sql(polys: list[dict], tol: float) -> str:
+    """DuckDB VALUES emitter of the pure-Python DP replay — the oracle
+    side of the `simplify_rings` two-implementation check (numpy DP in an
+    Arrow UDF vs this Spark-free replay, both from the same
+    deterministic fixture)."""
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    rows = ", ".join(
+        f"({pid}, {i}, {d(lon)}, {d(lat)})"
+        for pid, i, lon, lat in simplify_rings_py(polys, tol)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(poly_id, idx, lon, lat))"

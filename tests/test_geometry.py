@@ -214,3 +214,39 @@ def test_idw_weighting_and_edge_clamp(spark):
     # corner point (row 0, col 0): only the 4 in-grid neighbors exist
     corner_cells = {(rr, cc) for (rr, cc), v in got.items() if v.idw_value == 1.0}
     assert corner_cells == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_simplify_drops_collinear_keeps_spike(spark):
+    from asf_tools_spark.operators.geometry import simplify_rings
+
+    # square with collinear midpoints on each side + one spike at idx 2
+    ring = [
+        (0, 0), (1, 0), (1.5, 0.8), (2, 0),  # spike at (1.5, 0.8)
+        (2, 1), (2, 2), (1, 2), (0, 2), (0, 1),
+    ]
+    rows = [(0, i, float(x), float(y)) for i, (x, y) in enumerate(ring)]
+    v = spark.createDataFrame(rows, "poly_id int, idx int, lon double, lat double")
+    kept = {r.idx for r in simplify_rings(v, 0.3).collect()}
+    assert 2 in kept  # spike (0.8 off the chord) survives tol 0.3
+    # collinear side midpoints (idx 5 is a corner; 1,4,8 are on-segment)
+    assert 4 not in kept and 8 not in kept
+    kept_hi = {r.idx for r in simplify_rings(v, 1.0).collect()}
+    assert 2 not in kept_hi  # higher tolerance flattens the spike
+    assert kept_hi <= kept  # monotone: raising tol never adds vertices
+
+
+def test_simplify_matches_pure_python_replay(spark):
+    from asf_tools_spark.operators.geometry import simplify_rings
+    from asf_tools_spark.sources.polygons import (
+        polygon_vertices_df,
+        simplify_rings_py,
+        watershed_polygons,
+    )
+
+    for tol in (0.1, 0.35, 1.0):
+        polys = watershed_polygons(n=8)
+        got = sorted(
+            (r.poly_id, r.idx, r.lon, r.lat)
+            for r in simplify_rings(polygon_vertices_df(spark, polys), tol).collect()
+        )
+        assert got == sorted(simplify_rings_py(polys, tol))
