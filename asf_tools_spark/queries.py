@@ -216,6 +216,94 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_DQ_THR = 0.5
+_DQ_Z = 1.96
+
+
+def _domain_quality_oracle() -> str:
+    from . import queries_text
+    from .functions import url as U
+
+    synth = U.synth_url_sql("doc_id", oracle.DUCKDB)
+    norm = U.normalize_url_sql("raw_url", oracle.DUCKDB)
+    dom = U.domain_sql("norm_url", oracle.DUCKDB)
+    qsub = queries_text.quality_score_subquery()
+    return f"""
+        WITH q AS (SELECT * FROM {qsub} qq),
+        d AS (
+          SELECT doc_id, {dom} AS domain FROM (
+            SELECT doc_id, {norm} AS norm_url FROM (
+              SELECT doc_id, {synth} AS raw_url FROM documents
+            )
+          )
+        ),
+        j AS (
+          SELECT d.domain, CASE WHEN q.qs >= {_DQ_THR} THEN 1 ELSE 0 END AS pass
+          FROM d JOIN q ON q.doc_id = d.doc_id
+        ),
+        agg AS (
+          SELECT domain, COUNT(*) AS n_docs,
+                 CAST(SUM(pass) AS BIGINT) AS n_pass
+          FROM j GROUP BY domain
+        )
+        SELECT domain, n_docs, n_pass,
+               ROUND(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pass_rate,
+               ROUND((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                      + {_DQ_Z} * {_DQ_Z} / (2.0 * CAST(n_docs AS DOUBLE))
+                      - {_DQ_Z} * SQRT((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                                        * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                                        + {_DQ_Z} * {_DQ_Z} / (4.0 * CAST(n_docs AS DOUBLE)))
+                                       / CAST(n_docs AS DOUBLE)))
+                     / (1.0 + {_DQ_Z} * {_DQ_Z} / CAST(n_docs AS DOUBLE)), 6) AS wilson_lb
+        FROM agg
+    """
+
+
+def _wilson_lb(p, n):
+    z = F.lit(_DQ_Z)
+    return (
+        p + z * z / (F.lit(2.0) * n)
+        - z * F.sqrt((p * (F.lit(1.0) - p) + z * z / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z * z / n)
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality budgeting: pass rate of the heuristic quality
+    screen per (synthetic) domain plus the Wilson score lower bound
+    (z = 1.96) — the statistic a curation pipeline ranks/cuts domains by
+    (small domains can't fake a high rate; Wilson 1927, public). ONE
+    hash aggregate per domain after a doc-keyed join of the URL chain
+    with the quality features; pass threshold compared on ROUND(qs, 6)
+    so both engines bucket borderline docs identically."""
+    from .functions import url as U
+    from .operators.text import quality_features
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    synth = U.synth_url_sql("doc_id", oracle.SPARK)
+    doms = (
+        docs.select("doc_id", F.expr(synth).alias("raw_url"))
+        .select("doc_id", F.expr(U.normalize_url_sql("raw_url", oracle.SPARK)).alias("norm_url"))
+        .select("doc_id", F.expr(U.domain_sql("norm_url", oracle.SPARK)).alias("domain"))
+    )
+    q = quality_features(docs).select("doc_id", "quality_score")
+    j = doms.join(q, "doc_id").select(
+        "domain",
+        F.when(F.round("quality_score", 6) >= _DQ_THR, 1).otherwise(0).alias("_pass"),
+    )
+    agg = j.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_pass").cast("long").alias("n_pass"),
+    )
+    p = F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "domain", "n_docs", "n_pass",
+        F.round(p, 6).alias("pass_rate"),
+        F.round(_wilson_lb(p, n), 6).alias("wilson_lb"),
+    )
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned selective join: lineitem shuffles only rows whose
     orderkey MIGHT match the urgent/high-value order set — the dim's key
@@ -758,6 +846,7 @@ def _oracle_sqls() -> dict[str, str]:
             GROUP BY b.poly_id
         """,
         "hotspot_clusters": _hotspot_oracle(),
+        "domain_quality": _domain_quality_oracle(),
         "pip_page_counts": _pip_oracle(),
         "idw_grid": _idw_oracle(),
         "simplify_rings": _simplify_oracle(),
@@ -800,7 +889,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "simplify_rings", "containment_pairs", "idw_grid", "pip_page_counts",
+    "domain_quality", "simplify_rings", "containment_pairs",
+    "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",
     "polygon_stats", "chi2_terms",
     "pareto_frontier", "trend_ols",
@@ -890,6 +980,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_page_counts": q_pip_page_counts,
         "idw_grid": q_idw_grid,
         "simplify_rings": q_simplify_rings,
+        "domain_quality": q_domain_quality,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }

@@ -736,6 +736,32 @@ def _occ_sql(text_expr: str, needle: str) -> str:
     return f"(LENGTH({text_expr}) - LENGTH(REPLACE({text_expr}, '{n}', ''))) / {len(needle)}"
 
 
+def quality_score_subquery(src: str = "documents") -> str:
+    """(doc_id, qs) — ROUND(quality_score, 6) per doc; the same algebra
+    as the `quality_score` oracle (shared consumer: `domain_quality`)."""
+    en = " + ".join(_occ_sql("spaced", m) for m in text.LANG_MARKERS["en"])
+    punct = " + ".join(_occ_sql("norm", p) for p in [".", ",", "!", "?"])
+    return f"""(
+        WITH qbase AS (
+          SELECT doc_id, text, {_norm_sql("text")} AS norm FROM {src}
+        ),
+        qfeat AS (
+          SELECT doc_id, LENGTH(text) AS n_chars,
+                 CASE WHEN LENGTH(norm) = 0 THEN 0
+                      ELSE LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 END AS n_tokens,
+                 norm, ' ' || norm || ' ' AS spaced
+          FROM qbase
+        )
+        SELECT doc_id,
+               ROUND((LEAST(n_tokens / CAST(20.0 AS DOUBLE), 1.0)
+                      + LEAST(CASE WHEN n_tokens > 0 THEN ({en}) * 1.0 / n_tokens ELSE 0.0 END * 5.0, 1.0)
+                      + CASE WHEN (CASE WHEN n_chars > 0 THEN ({punct}) * 1.0 / n_chars ELSE 0.0 END) <= 0.1 THEN 1.0
+                             ELSE 1.0 - LEAST(CASE WHEN n_chars > 0 THEN ({punct}) * 1.0 / n_chars ELSE 0.0 END, 1.0) END
+                     ) / 3.0, 6) AS qs
+        FROM qfeat
+    )"""
+
+
 def _jaccard_sql(src: str = "documents") -> str:
     return f"""
         WITH pairs AS ({_lsh_pairs_sql(src)}),

@@ -46,3 +46,21 @@ def test_domain_extraction_both_dialects(spark):
         assert run(dom) == "sub.example.com"
         dom2 = U.domain_sql("'example.com'", dialect)
         assert run(dom2) == "example.com"
+
+
+def test_domain_quality_wilson_hand_value(spark):
+    import math
+
+    from asf_tools_spark.queries import _wilson_lb
+    from pyspark.sql import functions as F
+
+    # n=20, 16 passes: classic Wilson check
+    row = spark.range(1).select(
+        F.round(_wilson_lb(F.lit(16.0 / 20.0), F.lit(20.0)), 6).alias("w")
+    ).collect()[0]
+    z, p, n = 1.96, 0.8, 20.0
+    want = (p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
+        1 + z * z / n
+    )
+    assert row.w == round(want, 6)
+    assert 0.57 < row.w < 0.60  # the textbook ballpark for 16/20
