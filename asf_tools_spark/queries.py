@@ -889,7 +889,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "domain_quality", "simplify_rings", "containment_pairs",
+    "zipf_slope", "domain_quality", "simplify_rings", "containment_pairs",
     "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",
     "polygon_stats", "chi2_terms",

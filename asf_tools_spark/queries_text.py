@@ -2288,6 +2288,22 @@ def _oracle_sqls() -> dict[str, str]:
     """
     # chi2_terms: full-SQL replay of the 2xL contingency algebra (all
     # cells, zero-filled observed counts, degenerate-cell convention).
+    # zipf_slope: DuckDB's native REGR/CORR aggregates over the same
+    # ranked top-200 term list — an independent estimator implementation,
+    # like trend_ols.
+    sqls["zipf_slope"] = f"""
+        WITH toks AS ({_toks_sql}),
+        freqs AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY term),
+        top AS (
+          SELECT term, f, ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS r
+          FROM freqs ORDER BY f DESC, term ASC LIMIT 200
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(REGR_SLOPE(LN(CAST(f AS DOUBLE)), LN(CAST(r AS DOUBLE))), 6) AS slope,
+               ROUND(REGR_INTERCEPT(LN(CAST(f AS DOUBLE)), LN(CAST(r AS DOUBLE))), 6) AS intercept,
+               ROUND(CORR(LN(CAST(f AS DOUBLE)), LN(CAST(r AS DOUBLE))), 6) AS r
+        FROM top
+    """
     sqls["chi2_terms"] = f"""
         WITH toks AS ({_toks_sql}),
         pres AS (SELECT DISTINCT doc_id, term FROM toks),
@@ -2833,6 +2849,41 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OLS_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus: OLS of ln(freq) on ln(rank) over the
+    top-200 terms — the vocabulary-distribution drift statistic (a
+    healthy natural corpus reads ~ -1; template/boilerplate floods
+    flatten it). Rank rides sort+limit into a BOUNDED 200-row frame, so
+    the row_number window is driver-scale by construction; the slope is
+    the closed-form sufficient-statistics aggregate (groupwise_ols).
+    Oracle: DuckDB's native REGR/CORR — an independent estimator."""
+    from .operators.ranking import term_counts
+    from .operators.regression import groupwise_ols
+    from pyspark.sql.window import Window
+
+    _register(spark, sf_dir, "documents")
+    freqs = (
+        term_counts(spark.table("documents"), "doc_id")
+        .groupBy("term").agg(F.sum("tf").alias("f"))
+    )
+    top = freqs.orderBy(F.col("f").desc(), F.col("term").asc()).limit(200)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("term").asc()))
+    )
+    pts = ranked.select(
+        F.lit("corpus").alias("_g"),
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    out = groupwise_ols(pts, "_g", "x", "y")
+    return out.select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r", 6).alias("r"),
+    )
+
+
 def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value trend: closed-form simple OLS (slope/
     intercept/r of value vs days-since-2024-01-01) in ONE partial/final
@@ -2860,6 +2911,7 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict:
     return {
+        "zipf_slope": q_zipf_slope,
         "containment_pairs": q_containment_pairs,
         "editsim_pairs": q_editsim_pairs,
         "chi2_terms": q_chi2_terms,
