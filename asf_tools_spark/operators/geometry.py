@@ -269,3 +269,65 @@ def simplify_rings(verts: DataFrame, tolerance: float, key: str = "poly_id") -> 
         .groupBy(key)
         .applyInPandas(per_ring, schema=schema)
     )
+
+
+def _hull_ccw_np(x, y):
+    """Andrew monotone-chain convex hull over ARBITRARY points (numpy).
+
+    Returns index array (into the deduped, lexicographically sorted point
+    set) of hull vertices in CCW order starting at the lexicographically
+    smallest point. STRICT turns: collinear in-edge points and interior
+    points are dropped; exact duplicates are deduped before the scan.
+    """
+    import numpy as np
+
+    pts = np.unique(np.column_stack([np.asarray(x, float), np.asarray(y, float)]), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    def half(rng):
+        out = []
+        for i in rng:
+            while len(out) >= 2:
+                ox, oy = pts[out[-2]]
+                ax, ay = pts[out[-1]]
+                bx, by = pts[i]
+                if (ax - ox) * (by - oy) - (ay - oy) * (bx - ox) > 0:
+                    break
+                out.pop()
+            out.append(i)
+        return out
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    return pts[np.array(lower[:-1] + upper[:-1])]
+
+
+def convex_hull(
+    points: DataFrame, key: str = "poly_id", x: str = "lon", y: str = "lat"
+) -> DataFrame:
+    """(key, hull_idx, x, y, n_input): convex hull vertices per group in
+    CCW order from the lexicographically smallest vertex — the
+    footprint/coverage-outline operator (ref vector.py's per-feature OGR
+    geometry ops, distributed). Groups are independent -> ONE
+    applyInPandas batch per group (the repo's sanctioned grouped-UDF
+    case: the hull scan is inherently sequential per group, but groups
+    fan out across executors; each group's points must fit one Arrow
+    batch — true for any per-feature vector layer). Strict-turn chain:
+    collinear in-edge vertices and duplicates are NOT hull vertices,
+    matching the pure-Python replay oracle and the extreme-point dual
+    test."""
+    import pandas as pd
+
+    schema = f"{key} int, hull_idx int, {x} double, {y} double, n_input long"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _hull_ccw_np(pdf[x].to_numpy(), pdf[y].to_numpy())
+        k = int(pdf[key].iloc[0])
+        return pd.DataFrame({
+            key: k,
+            "hull_idx": range(len(hull)),
+            x: hull[:, 0], y: hull[:, 1],
+            "n_input": len(pdf),
+        })
+
+    return points.groupBy(key).applyInPandas(per_group, schema)

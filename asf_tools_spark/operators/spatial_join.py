@@ -174,3 +174,71 @@ def knn_join(
         .where(F.col("knn_rank") <= k)
         .drop("_knn_cell", "t_lat", "t_lon")
     )
+
+
+def distance_band_join(
+    points: DataFrame,
+    radius_km: float,
+    res: int,
+    key: str = "doc_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """All pairs of points within ``radius_km`` great-circle km — the
+    distance-band join (DBSCAN's eps-neighborhood / spatial-weights-by-
+    distance primitive; J5's band sibling: kNN bounds the COUNT, this
+    bounds the RADIUS).
+
+    Never all-pairs: each point lands in its res-level grid cell; the
+    LEFT side explodes the 3x3 neighbor offsets (constant fan-out) and
+    ONE equi-join on (row, col) against the unexploded side enumerates
+    only co-located candidates; the exact haversine refine runs on those.
+    COVERAGE PRECONDITION (caller picks res): any two points within
+    radius_km must differ by < 1 cell in both axes, i.e.
+    radius_km <= 111.19 * min(180/2^res, (360/2^res) * cos(lat_max)).
+    The registry row documents its margin; no antimeridian wraparound
+    (the synthetic corpus is bounded to lon [-175, 175]).
+
+    Each unordered pair is found twice (a exploded onto b's cell and
+    vice versa); ``key_a < key_b`` keeps exactly one. At 10^12 pages the
+    exchange is the (row, col) hash join; skewed mega-cells are the
+    same cells hotspot_clusters bounds — the candidate set within a
+    cell is quadratic in that CELL's population only, which is the
+    operator's intrinsic output bound (a dense clump genuinely has that
+    many qualifying pairs).
+    """
+    from ..core import cells as C
+
+    offs = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    ])
+    base = points.select(
+        F.col(key), F.col(lat).alias("_lat"), F.col(lon).alias("_lon"),
+        F.expr(C.grid_y_sql(lat, res)).alias("_gy"),
+        F.expr(C.grid_x_sql(lon, res)).alias("_gx"),
+    )
+    left = (
+        base.withColumn("_o", F.explode(offs))
+        .select(
+            F.col(key).alias("key_a"),
+            F.col("_lat").alias("lat_a"), F.col("_lon").alias("lon_a"),
+            (F.col("_gy") + F.col("_o.dr")).alias("_gy"),
+            (F.col("_gx") + F.col("_o.dc")).alias("_gx"),
+        )
+    )
+    right = base.select(
+        F.col(key).alias("key_b"),
+        F.col("_lat").alias("lat_b"), F.col("_lon").alias("lon_b"),
+        "_gy", "_gx",
+    )
+    dist = haversine_km(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    return (
+        left.join(right, ["_gy", "_gx"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= F.lit(float(radius_km)))
+        .select("key_a", "key_b", F.round("dist_km", 4).alias("dist_km"))
+    )

@@ -677,6 +677,164 @@ def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_stats(verts)
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull per watershed ring (CCW from the lexicographically
+    smallest vertex, strict turns) — the footprint-outline operator over
+    the vector layer (ref vector.py per-feature OGR geometry ops). One
+    Arrow batch per ring, rings fan out across executors. Oracle: a
+    PURE-PYTHON monotone-chain replay (sources/polygons.convex_hull_py —
+    no numpy, no Spark) emitted as VALUES fresh each run; pytest
+    additionally pins both against the O(n^3) extreme-point DUAL
+    characterization on random clouds."""
+    from .operators.geometry import convex_hull
+    from .sources.polygons import polygon_vertices_df, watershed_polygons
+
+    verts = polygon_vertices_df(spark, watershed_polygons())
+    return convex_hull(verts.select("poly_id", "lon", "lat"))
+
+
+def _convex_hull_oracle() -> str:
+    from .sources.polygons import hull_values_sql, watershed_polygons
+
+    vals = hull_values_sql(watershed_polygons())
+    return f"SELECT poly_id, hull_idx, lon, lat, n_input FROM {vals} hv"
+
+
+_BAND_KM = 25.0
+_BAND_RES = 6
+
+
+def q_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band self-join: all page pairs within 25 great-circle km
+    (the eps-neighborhood primitive under DBSCAN / spatial weights). Cell
+    prune at res 6 (3x3 offset explode + ONE equi-join), exact haversine
+    refine; coverage margin is wide — 25 km vs 312 km lat cells and
+    54.5 km effective lon cells at the corpus |lat| <= 85 bound. Oracle:
+    the BRUTE-FORCE all-pairs haversine join — the PASS is an exactness
+    proof for the prune (no pair within the band escapes the 3x3 ring),
+    like setsim_join/editsim_pairs for their filters."""
+    from .operators.spatial_join import distance_band_join
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    out = distance_band_join(pages, _BAND_KM, _BAND_RES, key="doc_id")
+    return out.select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"), "dist_km"
+    )
+
+
+def _distance_pairs_oracle() -> str:
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    hav = (
+        "2.0 * 6371.0088 * ASIN(SQRT(POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2) "
+        "+ COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) "
+        "* POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)))"
+    )
+    return f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND({hav}, 4) AS dist_km
+        FROM {docs} a JOIN {docs} b ON a.doc_id < b.doc_id
+        WHERE {hav} <= {oracle.dbl(_BAND_KM)}
+    """
+
+
+_SPSTATS_RES = 5
+
+
+def _spstats_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (row, col, x) cell grid for the autocorrelation rows —
+    bounded by 4^res rows, eagerly materialized ONCE because both
+    statistics branch over it three ways (contrib / join target / global
+    moments) within a single action; without the checkpoint Catalyst
+    re-executes the full page->cell aggregate per branch (3x the page
+    scan — the lazy-persist race documented in sources/maintenance)."""
+    from .operators.spatial_stats import cell_value_grid
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    return cell_value_grid(pages, _SPSTATS_RES).localCheckpoint(eager=True)
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (Moran 1950) of per-cell
+    mean page value on the res-5 grid, binary queen weights — the
+    is-the-surface-clustered-at-all statistic behind the reference's
+    tile-coherence reasoning. Weights matrix realized as a constant
+    fan-out offset explode + ONE equi-join (never O(n^2)); global
+    moments ride a broadcast 1-row aggregate. Oracle: the INDEPENDENT
+    neighbor formulation (self-join on ABS(dr)<=1 predicates)."""
+    from .operators.spatial_stats import morans_i
+
+    return morans_i(_spstats_cells(spark, sf_dir))
+
+
+def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot z-score per occupied res-5 cell
+    (Getis & Ord 1992) — the inferential twin of hotspot_clusters
+    (density says where; Gi* says how surprising). Same offset-explode
+    weights realization; NULL where the denominator degenerates,
+    identically in the oracle's ABS-predicate self-join replay."""
+    from .operators.spatial_stats import getis_ord_gi_star
+
+    return getis_ord_gi_star(_spstats_cells(spark, sf_dir))
+
+
+def _spstats_cells_sql(docs: str) -> str:
+    from .core import cells as C
+
+    res = _SPSTATS_RES
+    px, py = C.grid_x_sql("lon", res), C.grid_y_sql("lat", res)
+    return f"""cells AS (
+          SELECT row, col, ROUND(AVG(value), 6) AS x FROM (
+            SELECT {py} AS row, {px} AS col, value FROM {docs} p
+          ) b GROUP BY row, col
+        ),
+        g AS (SELECT COUNT(*) AS n, AVG(x) AS m, SUM(x * x) AS sxx FROM cells)"""
+
+
+def _morans_oracle() -> str:
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    return f"""
+        WITH {_spstats_cells_sql(docs)},
+        pr AS (
+          SELECT SUM((a.x - g.m) * (b.x - g.m)) AS cross_sum,
+                 COUNT(*) AS w_sum
+          FROM cells a JOIN cells b
+            ON ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1
+           AND NOT (a.row = b.row AND a.col = b.col)
+          CROSS JOIN g
+        )
+        SELECT g.n AS n_cells, pr.w_sum,
+               CASE WHEN g.n >= 2 AND pr.w_sum > 0
+                         AND g.sxx - g.n * g.m * g.m > 0
+                    THEN ROUND(g.n * pr.cross_sum
+                         / (pr.w_sum * (g.sxx - g.n * g.m * g.m)), 6)
+               END AS morans_i,
+               CASE WHEN g.n >= 2 THEN ROUND(-1.0 / (g.n - 1), 6)
+               END AS expected_i
+        FROM g CROSS JOIN pr
+    """
+
+
+def _gi_star_oracle() -> str:
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    return f"""
+        WITH {_spstats_cells_sql(docs)},
+        nb AS (
+          SELECT a.row, a.col, SUM(b.x) AS sum_x, COUNT(*) AS w_i
+          FROM cells a JOIN cells b
+            ON ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1
+          GROUP BY a.row, a.col
+        )
+        SELECT nb.row, nb.col, nb.w_i, ROUND(nb.sum_x, 6) AS sum_x,
+               CASE WHEN g.n >= 2 AND g.sxx / g.n - g.m * g.m > 0
+                         AND g.n * nb.w_i - nb.w_i * nb.w_i > 0
+                    THEN ROUND((nb.sum_x - g.m * nb.w_i)
+                         / (SQRT(g.sxx / g.n - g.m * g.m)
+                          * SQRT(CAST(g.n * nb.w_i - nb.w_i * nb.w_i AS DOUBLE)
+                                 / (g.n - 1))), 6)
+               END AS gi_z
+        FROM nb CROSS JOIN g
+    """
+
+
 def _oracle_sqls() -> dict[str, str]:
     d = oracle.DUCKDB
     docs = oracle.geotagged_documents_sql(8, d)
@@ -702,6 +860,10 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT cell_id, COUNT(*) AS n_pages, ROUND(AVG(value), 6) AS mean_value
             FROM {docs} p GROUP BY cell_id
         """,
+        "morans_i": _morans_oracle(),
+        "gi_star": _gi_star_oracle(),
+        "distance_pairs": _distance_pairs_oracle(),
+        "convex_hull": _convex_hull_oracle(),
         "tile_assignments": f"""
             SELECT b.poly_id, p.cell_id, COUNT(*) AS n_pages,
                    ROUND(AVG(p.value), 6) AS mean_value,
@@ -889,6 +1051,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
+    "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "zipf_slope", "domain_quality", "simplify_rings", "containment_pairs",
     "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",
@@ -981,6 +1144,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_grid": q_idw_grid,
         "simplify_rings": q_simplify_rings,
         "domain_quality": q_domain_quality,
+        "morans_i": q_morans_i,
+        "gi_star": q_gi_star,
+        "distance_pairs": q_distance_pairs,
+        "convex_hull": q_convex_hull,
         "token_count": q_token_count,
         "flood_depth_simple": q_flood_depth_simple,
     }

@@ -211,3 +211,46 @@ def simplified_values_sql(polys: list[dict], tol: float) -> str:
         for pid, i, lon, lat in simplify_rings_py(polys, tol)
     )
     return f"(SELECT * FROM (VALUES {rows}) AS t(poly_id, idx, lon, lat))"
+
+
+def convex_hull_py(polys: list[dict]) -> list[tuple]:
+    """(poly_id, hull_idx, lon, lat) hull vertices per ring — pure-Python
+    monotone-chain replay (same dedupe / strict-turn / CCW-start rules as
+    operators.geometry.convex_hull, no numpy, no Spark)."""
+    out = []
+    for p in polys:
+        pts = sorted({(float(v[0]), float(v[1])) for v in p["ring"]})
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            def half(seq):
+                h = []
+                for q in seq:
+                    while len(h) >= 2 and (
+                        (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                        - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])
+                    ) <= 0:
+                        h.pop()
+                    h.append(q)
+                return h
+            lower = half(pts)
+            upper = half(list(reversed(pts)))
+            hull = lower[:-1] + upper[:-1]
+        out.extend(
+            (p["poly_id"], i, q[0], q[1]) for i, q in enumerate(hull)
+        )
+    return out
+
+
+def hull_values_sql(polys: list[dict]) -> str:
+    """DuckDB VALUES emitter of the pure-Python hull replay — the oracle
+    side of the `convex_hull` two-implementation check."""
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    n_in = {p["poly_id"]: len(p["ring"]) for p in polys}
+    rows = ", ".join(
+        f"({pid}, {i}, {d(lon)}, {d(lat)}, CAST({n_in[pid]} AS BIGINT))"
+        for pid, i, lon, lat in convex_hull_py(polys)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(poly_id, hull_idx, lon, lat, n_input))"
