@@ -114,3 +114,59 @@ def snapshot_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def scd2_history(
+    changes: DataFrame, key: str, attr: str, ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: one validity interval per RUN of consecutive equal ``attr``
+    values per key (Kimball SCD2 — the dimension-table shape every
+    warehouse keeps for "what was this page's language/domain-state AT
+    time t" as-of joins).
+
+    (key, version, attr, valid_from_us, valid_to_us, n_changes,
+    is_current): valid_from = first ts of the run, valid_to = first ts
+    of the NEXT run (NULL while current), n_changes = rows collapsed
+    into the run. Re-stating the same value does NOT open a new version
+    — only transitions do (the gaps-and-islands collapse).
+
+    Spark shape: everything rides ONE window partitioning (the key),
+    ordered by (ts, tiebreak): a lag-compare change flag, a running sum
+    to number islands, one hash aggregate per island, then a lead() for
+    valid_to. All shuffles share the key hash partitioning — Catalyst
+    plans one Exchange. The oracle uses the INDEPENDENT classic
+    formulation (row_number difference trick) so the island construction
+    itself is cross-verified.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = changes.withColumn(
+        "_chg",
+        F.when(
+            F.lag(attr).over(w).isNull()
+            | (F.lag(attr).over(w) != F.col(attr)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_ver", F.sum("_chg").over(w))
+    us = F.unix_micros(F.col(ts).cast("timestamp_ltz"))
+    runs = flagged.groupBy(key, "_ver").agg(
+        F.first(attr).alias(attr),  # constant within an island
+        F.min(us).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col("valid_from_us").asc())
+    return runs.select(
+        F.col(key),
+        F.col("_ver").cast("long").alias("version"),
+        F.col(attr),
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_changes",
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+    )

@@ -305,3 +305,85 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def shortest_paths(
+    edges: DataFrame, seeds: DataFrame, src: str = "src", dst: str = "dst",
+    weight: str = "w", node: str = "node", max_hops: int = 6,
+    checkpoint_interval: int | None = 2, local_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, cost): minimum total edge weight over directed paths of at
+    most ``max_hops`` edges from ANY seed (seeds at 0.0) — hop-bounded
+    single/multi-source shortest paths (Bellman-Ford), the weighted
+    sibling of :func:`bfs_hops` (crawl distance where links carry a
+    latency/penalty weight).
+
+    Frontier-style relaxation, not whole-graph rounds: each hop joins
+    ONLY the nodes whose tentative cost improved last round against the
+    src-partitioned edges, min-aggregates the candidates, and an
+    improvement join against the settled table keeps strictly-better
+    entries; converged graphs exit before max_hops. Parallel edges must
+    be pre-collapsed to MIN(w) by the caller (oracle does the same).
+    Path costs accumulate incrementally (same association order as the
+    oracle's recursive CTE), so float parity is exact for exact-sum
+    weights. Lineage truncated every ``checkpoint_interval`` hops; same
+    driver-local small-graph guard discipline as bfs_hops (one
+    take(k+1) doubles as the collect; pass local_threshold=0 to force
+    the distributed path, as the tests do)."""
+    e = edges.select(src, dst, weight).persist()
+    if local_threshold:
+        rows = e.take(local_threshold + 1)
+        if len(rows) <= local_threshold:
+            seed_vals = [r[node] for r in seeds.select(node).collect()]
+            return _sssp_local(e.sparkSession, rows, src, dst, weight, seed_vals, max_hops)
+    dist = seeds.select(F.col(node).alias("node"), F.lit(0.0).alias("cost"))
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        cand = (
+            e.join(frontier, e[src] == frontier["node"])
+            .select(F.col(dst).alias("node"), (F.col("cost") + F.col(weight)).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("cost", "_old"), "node", "left")
+            .where(F.col("_old").isNull() | (F.col("cost") < F.col("_old")))
+            .select("node", "cost")
+        )
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+        )
+        if checkpoint_interval and h % checkpoint_interval == 0:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = improved
+    return dist
+
+
+def _sssp_local(spark, edge_rows, src, dst, weight, seed_vals, max_hops: int) -> DataFrame:
+    """Driver-local replay of the identical hop-bounded relaxation."""
+    adj: dict = {}
+    for r in edge_rows:
+        adj.setdefault(r[src], []).append((r[dst], float(r[weight])))
+    dist = {v: 0.0 for v in seed_vals}
+    frontier = dict(dist)
+    for _ in range(max_hops):
+        cand: dict = {}
+        for n, c in frontier.items():
+            for d, w in adj.get(n, ()):
+                nc = c + w
+                if d not in cand or nc < cand[d]:
+                    cand[d] = nc
+        improved = {
+            n: c for n, c in cand.items() if n not in dist or c < dist[n]
+        }
+        if not improved:
+            break
+        dist.update(improved)
+        frontier = improved
+    return spark.createDataFrame(
+        [(n, c) for n, c in dist.items()], "node string, cost double"
+    )

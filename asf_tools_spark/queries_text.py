@@ -2195,6 +2195,58 @@ def _oracle_sqls() -> dict[str, str]:
     # bfs_hops: recursive reachability enumeration, MIN(depth) outside
     # the recursion; UNION (not UNION ALL) dedups (node, depth) pairs so
     # the recursion terminates at the depth bound
+    sqls["shortest_paths"] = """
+        WITH RECURSIVE edges AS (
+          SELECT src, dst, MIN(w) AS w FROM (
+            SELECT 'n' || CAST((doc_id % 97) AS VARCHAR) AS src,
+                   'n' || CAST(((3 * (doc_id % 97) + 1) % 97) AS VARCHAR) AS dst,
+                   CAST((doc_id % 97) % 7 + 1 AS DOUBLE) AS w
+            FROM documents
+            UNION ALL
+            SELECT 'n' || CAST((doc_id % 97) AS VARCHAR),
+                   'n' || CAST(((5 * (doc_id % 97) + 2) % 97) AS VARCHAR),
+                   CAST((doc_id % 97) % 5 + 3 AS DOUBLE)
+            FROM documents
+          ) raw GROUP BY src, dst
+        ),
+        walk(node, cost, hops) AS (
+          SELECT 'n0', CAST(0 AS DOUBLE), 0
+          UNION
+          SELECT e.dst, walk.cost + e.w, walk.hops + 1
+          FROM walk JOIN edges e ON e.src = walk.node
+          WHERE walk.hops < 6
+        )
+        SELECT node, MIN(cost) AS cost FROM walk GROUP BY node
+    """
+    sqls["scd2_history"] = """
+        WITH ordered AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn1,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn2
+          FROM events
+        ),
+        runs AS (
+          SELECT user_id, event_type,
+                 MIN(us) AS valid_from_us, COUNT(*) AS n_changes,
+                 MIN(rn1) AS first_rn
+          FROM ordered GROUP BY user_id, event_type, rn1 - rn2
+        )
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_rn)
+                    AS BIGINT) AS version,
+               event_type,
+               CAST(valid_from_us AS BIGINT) AS valid_from_us,
+               CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                              ORDER BY first_rn) AS BIGINT)
+                 AS valid_to_us,
+               n_changes,
+               LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY first_rn) IS NULL
+                 AS is_current
+        FROM runs
+    """
     sqls["bfs_hops"] = """
         WITH RECURSIVE edges AS (
           SELECT DISTINCT 'n' || CAST((doc_id % 97) AS VARCHAR) AS src,
@@ -2679,6 +2731,52 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=6)
 
 
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (Bellman-Ford, <=6 edges)
+    from n0 over the 97-node expander with deterministic integer-valued
+    weights (w1 = a%7+1, w2 = a%5+3; parallel edges collapsed to MIN) —
+    the weighted sibling of bfs_hops. Integer-valued double weights make
+    every path cost float-exact, so costs (not just reachability)
+    hash-match the oracle's recursive-CTE walk enumeration with
+    MIN(cost) OUTSIDE the recursion."""
+    from .operators.graph import shortest_paths
+
+    _register(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 97).cast("long")
+    docs = spark.table("documents")
+    nd = lambda e: F.concat(F.lit("n"), e.cast("string"))
+    e1 = docs.select(
+        nd(a).alias("src"), nd((3 * a + 1) % 97).alias("dst"),
+        (a % 7 + 1).cast("double").alias("w"),
+    )
+    e2 = docs.select(
+        nd(a).alias("src"), nd((5 * a + 2) % 97).alias("dst"),
+        (a % 5 + 3).cast("double").alias("w"),
+    )
+    edges = (
+        e1.unionByName(e2).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    return shortest_paths(edges, seeds, max_hops=6)
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event change log: one
+    validity interval per run of consecutive equal event_type values per
+    user (re-stating a value does NOT open a version — only transitions
+    do). One window partitioning carries the whole build (lag flag ->
+    island sum -> per-island aggregate -> lead valid_to). Oracle: the
+    INDEPENDENT classic row_number-difference islands formulation, so
+    the island construction itself is cross-verified."""
+    from .operators.diff import scd2_history
+
+    _register(spark, sf_dir, "events")
+    return scd2_history(
+        spark.table("events"), "user_id", "event_type",
+        ts="ts", order_tiebreak="event_id",
+    )
+
+
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping passage chunking (size 32, overlap 8) — the RAG prep
     step; pure map stage (Generate fence + exploded sequence + array
@@ -2923,6 +3021,8 @@ def queries() -> dict:
         "hits_scores": q_hits_scores,
         "chunk_passages": q_chunk_passages,
         "bfs_hops": q_bfs_hops,
+        "shortest_paths": q_shortest_paths,
+        "scd2_history": q_scd2_history,
         "char_entropy": q_char_entropy,
         "event_funnel": q_event_funnel,
         "setsim_join": q_setsim_join,
