@@ -1742,6 +1742,71 @@ def _oracle_sqls() -> dict[str, str]:
         ) z
         ORDER BY bm25 DESC, doc_id ASC LIMIT 20
     """
+    sqls["rrf_fusion"] = f"""
+        WITH toks AS ({_toks_sql}),
+        tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, CASE WHEN LENGTH({_norm_sql("text")}) = 0 THEN 0
+                 ELSE LENGTH({_norm_sql("text")})
+                      - LENGTH(replace({_norm_sql("text")}, ' ', '')) + 1 END AS dl
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        q(term) AS (VALUES {_bm25_terms}),
+        matched AS (SELECT tc.* FROM tc JOIN q ON q.term = tc.term),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM matched GROUP BY 1),
+        bm_scored AS (
+          SELECT m.doc_id,
+                 ROUND(SUM(
+                   LN(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                   * (m.tf * (1.2 + 1.0))
+                   / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                 ), 6) AS bm25
+          FROM matched m
+          JOIN dfreq f ON f.term = m.term
+          JOIN dl d ON d.doc_id = m.doc_id
+          CROSS JOIN stats s
+          GROUP BY m.doc_id
+        ),
+        bm AS (
+          SELECT doc_id, bm25_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+            FROM bm_scored
+          ) z WHERE bm25_rank <= 50
+        ),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cos_scored AS (
+          SELECT c.vec_id AS doc_id,
+                 list_dot_product(q.qv, c.cv)
+                   / (SQRT(list_dot_product(q.qv, q.qv))
+                    * SQRT(list_dot_product(c.cv, c.cv))) AS cosine
+          FROM qv q CROSS JOIN
+               (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+                WHERE vec_id <> 0) c
+          WHERE list_dot_product(q.qv, q.qv) > 0
+            AND list_dot_product(c.cv, c.cv) > 0
+        ),
+        cosr AS (
+          SELECT doc_id, cos_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS cos_rank
+            FROM cos_scored
+          ) z WHERE cos_rank <= 50
+        ),
+        fused AS (
+          SELECT COALESCE(bm.doc_id, cosr.doc_id) AS doc_id,
+                 bm.bm25_rank, cosr.cos_rank,
+                 ROUND(COALESCE(1.0 / (60 + bm.bm25_rank), 0)
+                     + COALESCE(1.0 / (60 + cosr.cos_rank), 0), 6) AS rrf
+          FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(bm25_rank, 0) AS INTEGER) AS bm25_rank,
+               CAST(COALESCE(cos_rank, 0) AS INTEGER) AS cos_rank,
+               rrf
+        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """
     sqls["cooccur_pmi"] = f"""
         WITH base AS (
           SELECT doc_id, string_split({_norm_sql("text")}, ' ') AS ws,
@@ -2476,6 +2541,52 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack 2009,
+    k=60): fuse the lexical BM25 top-50 (fixed query terms) with the
+    embedding cosine top-50 (query = vec 0; vec_id is the doc key) and
+    keep the fused top-20 — the standard lexical+semantic search merge.
+    Both rank lists are bounded (50 rows), so their row_number windows
+    are driver-scale by construction; the fusion itself is ONE
+    full-outer join of two 50-row frames + a two-term closed-form score
+    (float-exact: same two-addend expression both engines). A rank of 0
+    means "absent from that list" (NULLs would break mixed-type row
+    sorts downstream; 1-based ranks make 0 unambiguous). Oracle replays
+    both rankings and the fusion in full SQL."""
+    from .operators import similarity
+    from .operators.ranking import bm25_scores
+    from pyspark.sql.window import Window
+
+    _register(spark, sf_dir, "documents", "embeddings")
+    docs, emb = spark.table("documents"), spark.table("embeddings")
+    lex = bm25_scores(docs, BM25_QUERY_TERMS, "doc_id", top_k=50)
+    lex = lex.withColumn(
+        "bm25_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "bm25_rank")
+    cos = similarity.cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") == 0), k=50
+    ).select(F.col("c_id").alias("doc_id"), F.col("rank").alias("cos_rank"))
+    fused = lex.join(cos, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0))
+    )
+    return (
+        fused.withColumn("rrf", F.round(rrf, 6))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("bm25_rank"), F.lit(0)).alias("bm25_rank"),
+            F.coalesce(F.col("cos_rank"), F.lit(0)).alias("cos_rank"),
+            "rrf",
+        )
+    )
+
+
 def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 collocations by PMI within a 3-token window (Church & Hanks
     1990) — the embedding-preprocessing statistic. Pair generation is a
@@ -3023,6 +3134,7 @@ def queries() -> dict:
         "bfs_hops": q_bfs_hops,
         "shortest_paths": q_shortest_paths,
         "scd2_history": q_scd2_history,
+        "rrf_fusion": q_rrf_fusion,
         "char_entropy": q_char_entropy,
         "event_funnel": q_event_funnel,
         "setsim_join": q_setsim_join,
