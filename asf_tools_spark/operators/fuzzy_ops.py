@@ -80,3 +80,76 @@ def slope_magnitude_col(grid: DataFrame, value_col: str = "value",
     )
     mag = F.abs(dx) / F.lit(pixel_size)
     return grid.withColumn(out, F.atan(mag) / float(np.pi) * 180.0)
+
+
+def hillshade_horn(
+    grid: DataFrame, value_col: str = "value", pixel_size: float = 30.0,
+    azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
+    z_factor: float = 1.0, out: str = "hillshade",
+) -> DataFrame:
+    """Horn (1981) 3x3 hillshade — the `gdaldem hillshade` formula the
+    reference's DEM tooling leans on (ref prepare_hand stack reads GDAL
+    DEM derivatives; slope half is water_map.py:93-97):
+
+        dz/dx = ((c + 2f + i) - (a + 2d + g)) / (8 * pixel)
+        dz/dy = ((g + 2h + i) - (a + 2b + c)) / (8 * pixel)
+        shade = 255 * (cos(zen) * cos(slope)
+                       + sin(zen) * sin(slope) * cos(az_math - aspect))
+
+    with slope = atan(z * hypot(dz/dx, dz/dy)), aspect = atan2(dzdy,
+    -dzdx), zen = radians(90 - altitude), az_math = radians(360 -
+    azimuth + 90), clamped at 0 (GDAL/ESRI convention; cos is even and
+    periodic so aspect needs no branch normalization).
+
+    Shape: scatter-stencil — each pixel is exploded to the 9 windows it
+    participates in (one narrow shuffle keyed by target cell), the 3x3
+    window is rebuilt by conditional aggregation (each slot has exactly
+    one contributor, so max() is the identity pick), and the shade is
+    one closed-form whole-stage-codegen expression. No UDF, and no
+    BETWEEN self-join (which would plan BNLJ). Interior cells only
+    (count(*) = 9): edge conventions vary per tool, and at 100 TB the
+    halo exchange for tile borders is this same explode with tile-id
+    keys. Expected rows per input row: exactly 9 — linear, skew-free
+    (grid keys are unique)."""
+    v = F.col(value_col).cast("double")
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    ])).alias("o")
+    # source sits at relative offset (dr, dc) FROM the target window center
+    cand = grid.select(F.col("row"), F.col("col"), v.alias("_v"), offs).select(
+        (F.col("row") - F.col("o.dr")).alias("trow"),
+        (F.col("col") - F.col("o.dc")).alias("tcol"),
+        F.col("o.dr").alias("_dr"), F.col("o.dc").alias("_dc"), "_v",
+    )
+
+    def slot(dr: int, dc: int) -> Column:
+        return F.max(
+            F.when((F.col("_dr") == dr) & (F.col("_dc") == dc), F.col("_v"))
+        )
+
+    nine = cand.groupBy("trow", "tcol").agg(
+        slot(-1, -1).alias("_a"), slot(-1, 0).alias("_b"), slot(-1, 1).alias("_c"),
+        slot(0, -1).alias("_d"), slot(0, 1).alias("_f"),
+        slot(1, -1).alias("_g"), slot(1, 0).alias("_h"), slot(1, 1).alias("_i"),
+        F.count(F.lit(1)).alias("_n"),
+    ).where(F.col("_n") == 9)
+    eight_px = F.lit(8.0 * pixel_size)
+    dzdx = ((F.col("_c") + 2.0 * F.col("_f") + F.col("_i"))
+            - (F.col("_a") + 2.0 * F.col("_d") + F.col("_g"))) / eight_px
+    dzdy = ((F.col("_g") + 2.0 * F.col("_h") + F.col("_i"))
+            - (F.col("_a") + 2.0 * F.col("_b") + F.col("_c"))) / eight_px
+    nine = nine.withColumn("_dzdx", dzdx).withColumn("_dzdy", dzdy)
+    slope_r = F.atan(F.lit(z_factor) * F.sqrt(
+        F.col("_dzdx") * F.col("_dzdx") + F.col("_dzdy") * F.col("_dzdy")))
+    aspect_r = F.atan2(F.col("_dzdy"), -F.col("_dzdx"))
+    zen = float(np.radians(90.0 - altitude_deg))
+    azm = float(np.radians(360.0 - azimuth_deg + 90.0))
+    shade = F.lit(255.0) * (
+        F.lit(float(np.cos(zen))) * F.cos(slope_r)
+        + F.lit(float(np.sin(zen))) * F.sin(slope_r) * F.cos(F.lit(azm) - aspect_r)
+    )
+    return nine.select(
+        F.col("trow").alias("row"), F.col("tcol").alias("col"),
+        F.greatest(F.lit(0.0), shade).alias(out),
+    )

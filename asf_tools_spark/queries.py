@@ -1052,7 +1052,7 @@ def _oracle_sqls() -> dict[str, str]:
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
-    "shortest_paths", "scd2_history", "rrf_fusion",
+    "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
     "zipf_slope", "domain_quality", "simplify_rings", "containment_pairs",
     "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",

@@ -35,6 +35,14 @@ _FIXTURES = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 # ref water_map.py goldens (tests/hydrosar/conftest.py:12-13 transform)
 _EM_SCALING = 8.732284197109262
 
+# hillshade constants (GDAL defaults): az 315 / alt 45 / pixel 30 m; the
+# zen/az trig factors are evaluated ONCE in python so both engines consume
+# the identical double literal (repr round-trips exactly)
+_HS_PIXEL = 30.0
+_HS_COS_ZEN = float(np.cos(np.radians(90.0 - 45.0)))
+_HS_SIN_ZEN = float(np.sin(np.radians(90.0 - 45.0)))
+_HS_AZ_MATH = float(np.radians(360.0 - 315.0 + 90.0))
+
 
 def _grid_df(spark: SparkSession) -> DataFrame:
     """Dense deterministic 48x48 grid: blobby transcendental field (rounded
@@ -85,6 +93,23 @@ def q_slope_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _grid_df(spark).select("row", "col", F.col("v").alias("value"))
     out = slope_magnitude_col(g, "value", pixel_size=30.0)
     return out.select("row", "col", F.round("slope", 6).alias("slope"))
+
+
+def q_hillshade_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn (1981) hillshade over the synthetic DEM-ish grid — the GDAL
+    `gdaldem hillshade` companion to W1 slope (the reference's DEM stack
+    consumes GDAL derivatives; slope half is ref water_map.py:93-97).
+    Scatter-stencil: 9-way offset explode + ONE hash aggregate rebuilds
+    each 3x3 window (no UDF, no BETWEEN self-join/BNLJ); interior cells
+    only. Oracle replays the identical stencil + closed form in SQL; the
+    azimuth/zenith trig factors are shared python-double literals, so
+    the only per-row transcendentals are the same ATAN/SIN/COS/ATAN2
+    tree both engines evaluate (rounded 6dp per the parity rule)."""
+    from .operators.fuzzy_ops import hillshade_horn
+
+    g = _grid_df(spark).select("row", "col", F.col("v").alias("value"))
+    out = hillshade_horn(g, "value", pixel_size=_HS_PIXEL)
+    return out.select("row", "col", F.round("hillshade", 6).alias("hillshade"))
 
 
 def _water_grid(spark: SparkSession) -> DataFrame:
@@ -508,6 +533,45 @@ def _oracle_sqls() -> dict[str, str]:
         JOIN opened ON opened.row = wg.row AND opened.col = wg.col
         JOIN closed ON closed.row = wg.row AND closed.col = wg.col
     """
+    # hillshade: az/alt trig factors are pre-evaluated python doubles whose
+    # repr round-trips exactly in BOTH engines (no cross-libm cos(zen) drift)
+    cz, sz, az = repr(_HS_COS_ZEN), repr(_HS_SIN_ZEN), repr(_HS_AZ_MATH)
+    sqls["hillshade_grid"] = f"""
+        WITH offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                     (0,1),(1,-1),(1,0),(1,1)),
+        cand AS (
+          SELECT g.row - o.dr AS trow, g.col - o.dc AS tcol,
+                 o.dr, o.dc, CAST(g.v AS DOUBLE) AS v
+          FROM {grid} g CROSS JOIN offs o
+        ),
+        nine AS (
+          SELECT trow, tcol,
+                 MAX(CASE WHEN dr=-1 AND dc=-1 THEN v END) AS wa,
+                 MAX(CASE WHEN dr=-1 AND dc=0  THEN v END) AS wb,
+                 MAX(CASE WHEN dr=-1 AND dc=1  THEN v END) AS wc,
+                 MAX(CASE WHEN dr=0  AND dc=-1 THEN v END) AS wd,
+                 MAX(CASE WHEN dr=0  AND dc=1  THEN v END) AS wf,
+                 MAX(CASE WHEN dr=1  AND dc=-1 THEN v END) AS wg,
+                 MAX(CASE WHEN dr=1  AND dc=0  THEN v END) AS wh,
+                 MAX(CASE WHEN dr=1  AND dc=1  THEN v END) AS wi,
+                 COUNT(*) AS n
+          FROM cand GROUP BY trow, tcol
+        ),
+        deriv AS (
+          SELECT trow, tcol,
+                 ((wc + 2.0*wf + wi) - (wa + 2.0*wd + wg))
+                   / CAST({8.0 * _HS_PIXEL} AS DOUBLE) AS dzdx,
+                 ((wg + 2.0*wh + wi) - (wa + 2.0*wb + wc))
+                   / CAST({8.0 * _HS_PIXEL} AS DOUBLE) AS dzdy
+          FROM nine WHERE n = 9
+        )
+        SELECT trow AS row, tcol AS col,
+               ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 255.0 * ({cz} * COS(ATAN(SQRT(dzdx*dzdx + dzdy*dzdy)))
+                        + {sz} * SIN(ATAN(SQRT(dzdx*dzdx + dzdy*dzdy)))
+                             * COS({az} - ATAN2(dzdy, -dzdx)))), 6) AS hillshade
+        FROM deriv
+    """
     values = ", ".join(f"({tid}, {thr!r})" for tid, thr in _em_expected())
     sqls["em_fixture_thresholds"] = f"""
         SELECT CAST(tile_id AS BIGINT) AS tile_id,
@@ -540,6 +604,7 @@ def queries() -> dict:
         "morph_open_grid": q_morph_open_grid,
         "threshold_water_map": q_threshold_water_map,
         "slope_rows": q_slope_rows,
+        "hillshade_grid": q_hillshade_grid,
         "grid_labels": q_grid_labels,
         "segment_areas_grid": q_segment_areas_grid,
         "label_bboxes": q_label_bboxes,
