@@ -387,3 +387,81 @@ def _sssp_local(spark, edge_rows, src, dst, weight, seed_vals, max_hops: int) ->
     return spark.createDataFrame(
         [(n, c) for n, c in dist.items()], "node string, cost double"
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_iters: int = 4,
+    checkpoint_interval: int = 2, local_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, label): synchronous label-propagation communities
+    (Raghavan 2007, the deterministic synchronous variant): every node
+    starts labeled with its own id; each round ALL nodes simultaneously
+    adopt the most frequent label among their in-neighbors (ties -> the
+    smallest label, plain binary string order), for exactly ``n_iters``
+    rounds. Community detection over the domain link graph — the
+    webgraph sibling of pagerank/HITS. Callers wanting the classic
+    undirected semantics pass symmetrized edges.
+
+    Determinism: the synchronous update + total tie order makes the
+    fixpoint schedule-free (unlike the async variant), so the result is
+    oracle-able. Shapes: per round ONE src-keyed hash join (edges are
+    hash-partitioned on src once, reused every round) + two partial/final
+    hash aggregates; the argmax is min_by over the (-count, label)
+    struct — no per-node window. Nodes with no in-neighbors keep their
+    label (left join + coalesce). Lineage truncated every
+    ``checkpoint_interval`` rounds. Same driver-local small-graph guard
+    discipline as bfs_hops (one take(k+1) doubles as the collect; pass
+    local_threshold=0 to force the distributed path, as tests do)."""
+    e = edges.select(src, dst).repartition(F.col(src)).persist()
+    if local_threshold:
+        rows = e.take(local_threshold + 1)
+        if len(rows) <= local_threshold:
+            return _lpa_local(e.sparkSession, rows, src, dst, n_iters)
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(1, n_iters + 1):
+        cnt = (
+            e.join(labels, e[src] == labels["node"])
+            .groupBy(F.col(dst).alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        best = cnt.groupBy("node").agg(
+            F.min_by("label", F.struct((-F.col("_c")).alias("nc"), F.col("label"))).alias("_new")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce(F.col("_new"), F.col("label")).alias("label"))
+        )
+        if checkpoint_interval and it % checkpoint_interval == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def _lpa_local(spark, edge_rows, src, dst, n_iters: int) -> DataFrame:
+    """Driver-local replay of the identical synchronous update."""
+    from collections import Counter, defaultdict
+
+    in_nbrs: dict = defaultdict(list)
+    nodes = set()
+    for r in edge_rows:
+        in_nbrs[r[dst]].append(r[src])
+        nodes.add(r[src]); nodes.add(r[dst])
+    labels = {n: n for n in nodes}
+    for _ in range(n_iters):
+        nxt = {}
+        for n in nodes:
+            nb = in_nbrs.get(n)
+            if not nb:
+                nxt[n] = labels[n]
+                continue
+            counts = Counter(labels[m] for m in nb)
+            # most frequent, ties -> smallest label
+            nxt[n] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    return spark.createDataFrame(
+        sorted(labels.items()), "node string, label string"
+    )

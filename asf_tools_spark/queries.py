@@ -1053,6 +1053,8 @@ _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
+    "json_extract_stats", "transition_probs", "cohort_retention",
+    "lpa_communities",
     "zipf_slope", "domain_quality", "simplify_rings", "containment_pairs",
     "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",
@@ -1113,12 +1115,13 @@ def _reorder(out: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import queries_grid, queries_raster, queries_text
+    from . import queries_events, queries_grid, queries_raster, queries_text
 
     out = _base_queries()
     out.update(queries_text.queries())
     out.update(queries_raster.queries())
     out.update(queries_grid.queries())
+    out.update(queries_events.queries())
     return _reorder(out)
 
 
@@ -1155,12 +1158,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from . import queries_grid, queries_raster, queries_text
+    from . import queries_events, queries_grid, queries_raster, queries_text
 
     out = _oracle_sqls()
     out.update(queries_text.oracle_sql())
     out.update(queries_raster.oracle_sql())
     out.update(queries_grid.oracle_sql())
+    out.update(queries_events.oracle_sql())
     for k in _RETIRED:
         out.pop(k, None)
     return out

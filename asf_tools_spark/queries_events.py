@@ -1,0 +1,242 @@
+"""Event-stream + webgraph registry queries: semi-structured JSON
+extraction, Markov transitions, cohort retention, and label-propagation
+communities.
+
+The web-analytics face of the engine: `events` is the clickstream-shaped
+table (ts, user_id, event_type, JSON props) and the 97-node expander
+(doc_id residues, the same deterministic graph bfs_hops/shortest_paths
+use) stands in for the domain link graph. Every query has a full-SQL
+DuckDB oracle; the only cross-engine hazards are typed JSON extraction
+(from_json vs json_extract), week truncation (both engines are
+ISO/Monday), and HUGEINT sums (CAST AS BIGINT per the repo parity rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+LPA_ITERS = 4
+
+
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON payload extraction + rollup: parse the `props` JSON
+    column with ONE schema-checked from_json (the production path — a
+    typed struct parsed once, not get_json_object re-parsing per
+    access), then aggregate the extracted field per event_type. At
+    100 TB this is a pure map stage + one partial/final hash aggregate;
+    the JSON parse is JVM-side Jackson inside codegen, no Python.
+    Oracle: DuckDB json_extract with the same BIGINT cast."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user navigation: per-user
+    event sequences (ordered by ts, event_id tiebreak), consecutive
+    (src_type -> dst_type) pairs via ONE lead window (the shuffle is
+    keyed by user_id — bounded-cardinality event types never hot-spot),
+    then P(dst|src) from two hash aggregates. The probability divides
+    exact integer counts (< 2^53) so the double is IEEE-identical in
+    both engines."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    cnt = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("src_type")
+    return cnt.select(
+        "src_type", "dst_type", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = ISO week of a user's
+    first event, one row per (cohort_week, week_offset) counting users
+    active that many weeks later. Two shuffles total: distinct
+    (user, week) pairs, then the user-keyed min/join rides the SAME
+    hash partitioning (no extra exchange), then one small aggregate.
+    Offsets are exact multiples of 7 days so the int division is
+    lossless in both engines; both engines truncate weeks to ISO
+    Monday."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    act = ev.select("user_id", wk.alias("act_week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    joined = act.join(cohort, "user_id")
+    return (
+        joined.select(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _expander_edges(spark: SparkSession) -> DataFrame:
+    """Symmetrized deterministic 97-node expander (doc_id residues; the
+    undirected closure of the bfs_hops graph)."""
+    docs = spark.table("documents")
+    a = (F.col("doc_id") % 97).cast("long")
+    nd = lambda e: F.concat(F.lit("n"), e.cast("string"))
+    pairs = []
+    for m, c in ((3, 1), (5, 2)):
+        b = (m * a + c) % 97
+        pairs.append(docs.select(nd(a).alias("src"), nd(b).alias("dst")))
+        pairs.append(docs.select(nd(b).alias("src"), nd(a).alias("dst")))
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (Raghavan 2007, deterministic
+    synchronous variant) over the symmetrized 97-node expander: 4
+    simultaneous rounds of adopt-the-most-frequent-neighbor-label,
+    ties -> smallest label. The oracle unrolls the identical rounds as
+    chained CTEs (count -> per-node ROW_NUMBER argmax), an independent
+    formulation of the same schedule-free update; a third pure-Python
+    replay guards the operator in pytest (distributed path forced)."""
+    from .operators.graph import label_propagation
+
+    _register(spark, sf_dir, "documents")
+    return label_propagation(_expander_edges(spark), n_iters=LPA_ITERS)
+
+
+def _lpa_sql(iters: int) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        c{k} AS (
+          SELECT e.dst AS node, l.label, COUNT(*) AS c
+          FROM e JOIN l{k - 1} l ON l.node = e.src
+          GROUP BY e.dst, l.label
+        ),
+        l{k} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{k}
+          ) z WHERE rn = 1
+        )""")
+    return f"""
+        WITH base AS (SELECT doc_id % 97 AS a FROM documents),
+        e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT 'n' || CAST(a AS VARCHAR) AS src,
+                   'n' || CAST((3 * a + 1) % 97 AS VARCHAR) AS dst FROM base
+            UNION ALL
+            SELECT 'n' || CAST((3 * a + 1) % 97 AS VARCHAR),
+                   'n' || CAST(a AS VARCHAR) FROM base
+            UNION ALL
+            SELECT 'n' || CAST(a AS VARCHAR),
+                   'n' || CAST((5 * a + 2) % 97 AS VARCHAR) FROM base
+            UNION ALL
+            SELECT 'n' || CAST((5 * a + 2) % 97 AS VARCHAR),
+                   'n' || CAST(a AS VARCHAR) FROM base
+          ) u
+        ),
+        nodes AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        l0 AS (SELECT node, node AS label FROM nodes),
+        {",".join(steps)}
+        SELECT node, label FROM l{iters}
+    """
+
+
+def _oracle_sqls() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+    sqls["json_extract_stats"] = """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               ROUND(AVG(k), 6) AS avg_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k
+        FROM (
+          SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events
+        ) t
+        GROUP BY event_type
+    """
+    sqls["transition_probs"] = """
+        WITH pairs AS (
+          SELECT event_type AS src_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst_type
+          FROM events
+        ),
+        cnt AS (
+          SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs WHERE dst_type IS NOT NULL
+          GROUP BY src_type, dst_type
+        )
+        SELECT src_type, dst_type, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE),
+                     6) AS prob
+        FROM cnt
+    """
+    sqls["cohort_retention"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+          FROM events
+        ),
+        coh AS (
+          SELECT user_id, MIN(act_week) AS cohort_week FROM act GROUP BY user_id
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, act_week) / 7 AS INT)
+                 AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM act JOIN coh USING (user_id)
+        GROUP BY cohort_week, week_offset
+    """
+    sqls["lpa_communities"] = _lpa_sql(LPA_ITERS)
+    return sqls
+
+
+def queries() -> dict:
+    return {
+        "json_extract_stats": q_json_extract_stats,
+        "transition_probs": q_transition_probs,
+        "cohort_retention": q_cohort_retention,
+        "lpa_communities": q_lpa_communities,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracle_sqls()

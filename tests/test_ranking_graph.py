@@ -202,3 +202,31 @@ def test_chi2_min_df_and_top_k(spark):
     assert terms == {"bb"}  # aa (df=1) pruned
     top = ranking.chi2_terms(docs, "doc_id", "lang", min_df=1, top_k=1).collect()
     assert len(top) == 1
+
+
+def test_lpa_distributed_equals_local(spark):
+    import random
+
+    rng = random.Random(11)
+    base = {(f"v{rng.randrange(20)}", f"v{rng.randrange(20)}") for _ in range(70)}
+    base = {(a, b) for a, b in base if a != b}
+    sym = base | {(b, a) for a, b in base}
+    edges = spark.createDataFrame(sorted(sym), "src string, dst string")
+    local = {r.node: r.label
+             for r in graph.label_propagation(edges, n_iters=4).collect()}
+    dist = {r.node: r.label
+            for r in graph.label_propagation(edges, n_iters=4, local_threshold=0).collect()}
+    assert local == dist and len(local) > 0
+
+
+def test_lpa_two_cliques_converge(spark):
+    # two 4-cliques joined by one bridge edge: each clique collapses to its
+    # own min label; the bridge alone can't outvote 3 in-clique neighbors
+    cl1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(4) if i != j]
+    cl2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(4) if i != j]
+    bridge = [("a0", "b0"), ("b0", "a0")]
+    edges = spark.createDataFrame(cl1 + cl2 + bridge, "src string, dst string")
+    got = {r.node: r.label
+           for r in graph.label_propagation(edges, n_iters=6).collect()}
+    assert all(got[f"a{i}"] == "a0" for i in range(4))
+    assert all(got[f"b{i}"] == "b0" for i in range(1, 4))
