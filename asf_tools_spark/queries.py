@@ -401,6 +401,157 @@ def q_flood_depth_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders for one market segment at a date cutoff. Plan: the filtered
+    customer dim BROADCASTS into orders (no shuffle on the fact),
+    orders->lineitem is the one co-partitioned join, top-10 is
+    sort+limit (TakeOrdered heaps), never a global window. Revenue
+    rounded 4dp after the sum per the float-sum parity precedent
+    (pricing_summary)."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = spark.table("customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").where(F.col("o_orderdate") < cutoff)
+    li = spark.table("lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for
+    orders placed in 1996 where the supplier and customer share the
+    nation, customers in EUROPE. Plan: all four dims (customer,
+    supplier, nation, region) broadcast — the only exchange is the
+    lineitem->orders co-partitioned join; the c_nationkey = s_nationkey
+    colocation rule rides the supplier broadcast as an equi-key, not a
+    post-filter."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem",
+              "supplier", "nation", "region")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    o = spark.table("orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = spark.table("lineitem")
+    c = spark.table("customer")
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    r = spark.table("region").where(F.col("r_name") == "EUROPE")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (F.col("c_nationkey") == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint report (Schelter 2018, public
+    literature): one row per declared constraint with violation count,
+    table size and a pass flag. Constraint classes covered: key
+    uniqueness, referential integrity (anti-join), domain/set
+    membership, range bounds, null checks, and a cross-table temporal
+    rule (shipdate >= orderdate — violated ~5% in this synthetic data,
+    so the report carries real failures, not an all-green sheet).
+
+    Scale shape: all single-table checks over the same table are FUSED
+    into ONE scan + conditional aggregate (a 100 TB audit reads each
+    table once, not once per rule); uniqueness rides the same pass via
+    count - count(distinct); referential and temporal checks are one
+    shuffle-free broadcast anti-join / one co-partitioned join each."""
+    _register(spark, sf_dir, "orders", "customer", "lineitem")
+    o, c, li = (
+        spark.table("orders"), spark.table("customer"), spark.table("lineitem")
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("_dupes"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias("_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("_price"),
+    )
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")).alias("_dupes"),
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")).alias("_qty"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)).cast("long")).alias("_disc"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("_shipnull"),
+    )
+    orphan = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("_bad"))
+    )
+    temporal = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("long")).alias("_bad"))
+    )
+    n_o = o_agg.select("_n")
+    n_li = li_agg.select("_n")
+
+    def rows_from(agg_df, pairs):
+        outs = []
+        for name, bad_col in pairs:
+            outs.append(agg_df.select(
+                F.lit(name).alias("check_name"),
+                F.col(bad_col).cast("long").alias("n_bad"),
+                F.col("_n").cast("long").alias("n_rows"),
+            ))
+        return outs
+
+    parts = rows_from(o_agg, [
+        ("orders.o_orderkey unique", "_dupes"),
+        ("orders.o_orderstatus in {O,F,P}", "_status"),
+        ("orders.o_totalprice > 0", "_price"),
+    ]) + rows_from(li_agg, [
+        ("lineitem.(l_orderkey,l_linenumber) unique", "_dupes"),
+        ("lineitem.l_quantity in [1,50]", "_qty"),
+        ("lineitem.l_discount in [0,0.08]", "_disc"),
+        ("lineitem.l_shipdate not null", "_shipnull"),
+    ]) + [
+        orphan.crossJoin(n_o).select(
+            F.lit("orders.o_custkey references customer").alias("check_name"),
+            F.col("_bad").cast("long").alias("n_bad"),
+            F.col("_n").cast("long").alias("n_rows"),
+        ),
+        temporal.crossJoin(n_li).select(
+            F.lit("lineitem.l_shipdate >= orders.o_orderdate").alias("check_name"),
+            F.col("_bad").cast("long").alias("n_bad"),
+            F.col("_n").cast("long").alias("n_rows"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check_name", "n_bad", "n_rows", (F.col("n_bad") == 0).alias("passed")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
@@ -862,6 +1013,84 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "morans_i": _morans_oracle(),
         "gi_star": _gi_star_oracle(),
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "region_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "dq_checks": """
+            WITH o_agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dupes,
+                     CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS status,
+                     CAST(SUM(CASE WHEN o_totalprice <= 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS price
+              FROM orders
+            ),
+            li_agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                          AS BIGINT) AS dupes,
+                     CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                              THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+                     CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08
+                              THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                     CAST(SUM(CASE WHEN l_shipdate IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS shipnull
+              FROM lineitem
+            ),
+            orphan AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS bad
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL
+            ),
+            temporal AS (
+              SELECT CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                              THEN 1 ELSE 0 END) AS BIGINT) AS bad
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            rep AS (
+              SELECT 'orders.o_orderkey unique' AS check_name,
+                     dupes AS n_bad, n AS n_rows FROM o_agg
+              UNION ALL SELECT 'orders.o_orderstatus in {O,F,P}', status, n FROM o_agg
+              UNION ALL SELECT 'orders.o_totalprice > 0', price, n FROM o_agg
+              UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+                               dupes, n FROM li_agg
+              UNION ALL SELECT 'lineitem.l_quantity in [1,50]', qty, n FROM li_agg
+              UNION ALL SELECT 'lineitem.l_discount in [0,0.08]', disc, n FROM li_agg
+              UNION ALL SELECT 'lineitem.l_shipdate not null', shipnull, n FROM li_agg
+              UNION ALL SELECT 'orders.o_custkey references customer',
+                               orphan.bad, o_agg.n FROM orphan, o_agg
+              UNION ALL SELECT 'lineitem.l_shipdate >= orders.o_orderdate',
+                               temporal.bad, li_agg.n FROM temporal, li_agg
+            )
+            SELECT check_name, n_bad, n_rows, (n_bad = 0) AS passed FROM rep
+        """,
         "distance_pairs": _distance_pairs_oracle(),
         "convex_hull": _convex_hull_oracle(),
         "tile_assignments": f"""
@@ -1054,7 +1283,8 @@ _REGISTRY_HEAD = [
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
     "json_extract_stats", "transition_probs", "cohort_retention",
-    "lpa_communities",
+    "lpa_communities", "nb_classify", "dq_checks",
+    "shipping_priority", "region_supplier_volume",
     "zipf_slope", "domain_quality", "simplify_rings", "containment_pairs",
     "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",
@@ -1139,6 +1369,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_intersection": q_candidate_intersection,
         "remove_small_segments": q_remove_small_segments,
         "pricing_summary": q_pricing_summary,
+        "dq_checks": q_dq_checks,
+        "shipping_priority": q_shipping_priority,
+        "region_supplier_volume": q_region_supplier_volume,
         "dedup_exact": q_dedup_exact,
         "bloom_join": q_bloom_join,
         "domain_stats": q_domain_stats,

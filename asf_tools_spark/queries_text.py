@@ -1807,6 +1807,56 @@ def _oracle_sqls() -> dict[str, str]:
                rrf
         FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
     """
+    sqls["nb_classify"] = f"""
+        WITH toks AS ({_toks_sql}),
+        tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        lab AS (SELECT doc_id, lang FROM documents),
+        trtc AS (
+          SELECT tc.doc_id, lab.lang, tc.term, tc.tf
+          FROM tc JOIN lab USING (doc_id) WHERE tc.doc_id % 5 <> 0
+        ),
+        cnt AS (SELECT lang, term, CAST(SUM(tf) AS BIGINT) AS c
+                FROM trtc GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT term FROM trtc),
+        vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        tokc AS (SELECT lang, CAST(SUM(tf) AS BIGINT) AS toks
+                 FROM trtc GROUP BY 1),
+        classes AS (SELECT DISTINCT lang FROM trtc),
+        model AS (
+          SELECT g.lang, g.term,
+                 CAST(ROUND(LN((COALESCE(cnt.c, 0) + 1.0)
+                              / CAST(tokc.toks + vs.v AS DOUBLE)) * 1000000,
+                            0) AS BIGINT) AS w
+          FROM (SELECT c.lang, v.term FROM classes c CROSS JOIN vocab v) g
+          JOIN tokc ON tokc.lang = g.lang
+          CROSS JOIN vsize vs
+          LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.term = g.term
+        ),
+        ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+                  WHERE doc_id % 5 <> 0),
+        prior AS (
+          SELECT lang,
+                 CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / nd.n) * 1000000,
+                            0) AS BIGINT) AS p
+          FROM documents CROSS JOIN ndocs nd
+          WHERE doc_id % 5 <> 0 GROUP BY lang, nd.n
+        ),
+        scored AS (
+          SELECT t.doc_id, m.lang,
+                 p.p + CAST(SUM(t.tf * m.w) AS BIGINT) AS score
+          FROM (SELECT * FROM tc WHERE doc_id % 5 = 0) t
+          JOIN model m ON m.term = t.term
+          JOIN prior p ON p.lang = m.lang
+          GROUP BY t.doc_id, m.lang, p.p
+        )
+        SELECT doc_id, lang AS pred_lang, score FROM (
+          SELECT doc_id, lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang ASC) AS rn
+          FROM scored
+        ) z WHERE rn = 1
+    """
     sqls["cooccur_pmi"] = f"""
         WITH base AS (
           SELECT doc_id, string_split({_norm_sql("text")}, ' ') AS ws,
@@ -2587,6 +2637,89 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    end-to-end in the engine (McCallum & Nigam 1998): train on the
+    doc_id % 5 != 0 slice (labels = lang), Laplace alpha=1, score the
+    held-out slice, emit the argmax class per doc. Unlike the
+    gradient-trained logistic row (classifier_score, frozen weights),
+    NB training is closed-form aggregates — so the ENTIRE train+score
+    pipeline is replayed by the SQL oracle, a full cross-engine proof
+    of a trainable model.
+
+    Float discipline: per-(term, class) log-likelihoods are computed
+    once and quantized to integer micro-nats (round(ln(p) * 1e6)) —
+    document scores are then pure BIGINT sums, order-independent, so
+    cross-engine parity cannot be broken by summation order; the only
+    transcendental is one ln per model cell. Shapes at scale: the model
+    is |V| x |C| rows (broadcastable by construction), test scoring is
+    one broadcast hash join + one partial/final sum, argmax is min_by
+    over a (-score, lang) struct — no per-doc window."""
+    from .operators.ranking import term_counts
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+
+    trtc = term_counts(train, "doc_id").join(
+        train.select("doc_id", "lang"), "doc_id"
+    )
+    cnt = trtc.groupBy("lang", "term").agg(F.sum("tf").alias("_c"))
+    vocab = trtc.select("term").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    tokc = trtc.groupBy("lang").agg(F.sum("tf").alias("_toks"))
+    classes = train.select("lang").distinct()
+    # model grid = |C| x |V| by construction: a broadcast nested loop of the
+    # vocab against the handful of classes, never a CartesianProduct shuffle
+    grid = classes.crossJoin(F.broadcast(vocab))
+    model = (
+        grid.join(tokc, "lang")
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["lang", "term"], "left")
+        .select(
+            "lang", "term",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_toks") + F.col("_v")).cast("double")
+                ) * 1e6,
+                0,
+            ).cast("long").alias("_w"),
+        )
+    )
+    ndocs = train.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    prior = (
+        train.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("_nc"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("_nc").cast("double") / F.col("_n")) * 1e6, 0
+            ).cast("long").alias("_p"),
+        )
+    )
+    scored = (
+        term_counts(test, "doc_id")
+        .join(F.broadcast(model), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("_w")).alias("_s"))
+        .join(F.broadcast(prior), "lang")
+        .select("doc_id", "lang", (F.col("_p") + F.col("_s")).alias("score"))
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("lang", "score"),
+            F.struct((-F.col("score")).alias("ns"), F.col("lang")),
+        ).alias("_b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("_b.lang").alias("pred_lang"),
+        F.col("_b.score").alias("score"),
+    )
+
+
 def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 collocations by PMI within a 3-token window (Church & Hanks
     1990) — the embedding-preprocessing statistic. Pair generation is a
@@ -3135,6 +3268,7 @@ def queries() -> dict:
         "shortest_paths": q_shortest_paths,
         "scd2_history": q_scd2_history,
         "rrf_fusion": q_rrf_fusion,
+        "nb_classify": q_nb_classify,
         "char_entropy": q_char_entropy,
         "event_funnel": q_event_funnel,
         "setsim_join": q_setsim_join,

@@ -112,6 +112,10 @@ _BNLJ_ALLOWED = {
     "lm_perplexity",  # 1-row vocab-size scalar broadcast into LM smoothing
     "chi2_terms",  # 1-row N + L-row label-marginal broadcast replication
     "histogram_quantile",  # 3-row quantile-literal frame broadcast into bins
+    "morans_i", "gi_star",  # 1-row global-moment scalar broadcast joins
+    "rrf_fusion",  # full-outer of two 50-row rank lists (BHJ can't do full outer)
+    "nb_classify",  # model grid = |C| x |V| broadcast NL + 1-row V/N scalars
+    "dq_checks",  # 1-row x 1-row report-line combines
 }
 
 # These queries execute eagerly while BUILDING (driver-side selection /
