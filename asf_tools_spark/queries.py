@@ -1284,7 +1284,8 @@ _REGISTRY_HEAD = [
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
     "json_extract_stats", "transition_probs", "cohort_retention",
     "lpa_communities", "nb_classify", "dq_checks",
-    "shipping_priority", "region_supplier_volume",
+    "shipping_priority", "region_supplier_volume", "textrank_terms",
+    "gap_fill_days",
     "zipf_slope", "domain_quality", "simplify_rings", "containment_pairs",
     "idw_grid", "pip_page_counts",
     "hotspot_clusters", "editsim_pairs",

@@ -103,6 +103,49 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF: densify per-user daily activity onto
+    the full observed calendar (missing days -> 0 events) and carry the
+    last observed daily mean value forward (classic warehouse
+    backfill / downstream-feature prep). Calendar = explode(sequence)
+    off the 1-row global bounds aggregate — no driver collect; the
+    user x calendar grid is a broadcast NL of the tiny calendar frame.
+    Leading days before a user's first event have no LOCF source ->
+    sentinel 0.0 (NULL would break mixed-type row sorts downstream).
+    Oracle replays the grid with a bounded generate_series + the same
+    IGNORE NULLS running window."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = (
+        ev.select(F.col("user_id"), day.alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("day_value"),
+        )
+    )
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(cal))
+    filled = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id", "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.last("day_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("value_locf"),
+    )
+
+
 def _expander_edges(spark: SparkSession) -> DataFrame:
     """Symmetrized deterministic 97-node expander (doc_id residues; the
     undirected closure of the bfs_hops graph)."""
@@ -226,6 +269,35 @@ def _oracle_sqls() -> dict[str, str]:
         GROUP BY cohort_week, week_offset
     """
     sqls["lpa_communities"] = _lpa_sql(LPA_ITERS)
+    sqls["gap_fill_days"] = """
+        WITH daily AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 ROUND(AVG(value), 6) AS day_value
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+                 CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+          FROM events
+        ),
+        cal AS (
+          SELECT CAST(lo + (g.i * INTERVAL 1 DAY) AS DATE) AS day
+          FROM bounds, (SELECT unnest(range(0, 10000)) AS i) g
+          WHERE lo + (g.i * INTERVAL 1 DAY) <= hi
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        grid AS (SELECT u.user_id, c.day FROM users u CROSS JOIN cal c)
+        SELECT g.user_id, g.day,
+               CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+               COALESCE(
+                 last_value(d.day_value IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 CAST(0 AS DOUBLE)) AS value_locf
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.day = g.day
+    """
     return sqls
 
 
@@ -234,6 +306,7 @@ def queries() -> dict:
         "json_extract_stats": q_json_extract_stats,
         "transition_probs": q_transition_probs,
         "cohort_retention": q_cohort_retention,
+        "gap_fill_days": q_gap_fill_days,
         "lpa_communities": q_lpa_communities,
     }
 

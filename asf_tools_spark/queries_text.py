@@ -691,6 +691,24 @@ def _norm_sql(col: str) -> str:
     return f"TRIM(regexp_replace(LOWER({col}), '\\s+', ' ', 'g'))"
 
 
+def _pagerank_unrolled_sql(iters: int) -> str:
+    """Power-iteration pagerank as ``iters`` unrolled nested subqueries
+    (aggregation is illegal in a recursive CTE term). Expects CTEs named
+    ``nodes`` (node), ``edges`` (src, dst) and ``deg`` (src, deg)."""
+    pr = "SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes"
+    for _ in range(iters):
+        pr = f"""
+          SELECT n.node, 0.15 + 0.85 * COALESCE(s.s, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.deg) AS s
+            FROM ({pr}) p
+            JOIN edges e ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node
+        """
+    return pr
+
+
 def _shingles_sql(src: str = "documents") -> str:
     return f"""(
       SELECT DISTINCT doc_id, w AS shingle FROM (
@@ -1890,18 +1908,10 @@ def _oracle_sqls() -> dict[str, str]:
         ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 40
     """
     # pagerank: 10 power iterations UNROLLED (aggregation is illegal in a
-    # recursive CTE term); same simplified formulation as operators/graph
-    _pr = "SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes"
-    for _ in range(10):
-        _pr = f"""
-          SELECT n.node, 0.15 + 0.85 * COALESCE(s.s, 0.0) AS rank
-          FROM nodes n LEFT JOIN (
-            SELECT e.dst AS node, SUM(p.rank / d.deg) AS s
-            FROM ({_pr}) p
-            JOIN edges e ON e.src = p.node
-            JOIN deg d ON d.src = e.src
-            GROUP BY e.dst) s ON s.node = n.node
-        """
+    # recursive CTE term); same simplified formulation as operators/graph.
+    # Shared by pagerank_domains and textrank_terms (expects CTEs named
+    # nodes / edges / deg in scope).
+    _pr = _pagerank_unrolled_sql(10)
     sqls["pagerank_domains"] = f"""
         WITH edges AS (
           SELECT DISTINCT source AS src,
@@ -1912,6 +1922,34 @@ def _oracle_sqls() -> dict[str, str]:
                   UNION SELECT dst FROM edges),
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
         SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM ({_pr}) z
+    """
+    sqls["textrank_terms"] = f"""
+        WITH base AS (
+          SELECT doc_id, string_split({_norm_sql("text")}, ' ') AS ws,
+                 len(string_split({_norm_sql("text")}, ' ')) AS nw
+          FROM documents
+        ),
+        toks AS (
+          SELECT b.doc_id, g.i AS q, b.ws[g.i] AS w
+          FROM base b, (SELECT unnest(range(1, {ORACLE_MAX_WORDS} + 1)) AS i) g
+          WHERE g.i <= b.nw
+        ),
+        pairs AS (
+          SELECT t1.w AS a, t2.w AS b
+          FROM toks t1 JOIN toks t2
+            ON t1.doc_id = t2.doc_id AND t2.q = t1.q + 1
+          WHERE t1.w <> t2.w AND LENGTH(t1.w) > 0 AND LENGTH(t2.w) > 0
+        ),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+          ) u
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
+        SELECT node AS term, CAST(ROUND(rank, 6) AS DOUBLE) AS rank
+        FROM ({_pr}) z
     """
     # weighted_sample: exact A-ES selection replay (same u, same order)
     _ws_h = _hash8("doc_id", "wsmp-")
@@ -2757,6 +2795,49 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank (10
+    iterations, d=0.85) over the word adjacency graph — undirected
+    distinct edges between consecutive normalized tokens. Pair
+    generation is a per-row array zip (slice k vs slice k+1 of the
+    token array), NO positions self-join; the graph is vocabulary-sized
+    (tiny relative to the corpus, broadcastable at any scale), so the
+    expensive part stays a single corpus map pass + dedup. All terms
+    returned (no top-k float boundary); oracle = positions-join pair
+    builder + the shared unrolled power-iteration SQL."""
+    from .operators.graph import pagerank
+    from .operators.text import normalize_text
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    norm = F.coalesce(normalize_text(F.col("text")), F.lit(""))
+    toks = F.filter(F.split(norm, " "), lambda w: F.length(w) > 0)
+    # token array staged behind the Generate fence (repo discipline: keeps
+    # the normalize regex evaluated once, not re-substituted per consumer)
+    t = docs.select(F.explode(F.array(toks)).alias("ws"))
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = (
+        t.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", F.lit(1), n1),
+                    F.slice("ws", F.lit(2), n1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank(edges, n_iters=10, damping=0.85)
+    return pr.select(
+        F.col("node").alias("term"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample-without-replacement (top-60 by
     ln(u)/w, u md5-deterministic, w = n_chars): the corpus-mixing
@@ -3269,6 +3350,7 @@ def queries() -> dict:
         "scd2_history": q_scd2_history,
         "rrf_fusion": q_rrf_fusion,
         "nb_classify": q_nb_classify,
+        "textrank_terms": q_textrank_terms,
         "char_entropy": q_char_entropy,
         "event_funnel": q_event_funnel,
         "setsim_join": q_setsim_join,
