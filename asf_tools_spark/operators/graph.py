@@ -31,9 +31,24 @@ def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     n_iters: int = 10, damping: float = 0.85,
     checkpoint_interval: int | None = None,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, rank) after ``n_iters`` power iterations. Multi-edges count
-    once per row (pre-distinct the input for simple-graph semantics)."""
+    once per row (pre-distinct the input for simple-graph semantics).
+
+    Driver-local small-graph guard (same discipline as hits/bfs_hops:
+    iterative rounds over a tiny graph are ~90% job-launch overhead —
+    the hits row went 81s -> ~1s with this): one take(k+1) doubles as
+    the collect; pass local_threshold=0 to force the distributed path,
+    as the tests do. Both paths run the identical formulation; ranks
+    agree to float-sum reassociation (callers round, as the oracle
+    does)."""
+    if local_threshold:
+        rows = edges.select(src, dst).take(local_threshold + 1)
+        if len(rows) <= local_threshold:
+            return _pagerank_local(
+                edges.sparkSession, rows, src, dst, n_iters, damping
+            )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -67,6 +82,28 @@ def pagerank(
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_local(spark, edge_rows, src, dst, n_iters: int, damping: float) -> DataFrame:
+    """Driver-local replay of exactly the distributed iterations."""
+    import numpy as np
+
+    if not edge_rows:
+        return spark.createDataFrame([], "node string, rank double")
+    srcs = [r[src] for r in edge_rows]
+    dsts = [r[dst] for r in edge_rows]
+    nodes = sorted(set(srcs) | set(dsts))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.array([idx[s] for s in srcs])
+    di = np.array([idx[d] for d in dsts])
+    deg = np.bincount(si, minlength=len(nodes)).astype(float)
+    rank = np.ones(len(nodes))
+    for _ in range(n_iters):
+        s = np.bincount(di, weights=rank[si] / deg[si], minlength=len(nodes))
+        rank = (1.0 - damping) + damping * s
+    return spark.createDataFrame(
+        [(n, float(rank[idx[n]])) for n in nodes], "node string, rank double"
+    )
 
 
 def hits(

@@ -230,3 +230,19 @@ def test_lpa_two_cliques_converge(spark):
            for r in graph.label_propagation(edges, n_iters=6).collect()}
     assert all(got[f"a{i}"] == "a0" for i in range(4))
     assert all(got[f"b{i}"] == "b0" for i in range(1, 4))
+
+
+def test_pagerank_distributed_equals_local(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = spark.createDataFrame(
+        list({(f"s{rng.randrange(15)}", f"d{rng.randrange(9)}") for _ in range(80)}),
+        "src string, dst string",
+    )
+    local = {r.node: r.rank for r in graph.pagerank(edges, n_iters=10).collect()}
+    dist = {r.node: r.rank
+            for r in graph.pagerank(edges, n_iters=10, local_threshold=0).collect()}
+    assert local.keys() == dist.keys()
+    for n in local:
+        assert local[n] == pytest.approx(dist[n], abs=1e-9)
