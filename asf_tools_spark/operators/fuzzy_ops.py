@@ -82,35 +82,25 @@ def slope_magnitude_col(grid: DataFrame, value_col: str = "value",
     return grid.withColumn(out, F.atan(mag) / float(np.pi) * 180.0)
 
 
-def hillshade_horn(
+def horn_derivatives(
     grid: DataFrame, value_col: str = "value", pixel_size: float = 30.0,
-    azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
-    z_factor: float = 1.0, out: str = "hillshade",
 ) -> DataFrame:
-    """Horn (1981) 3x3 hillshade — the `gdaldem hillshade` formula the
-    reference's DEM tooling leans on (ref prepare_hand stack reads GDAL
-    DEM derivatives; slope half is water_map.py:93-97):
+    """Horn (1981) 3x3 finite differences — the shared stencil under
+    hillshade/aspect (ref prepare_hand stack reads GDAL DEM derivatives;
+    slope half is water_map.py:93-97):
 
         dz/dx = ((c + 2f + i) - (a + 2d + g)) / (8 * pixel)
         dz/dy = ((g + 2h + i) - (a + 2b + c)) / (8 * pixel)
-        shade = 255 * (cos(zen) * cos(slope)
-                       + sin(zen) * sin(slope) * cos(az_math - aspect))
-
-    with slope = atan(z * hypot(dz/dx, dz/dy)), aspect = atan2(dzdy,
-    -dzdx), zen = radians(90 - altitude), az_math = radians(360 -
-    azimuth + 90), clamped at 0 (GDAL/ESRI convention; cos is even and
-    periodic so aspect needs no branch normalization).
 
     Shape: scatter-stencil — each pixel is exploded to the 9 windows it
     participates in (one narrow shuffle keyed by target cell), the 3x3
     window is rebuilt by conditional aggregation (each slot has exactly
-    one contributor, so max() is the identity pick), and the shade is
-    one closed-form whole-stage-codegen expression. No UDF, and no
+    one contributor, so max() is the identity pick). No UDF, and no
     BETWEEN self-join (which would plan BNLJ). Interior cells only
     (count(*) = 9): edge conventions vary per tool, and at 100 TB the
     halo exchange for tile borders is this same explode with tile-id
     keys. Expected rows per input row: exactly 9 — linear, skew-free
-    (grid keys are unique)."""
+    (grid keys are unique). Returns (trow, tcol, _dzdx, _dzdy)."""
     v = F.col(value_col).cast("double")
     offs = F.explode(F.array(*[
         F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
@@ -139,7 +129,28 @@ def hillshade_horn(
             - (F.col("_a") + 2.0 * F.col("_d") + F.col("_g"))) / eight_px
     dzdy = ((F.col("_g") + 2.0 * F.col("_h") + F.col("_i"))
             - (F.col("_a") + 2.0 * F.col("_b") + F.col("_c"))) / eight_px
-    nine = nine.withColumn("_dzdx", dzdx).withColumn("_dzdy", dzdy)
+    return nine.select(
+        "trow", "tcol", dzdx.alias("_dzdx"), dzdy.alias("_dzdy")
+    )
+
+
+def hillshade_horn(
+    grid: DataFrame, value_col: str = "value", pixel_size: float = 30.0,
+    azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
+    z_factor: float = 1.0, out: str = "hillshade",
+) -> DataFrame:
+    """Horn hillshade — the `gdaldem hillshade` closed form over
+    :func:`horn_derivatives`:
+
+        shade = 255 * (cos(zen) * cos(slope)
+                       + sin(zen) * sin(slope) * cos(az_math - aspect))
+
+    with slope = atan(z * hypot(dz/dx, dz/dy)), aspect = atan2(dzdy,
+    -dzdx), zen = radians(90 - altitude), az_math = radians(360 -
+    azimuth + 90), clamped at 0 (GDAL/ESRI convention; cos is even and
+    periodic so aspect needs no branch normalization). Pure
+    whole-stage-codegen expression on top of the stencil aggregate."""
+    nine = horn_derivatives(grid, value_col, pixel_size)
     slope_r = F.atan(F.lit(z_factor) * F.sqrt(
         F.col("_dzdx") * F.col("_dzdx") + F.col("_dzdy") * F.col("_dzdy")))
     aspect_r = F.atan2(F.col("_dzdy"), -F.col("_dzdx"))
@@ -152,4 +163,29 @@ def hillshade_horn(
     return nine.select(
         F.col("trow").alias("row"), F.col("tcol").alias("col"),
         F.greatest(F.lit(0.0), shade).alias(out),
+    )
+
+
+def aspect_horn(
+    grid: DataFrame, value_col: str = "value", pixel_size: float = 30.0,
+    flat_sentinel: float = -1.0, out: str = "aspect",
+) -> DataFrame:
+    """`gdaldem aspect` companion over the same :func:`horn_derivatives`
+    stencil: compass azimuth of steepest descent in degrees (0 = north,
+    clockwise),
+
+        aspect = ((90 - degrees(atan2(dzdy, -dzdx))) % 360 + 360) % 360
+
+    with exactly-flat cells (dzdx = dzdy = 0 — an EXACT double test: both
+    derivatives are the same closed form over the same rounded inputs in
+    any engine) mapped to ``flat_sentinel`` (GDAL emits nodata there).
+    The double-% keeps the result in [0, 360) under Java's and DuckDB's
+    shared sign-of-dividend fmod semantics."""
+    nine = horn_derivatives(grid, value_col, pixel_size)
+    deg = F.lit(90.0) - F.degrees(F.atan2(F.col("_dzdy"), -F.col("_dzdx")))
+    az = (deg % F.lit(360.0) + F.lit(360.0)) % F.lit(360.0)
+    flat = (F.col("_dzdx") == 0.0) & (F.col("_dzdy") == 0.0)
+    return nine.select(
+        F.col("trow").alias("row"), F.col("tcol").alias("col"),
+        F.when(flat, F.lit(flat_sentinel)).otherwise(az).alias(out),
     )

@@ -235,3 +235,57 @@ def determine_em_threshold_distributed(
     rows = em_thresholds_for_tiles(grid, selected, scaling, tile_shape).collect()
     thresholds = [r.threshold for r in rows]
     return float(np.median(np.sort(thresholds)[:4]))
+
+
+def tile_pyramid(
+    points: DataFrame, base_res: int, lat: str = "lat", lon: str = "lon",
+    value_col: str = "value", min_res: int = 0,
+) -> DataFrame:
+    """Web-map tile-pyramid rollup (the multi-zoom z/x/y aggregate a tile
+    server pre-computes; hypertable-rollup shape): counts + value sums per
+    grid cell at every resolution ``min_res..base_res``.
+
+    Scale shape: the point table is scanned EXACTLY ONCE — the base-zoom
+    aggregate (partial/final, map-side combine) is the only shuffle that
+    touches the 10^12 rows. Every coarser zoom derives from the base
+    cells: each base cell explodes into its (base_res-min_res+1) ancestor
+    keys (constant fan-out over at most 4^base_res rows — independent of
+    point count) and ONE second hash aggregate rolls all levels at once.
+    A naive per-level cascade would either re-scan the points per zoom or
+    need L materialization barriers; the ancestor-explode is one plan,
+    two exchanges, zero caching.
+
+    Returns (res, row, col, n_pages, sum_value); ``row``/``col`` are the
+    equirectangular grid indices of core.cells at each ``res``.
+    """
+    from ..core import cells as C
+
+    base = (
+        points.select(
+            F.expr(C.grid_y_sql(lat, base_res)).alias("row"),
+            F.expr(C.grid_x_sql(lon, base_res)).alias("col"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s"))
+    )
+    anc = F.explode(F.array(*[
+        F.struct(
+            F.lit(res).alias("res"),
+            F.shiftright(F.col("row"), base_res - res).alias("prow"),
+            F.shiftright(F.col("col"), base_res - res).alias("pcol"),
+        )
+        for res in range(min_res, base_res + 1)
+    ])).alias("a")
+    return (
+        base.select(anc, "_n", "_s")
+        .groupBy(
+            F.col("a.res").alias("res"),
+            F.col("a.prow").alias("row"),
+            F.col("a.pcol").alias("col"),
+        )
+        .agg(
+            F.sum("_n").cast("long").alias("n_pages"),
+            F.sum("_s").alias("sum_value"),
+        )
+    )

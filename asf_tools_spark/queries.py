@@ -717,6 +717,53 @@ def _idw_oracle() -> str:
     """
 
 
+_PYR_BASE_RES = 6
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom z/x/y tile-pyramid rollup of the geotagged pages (res 6
+    down to res 0) — the pre-aggregation a web-map tile server serves, and
+    the canonical hypertable-rollup shape. One scan of the point table
+    (base-zoom partial/final aggregate), then every coarser zoom rolls up
+    from the base CELLS via a constant-fan ancestor explode + one tiny
+    hash aggregate — at 10^12 pages the second exchange carries at most
+    7 * 4^6 rows. Oracle: per-level re-aggregation of the same base CTE
+    (a flat recompute — deliberately a different formulation than the
+    ancestor explode)."""
+    from .operators.tiling import tile_pyramid
+
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    pyr = tile_pyramid(pages, _PYR_BASE_RES)
+    return pyr.select(
+        "res", "row", "col", "n_pages",
+        F.round(F.col("sum_value") / F.col("n_pages"), 6).alias("mean_value"),
+    )
+
+
+def _tile_pyramid_oracle() -> str:
+    from .core import cells as C
+
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    px = C.grid_x_sql("lon", _PYR_BASE_RES)
+    py = C.grid_y_sql("lat", _PYR_BASE_RES)
+    levels = ", ".join(f"({r})" for r in range(_PYR_BASE_RES + 1))
+    return f"""
+        WITH base AS (
+          SELECT {py} AS row, {px} AS col,
+                 COUNT(*) AS n, SUM(value) AS s
+          FROM {docs} p GROUP BY 1, 2
+        ),
+        lv(res) AS (VALUES {levels})
+        SELECT lv.res,
+               base.row >> ({_PYR_BASE_RES} - lv.res) AS row,
+               base.col >> ({_PYR_BASE_RES} - lv.res) AS col,
+               CAST(SUM(n) AS BIGINT) AS n_pages,
+               ROUND(SUM(s) / SUM(n), 6) AS mean_value
+        FROM base CROSS JOIN lv
+        GROUP BY 1, 2, 3
+    """
+
+
 def _poly_verts_sql() -> str:
     from .sources.polygons import vertices_values_sql, watershed_polygons
 
@@ -1240,6 +1287,7 @@ def _oracle_sqls() -> dict[str, str]:
         "domain_quality": _domain_quality_oracle(),
         "pip_page_counts": _pip_oracle(),
         "idw_grid": _idw_oracle(),
+        "tile_pyramid": _tile_pyramid_oracle(),
         "simplify_rings": _simplify_oracle(),
         "polygon_stats": f"""
             WITH v AS (SELECT * FROM {_poly_verts_sql()} pv),
@@ -1280,6 +1328,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
+    "tile_pyramid", "aspect_grid",
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
     "json_extract_stats", "transition_probs", "cohort_retention",
@@ -1380,6 +1429,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_clusters": q_hotspot_clusters,
         "pip_page_counts": q_pip_page_counts,
         "idw_grid": q_idw_grid,
+        "tile_pyramid": q_tile_pyramid,
         "simplify_rings": q_simplify_rings,
         "domain_quality": q_domain_quality,
         "morans_i": q_morans_i,

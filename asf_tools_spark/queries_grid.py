@@ -112,6 +112,21 @@ def q_hillshade_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row", "col", F.round("hillshade", 6).alias("hillshade"))
 
 
+def q_aspect_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdaldem aspect` over the same DEM-ish grid — compass azimuth of
+    steepest descent from the SAME Horn stencil hillshade rides
+    (operators.fuzzy_ops.horn_derivatives: 9-way scatter explode + ONE
+    hash aggregate; no UDF, no BNLJ). Exactly-flat cells (both Horn
+    derivatives 0.0 — an exact double test, identical in both engines)
+    get the -1.0 sentinel, as GDAL emits nodata. Oracle replays the
+    stencil + closed form over the shared CTE text."""
+    from .operators.fuzzy_ops import aspect_horn
+
+    g = _grid_df(spark).select("row", "col", F.col("v").alias("value"))
+    out = aspect_horn(g, "value", pixel_size=_HS_PIXEL)
+    return out.select("row", "col", F.round("aspect", 6).alias("aspect"))
+
+
 def _water_grid(spark: SparkSession) -> DataFrame:
     g = _grid_df(spark)
     return g.select(
@@ -533,10 +548,11 @@ def _oracle_sqls() -> dict[str, str]:
         JOIN opened ON opened.row = wg.row AND opened.col = wg.col
         JOIN closed ON closed.row = wg.row AND closed.col = wg.col
     """
-    # hillshade: az/alt trig factors are pre-evaluated python doubles whose
-    # repr round-trips exactly in BOTH engines (no cross-libm cos(zen) drift)
+    # hillshade/aspect: az/alt trig factors are pre-evaluated python doubles
+    # whose repr round-trips exactly in BOTH engines (no cross-libm
+    # cos(zen) drift); the Horn stencil CTEs are shared verbatim
     cz, sz, az = repr(_HS_COS_ZEN), repr(_HS_SIN_ZEN), repr(_HS_AZ_MATH)
-    sqls["hillshade_grid"] = f"""
+    horn_ctes = f"""
         WITH offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
                                      (0,1),(1,-1),(1,0),(1,1)),
         cand AS (
@@ -565,11 +581,23 @@ def _oracle_sqls() -> dict[str, str]:
                    / CAST({8.0 * _HS_PIXEL} AS DOUBLE) AS dzdy
           FROM nine WHERE n = 9
         )
+    """
+    sqls["hillshade_grid"] = f"""
+        {horn_ctes}
         SELECT trow AS row, tcol AS col,
                ROUND(GREATEST(CAST(0 AS DOUBLE),
                  255.0 * ({cz} * COS(ATAN(SQRT(dzdx*dzdx + dzdy*dzdy)))
                         + {sz} * SIN(ATAN(SQRT(dzdx*dzdx + dzdy*dzdy)))
                              * COS({az} - ATAN2(dzdy, -dzdx)))), 6) AS hillshade
+        FROM deriv
+    """
+    sqls["aspect_grid"] = f"""
+        {horn_ctes}
+        SELECT trow AS row, tcol AS col,
+               CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN CAST(-1.0 AS DOUBLE)
+                    ELSE ROUND((((90.0 - DEGREES(ATAN2(dzdy, -dzdx)))
+                                 % 360.0) + 360.0) % 360.0, 6)
+               END AS aspect
         FROM deriv
     """
     values = ", ".join(f"({tid}, {thr!r})" for tid, thr in _em_expected())
@@ -605,6 +633,7 @@ def queries() -> dict:
         "threshold_water_map": q_threshold_water_map,
         "slope_rows": q_slope_rows,
         "hillshade_grid": q_hillshade_grid,
+        "aspect_grid": q_aspect_grid,
         "grid_labels": q_grid_labels,
         "segment_areas_grid": q_segment_areas_grid,
         "label_bboxes": q_label_bboxes,

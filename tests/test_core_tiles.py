@@ -78,3 +78,31 @@ def test_tile_id_sql_matches_numpy(spark):
     sql = tiles.tile_id_sql("row", "col", 700, (100, 100))
     got = np.array([r.t for r in df.selectExpr(f"{sql} AS t").collect()])
     assert (got == expected).all()
+
+
+def test_tile_pyramid_conserves_mass_and_halves_keys(spark):
+    import pandas as pd
+
+    from asf_tools_spark.operators.tiling import tile_pyramid
+
+    pdf = pd.DataFrame({
+        "lat": [-89.9, -89.9, 89.9, 0.1],
+        "lon": [-179.9, -179.8, 179.9, 0.1],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = tile_pyramid(spark.createDataFrame(pdf), base_res=3).toPandas()
+    # every zoom level conserves count and value mass
+    g = out.groupby("res")[["n_pages", "sum_value"]].sum()
+    assert set(g.index) == set(range(4))
+    assert (g["n_pages"] == 4).all()
+    np.testing.assert_allclose(g["sum_value"], 10.0)
+    # the apex is a single world cell
+    top = out[out["res"] == 0]
+    assert len(top) == 1 and int(top.iloc[0]["n_pages"]) == 4
+    # parent keys are the child keys halved
+    for res in (3, 2, 1):
+        child = out[out["res"] == res]
+        parents = {(r // 2, c // 2) for r, c in zip(child["row"], child["col"])}
+        got = {(r, c) for r, c in
+               zip(out[out["res"] == res - 1]["row"], out[out["res"] == res - 1]["col"])}
+        assert parents == got
