@@ -146,6 +146,27 @@ def q_gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier screen — Iglewicz-Hoaglin modified
+    z-scores (|0.6745 * (x - median) / MAD| > 3.5) via
+    operators.anomaly.robust_outliers: the 50%-breakdown telemetry screen
+    whose MAD core is the same statistic as the reference's NMAD flood
+    estimator (ref flood_map.py; core/stats.py). Exact medians here (the
+    oracle-parity path); the operator's ``exact=False`` flips both passes
+    to mergeable percentile_approx sketches for the 10^12-row tier.
+    Oracle: identical two-pass median/MAD algebra in DuckDB."""
+    from .operators.anomaly import robust_outliers
+
+    _register(spark, sf_dir, "events")
+    out = robust_outliers(
+        spark.table("events"), key="event_type", value_col="value", cutoff=3.5
+    )
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("robust_z", 6).alias("robust_z"),
+    )
+
+
 def _expander_edges(spark: SparkSession) -> DataFrame:
     """Symmetrized deterministic 97-node expander (doc_id residues; the
     undirected closure of the bfs_hops graph)."""
@@ -269,6 +290,26 @@ def _oracle_sqls() -> dict[str, str]:
         GROUP BY cohort_week, week_offset
     """
     sqls["lpa_communities"] = _lpa_sql(LPA_ITERS)
+    sqls["value_anomalies"] = """
+        WITH med AS (
+          SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1
+        ),
+        dev AS (
+          SELECT e.event_id, e.event_type, e.value, m.med,
+                 ABS(e.value - m.med) AS ad
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, MEDIAN(ad) AS mad FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type, d.value,
+               ROUND(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / mad.mad, 6)
+                 AS robust_z
+        FROM dev d JOIN mad USING (event_type)
+        WHERE mad.mad > 0
+          AND ABS(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / mad.mad)
+                > CAST(3.5 AS DOUBLE)
+    """
     sqls["gap_fill_days"] = """
         WITH daily AS (
           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -308,6 +349,7 @@ def queries() -> dict:
         "cohort_retention": q_cohort_retention,
         "gap_fill_days": q_gap_fill_days,
         "lpa_communities": q_lpa_communities,
+        "value_anomalies": q_value_anomalies,
     }
 
 
