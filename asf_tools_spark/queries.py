@@ -717,6 +717,55 @@ def _idw_oracle() -> str:
     """
 
 
+def q_extract_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule per-row invariant (BASELINE.json input_hint:
+    byte-identical extracted text per url) as a driver-gated row: build an
+    html document around each driver text (title + attributes + inline
+    tags via replace), run the engine's canonical extraction
+    (sources.pages.extract_text — strip tags, collapse whitespace), and
+    emit md5 + length of the extracted bytes. The oracle constructs the
+    SAME html and extracts with DuckDB's OWN regex engine (RE2 vs Spark's
+    Java regex) — the md5 value-hash match is a two-engine proof the
+    extraction is byte-identical. Pure map stage: no shuffle at all at
+    10^12 rows."""
+    from .sources.pages import extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body onload="boot()"><p>'),
+        F.replace(F.col("text"), F.lit("line"), F.lit("<em>line</em>")),
+        F.lit("</p></body></html>"),
+    )
+    extracted = extract_text(html.cast("binary"))
+    return docs.select(
+        "doc_id",
+        F.md5(extracted.cast("binary")).alias("text_md5"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
+def _extract_text_parity_oracle() -> str:
+    return r"""
+        SELECT doc_id, MD5(extracted) AS text_md5,
+               CAST(LENGTH(extracted) AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id,
+                 REGEXP_REPLACE(REGEXP_REPLACE(html, '<[^>]*>', ' ', 'g'),
+                                '\s+', ' ', 'g') AS extracted
+          FROM (
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title></head><body onload="boot()"><p>'
+                   || REPLACE(text, 'line', '<em>line</em>')
+                   || '</p></body></html>' AS html
+            FROM documents
+          )
+        )
+    """
+
+
 _PYR_BASE_RES = 6
 
 
@@ -1288,6 +1337,7 @@ def _oracle_sqls() -> dict[str, str]:
         "pip_page_counts": _pip_oracle(),
         "idw_grid": _idw_oracle(),
         "tile_pyramid": _tile_pyramid_oracle(),
+        "extract_text_parity": _extract_text_parity_oracle(),
         "simplify_rings": _simplify_oracle(),
         "polygon_stats": f"""
             WITH v AS (SELECT * FROM {_poly_verts_sql()} pv),
@@ -1328,7 +1378,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "value_anomalies", "tile_pyramid", "aspect_grid",
+    "extract_text_parity", "value_anomalies", "tile_pyramid", "aspect_grid",
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
     "json_extract_stats", "transition_probs", "cohort_retention",
@@ -1430,6 +1480,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_page_counts": q_pip_page_counts,
         "idw_grid": q_idw_grid,
         "tile_pyramid": q_tile_pyramid,
+        "extract_text_parity": q_extract_text_parity,
         "simplify_rings": q_simplify_rings,
         "domain_quality": q_domain_quality,
         "morans_i": q_morans_i,
