@@ -592,6 +592,42 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+_COV_DIMS = 8
+
+
+def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance block (first 8 dims, upper triangle) — the
+    whitening/PCA-prep statistic of an embedding column: one constant
+    fan-out explode of (i, j, xi*xj) triples + ONE partial/final hash
+    aggregate; covariance by the explicit E[xy] - E[x]E[y] algebra
+    (identical closed form both engines — NOT the engines' covar_pop
+    implementations, whose update orders differ). At 10^12 rows this is
+    a pure map + 36-group aggregate: no shuffle of the vectors, the
+    exchange carries one partial triple per (partition, i, j). Pure-sum
+    arithmetic -> cross-engine drift is reassociation-only, rounded 9dp
+    (values are ~1e-4; the 6dp transcendental rule would erase signal)."""
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    x = [
+        F.element_at("embedding", i + 1).cast("double").alias(f"_x{i}")
+        for i in range(_COV_DIMS)
+    ]
+    st = emb.select(*x)
+    triples = st.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("i"), F.lit(j).alias("j"),
+            F.col(f"_x{i}").alias("xi"), F.col(f"_x{j}").alias("xj"),
+        )
+        for i in range(_COV_DIMS) for j in range(i, _COV_DIMS)
+    ])).alias("p")).select("p.i", "p.j", "p.xi", "p.xj")
+    n = F.count(F.lit(1)).cast("double")
+    cov = (F.sum(F.col("xi") * F.col("xj")) - F.sum("xi") * F.sum("xj") / n) / n
+    return (
+        triples.groupBy("i", "j")
+        .agg(F.round(cov, 9).alias("cov"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k on int8-quantized embeddings (array<tinyint>, the 4-8x
     memory lever): quantization + integer dot products are exact across
@@ -1053,6 +1089,22 @@ def _oracle_sqls() -> dict[str, str]:
           FROM scored
         )
         SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 5
+    """
+    # oracle-only shape: a constant 36-way UNION ALL of one-scan projections
+    # (DuckDB has no row-referencing VALUES); the Spark side is one explode
+    _cov_dims = 8
+    _cov_branches = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, CAST(embedding[{i + 1}] AS DOUBLE) AS xi,"
+        f" CAST(embedding[{j + 1}] AS DOUBLE) AS xj FROM embeddings"
+        for i in range(_cov_dims) for j in range(i, _cov_dims)
+    )
+    sqls["embedding_cov"] = f"""
+        WITH triples AS ({_cov_branches})
+        SELECT i, j,
+               ROUND((SUM(xi * xj) - SUM(xi) * SUM(xj) / COUNT(*)) / COUNT(*), 9)
+                 AS cov,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM triples GROUP BY i, j
     """
     sqls["repetition_signals"] = f"""
         WITH norm AS (SELECT doc_id, {_norm_sql("text")} AS t FROM documents),
@@ -3377,6 +3429,7 @@ def queries() -> dict:
         "winnow_fingerprint": q_winnow_fingerprint,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_cov": q_embedding_cov,
         "ann_topk_int8": q_ann_topk_int8,
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)
         "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)

@@ -53,3 +53,22 @@ def test_robust_outliers_approx_path_same_flags(spark):
     exact = {r.event_id for r in robust_outliers(sdf).collect()}
     approx = {r.event_id for r in robust_outliers(sdf, exact=False).collect()}
     assert exact == approx == {0, 1, 2}
+
+
+def test_embedding_cov_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    from asf_tools_spark.queries_text import q_embedding_cov
+
+    out = q_embedding_cov(spark, "/root/testdata/sf0.001").toPandas()
+    emb = np.stack(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        .column("embedding").to_pylist()
+    ).astype(np.float64)[:, :8]
+    expect = np.cov(emb, rowvar=False, bias=True)
+    assert len(out) == 36
+    for _, r in out.iterrows():
+        assert r["n"] == emb.shape[0]
+        np.testing.assert_allclose(
+            r["cov"], expect[int(r["i"]), int(r["j"])], atol=2e-9
+        )
