@@ -116,6 +116,10 @@ _BNLJ_ALLOWED = {
     "rrf_fusion",  # full-outer of two 50-row rank lists (BHJ can't do full outer)
     "nb_classify",  # model grid = |C| x |V| broadcast NL + 1-row V/N scalars
     "dq_checks",  # 1-row x 1-row report-line combines
+    # users x calendar scaffold: the build side is the 1-row global
+    # min/max date bounds exploded to <= span-days rows (bounded by time
+    # range, not data size) — any scalar-derived cross is BNLJ in Spark
+    "gap_fill_days",
 }
 
 # These queries execute eagerly while BUILDING (driver-side selection /
