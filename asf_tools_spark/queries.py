@@ -1378,8 +1378,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "embedding_cov", "extract_text_parity", "value_anomalies", "tile_pyramid",
-    "aspect_grid",
+    "event_pivot", "wow_growth", "embedding_cov", "extract_text_parity",
+    "value_anomalies", "tile_pyramid", "aspect_grid",
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
     "json_extract_stats", "transition_probs", "cohort_retention",

@@ -167,6 +167,53 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix — ``groupBy().pivot()`` with the
+    EXPLICIT value list (no extra distinct-values job; on a cluster the
+    pivot is then a single partial/final hash aggregate, one shuffle,
+    with |values| counters per group — never a per-type scan). Unknown
+    types fall out of the explicit list by design. Oracle: per-type
+    FILTER aggregates."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    total = sum((F.col(t) for t in _EVENT_TYPES[1:]), F.col(_EVENT_TYPES[0]))
+    return wide.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES],
+        total.cast("long").alias("total"),
+    )
+
+
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week activity growth per event_type: weekly counts (one
+    hash aggregate) + a lag window over the per-type weekly series (the
+    window partitions carry ~52 rows per type-year — never data-sized).
+    Growth = n/prev - 1, rounded 6; the first week of each type has no
+    prior and reports NULL in both engines."""
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    weekly = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type", "week", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / prev.cast("double") - 1.0, 6).alias("wow_growth"),
+    )
+
+
 def _expander_edges(spark: SparkSession) -> DataFrame:
     """Symmetrized deterministic 97-node expander (doc_id residues; the
     undirected closure of the bfs_hops graph)."""
@@ -290,6 +337,30 @@ def _oracle_sqls() -> dict[str, str]:
         GROUP BY cohort_week, week_offset
     """
     sqls["lpa_communities"] = _lpa_sql(LPA_ITERS)
+    _types = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    _cols = ",\n               ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    sqls["event_pivot"] = f"""
+        SELECT user_id,
+               {_cols},
+               CAST(COUNT(*) FILTER (WHERE event_type IN ({_types})) AS BIGINT)
+                 AS total
+        FROM events GROUP BY user_id
+    """
+    sqls["wow_growth"] = """
+        WITH weekly AS (
+          SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, week, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE)
+                     / CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY week)
+                            AS DOUBLE) - 1.0, 6) AS wow_growth
+        FROM weekly
+    """
     sqls["value_anomalies"] = """
         WITH med AS (
           SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1
@@ -350,6 +421,8 @@ def queries() -> dict:
         "gap_fill_days": q_gap_fill_days,
         "lpa_communities": q_lpa_communities,
         "value_anomalies": q_value_anomalies,
+        "event_pivot": q_event_pivot,
+        "wow_growth": q_wow_growth,
     }
 
 
