@@ -84,6 +84,69 @@ def xxhash64_longs(*values: int) -> int:
     return _signed(h)
 
 
+def hash_bytes(data: bytes, seed: int = SPARK_SEED) -> int:
+    """XXH64.hashUnsafeBytes — the StringType/BinaryType lane (a string
+    child hashes its UTF-8 bytes). Standard XXH64 over little-endian
+    unaligned words, exactly Spark's catalyst XXH64.java: 32-byte stripes
+    with the 4-accumulator merge, then 8-byte, one 4-byte, then per-byte
+    tails, then the final avalanche. Pinned bit-for-bit against
+    `F.xxhash64(string_col)` in tests/test_xxh.py across lengths 0..40
+    and multi-byte UTF-8."""
+    length = len(data)
+    off, end = 0, length
+    if length >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        limit = end - 32
+        while off <= limit:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                k = int.from_bytes(data[off + 8 * i: off + 8 * i + 8], "little")
+                v = (_rotl((v + k * _P2) & _M, 31) * _P1) & _M
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            off += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = (h * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + length) & _M
+    while off + 8 <= end:
+        k = int.from_bytes(data[off: off + 8], "little")
+        h ^= (_rotl((k * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        off += 8
+    if off + 4 <= end:
+        k = int.from_bytes(data[off: off + 4], "little")
+        h ^= (k * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        off += 4
+    while off < end:
+        h ^= (data[off] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        off += 1
+    return _fmix(h)
+
+
+def xxhash64_strings(*values: str) -> int:
+    """`F.xxhash64(str_col, str_col, ...)` for all-string children (each
+    child's UTF-8 bytes, seeds folding left from 42). Returns the SIGNED
+    long Spark yields."""
+    h = SPARK_SEED
+    for v in values:
+        h = hash_bytes(v.encode("utf-8"), h)
+    return _signed(h)
+
+
 # ---- Murmur3_x86_32 (Spark's `hash(...)` / ml HashingTF bucket hash) ----
 # Spark's variant differs from canonical murmur3 in tail handling: trailing
 # bytes are mixed ONE AT A TIME (each through mixK1/mixH1, sign-extended),

@@ -141,15 +141,86 @@ def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hamming_near_pairs(sim, "doc_id", bits=SIMHASH_BITS, max_distance=2)
 
 
+_SIMHASH64_ORACLE_SF = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _simhash64_pairs_oracle() -> str | None:
+    """Independent pure-Python replay of the whole 64-bit simhash pipeline
+    (normalize -> distinct tokens -> xxhash64 sign-sums -> brute-force
+    Hamming <= 3 on ALL pairs), emitted as a VALUES oracle. Fresh every
+    oracle build — no stored goldens; the only shared code with the Spark
+    path is core/xxh.py, itself pinned bit-for-bit against F.xxhash64 by
+    tests/test_xxh.py. Returns None (row stays rows-only) if the driver
+    fixture is absent."""
+    import os
+    import re as _re
+
+    if not os.path.exists(_SIMHASH64_ORACLE_SF):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .core.xxh import xxhash64_strings
+
+    tbl = pq.read_table(_SIMHASH64_ORACLE_SF, columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    cache: dict[str, int] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+    sims = np.zeros(len(ids), dtype=np.uint64)
+    for i, tx in enumerate(texts):
+        toks = {
+            t
+            for t in _re.sub(r"\s+", " ", tx.lower(), flags=_re.ASCII).strip().split(" ")
+            if t
+        }
+        hs = np.array(
+            [
+                cache.setdefault(t, xxhash64_strings("simhash-", t) & ((1 << 64) - 1))
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        # bit j set iff (+1 per one) - (-1 per zero) > 0 <=> 2*ones > n
+        bits = (2 * ones > len(hs)).astype(np.uint64)
+        sims[i] = np.bitwise_or.reduce(bits << shifts)
+    x = sims[:, None] ^ sims[None, :]
+    try:
+        ham = np.bitwise_count(x)
+    except AttributeError:  # numpy < 2.0
+        ham = np.vectorize(lambda v: bin(int(v)).count("1"))(x)
+    ia, ib = np.where(np.triu(ham <= 3, k=1))
+    idv = np.asarray(ids)
+    rows = sorted(
+        (min(int(idv[a]), int(idv[b])), max(int(idv[a]), int(idv[b])), int(ham[a, b]))
+        for a, b in zip(ia, ib)
+    )
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS key_a, CAST(NULL AS BIGINT) AS key_b,"
+                " CAST(NULL AS INT) AS hamming WHERE FALSE")
+    values = ", ".join(f"({a}, {b}, {d})" for a, b, d in rows)
+    return f"""
+        SELECT CAST(key_a AS BIGINT) AS key_a, CAST(key_b AS BIGINT) AS key_b,
+               CAST(hamming AS INT) AS hamming
+        FROM (VALUES {values}) AS t(key_a, key_b, hamming)
+    """
+
+
 def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs — the 100 TB scale width (VERDICT r2
     item 6): at 16 bits the pigeonhole blocks carry 5-6 bits (<= 64 bucket
     values — quadratic buckets at corpus scale), at 64 bits each of the 4
     blocks carries 16 bits (~65k values), keeping the candidate join
-    sub-quadratic. Word bits come from the full 64-bit xxhash64, which has
-    no DuckDB twin -> rows-only; 64-bit exactness is pytest-pinned
-    (planted-pair recall vs exhaustive numpy + bucket-volume assertions in
-    tests/test_simhash64.py)."""
+    sub-quadratic. Word bits come from the full 64-bit xxhash64 (no DuckDB
+    builtin twin) — since r5 the oracle is an INDEPENDENT pure-Python
+    replay (core/xxh.py bytes lane, pinned bit-for-bit vs F.xxhash64)
+    that recomputes every simhash and brute-forces ALL pairs, emitted as
+    VALUES at oracle-build time: a two-implementation check that is also
+    an exactness proof of the pigeonhole blocking (the oracle enumerates
+    pairs the blocked join must not miss). Pinned to the driver's sf0.01
+    fixture like the BPE goldens; 64-bit recall/bucket tests remain in
+    tests/test_simhash64.py."""
     _register(spark, sf_dir, "documents")
     sim = dedup.simhash(spark.table("documents"), "doc_id", bits=64)
     return dedup.hamming_near_pairs(sim, "doc_id", bits=64, max_distance=3)
@@ -1090,6 +1161,9 @@ def _oracle_sqls() -> dict[str, str]:
         )
         SELECT q_id, c_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 5
     """
+    _sh64 = _simhash64_pairs_oracle()
+    if _sh64 is not None:
+        sqls["simhash64_pairs"] = _sh64
     # oracle-only shape: a constant 36-way UNION ALL of one-scan projections
     # (DuckDB has no row-referencing VALUES); the Spark side is one explode
     _cov_dims = 8
@@ -3433,7 +3507,7 @@ def queries() -> dict:
         "ann_topk_int8": q_ann_topk_int8,
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)
         "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)
-        "simhash64_pairs": q_simhash64_pairs,  # rows-only (xxhash64 bits)
+        "simhash64_pairs": q_simhash64_pairs,  # VALUES oracle: pure-python replay
         "repetition_signals": q_repetition_signals,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,

@@ -45,3 +45,25 @@ def test_int_lane_differs_from_long_lane():
     # lit(0).cast("long") (8-byte lane) hash differently — the replica
     # must preserve that or sample membership silently diverges
     assert xxh.hash_int(0, 42) != xxh.hash_long(0, 42)
+
+
+STRS = [
+    "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+    "abcdefghijk", "0123456789abcdef", "0123456789abcdef0",
+    "x" * 31, "x" * 32, "x" * 33, "x" * 40, "x" * 64, "x" * 65,
+    "héllo wörld", "日本語テキスト", "simhash-", "mixed 日本 ascii tail x",
+]
+
+
+def test_string_lane_matches_spark(spark):
+    df = spark.createDataFrame([(s,) for s in STRS], "s string")
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in STRS:
+        assert got[s] == xxh.xxhash64_strings(s), repr(s)
+
+
+def test_string_chain_matches_spark(spark):
+    df = spark.createDataFrame([("simhash-", s) for s in STRS], "a string, s string")
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("a", "s").alias("h")).collect()}
+    for s in STRS:
+        assert got[s] == xxh.xxhash64_strings("simhash-", s), repr(s)
