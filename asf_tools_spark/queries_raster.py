@@ -330,10 +330,55 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_N = 2000
+
+
+def _media_features_oracle() -> str:
+    """Independent pure-Python replay of the whole media_features pipeline
+    (payload construction, magic sniff, sha256 fake decode, mean/histogram)
+    emitted as VALUES — sidesteps DuckDB 1.0's VARCHAR-only sha256 (the
+    r2-r4 blocker for this row). Shares NOTHING with the operator but the
+    stdlib sha256; re-derives the magic table and sniff inline, so a
+    byte-level bug anywhere in the Spark path (binary concat/encode, Arrow
+    binary transfer into mapInPandas, batch carry columns) breaks the
+    match. mean = k/64 is exact at 6dp (1/64 = 0.015625), so the rounding
+    is drift-free."""
+    import hashlib
+
+    magics = [b"\x89PNG"[:4], b"\xff\xd8\xff", b"GIF8", b"RIFF"]
+    names = ["png", "jpeg", "gif", "riff"]
+    rows = []
+    for mid in range(_MEDIA_N):
+        payload = magics[mid % 4] + f"payload-{mid}".encode()
+        container = "unknown"
+        for nm, mg in zip(names, magics):
+            if payload[: len(mg)] == mg:
+                container = nm
+                break
+        kind = "audio" if mid % 4 == 3 else "image"
+        digest = hashlib.sha256(payload).digest()
+        px = (digest * 2)[:64]
+        mean = round(sum(px) / 64.0, 6)
+        hist = [0, 0, 0, 0]
+        for b in px:
+            hist[b >> 6] += 1
+        h = ",".join(str(c) for c in hist)
+        rows.append(f"({mid}, '{kind}', '{container}', {mean!r}, '{h}')")
+    values = ", ".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, kind, container,
+               CAST(8 AS INT) AS height, CAST(8 AS INT) AS width,
+               CAST(mean_intensity AS DOUBLE) AS mean_intensity, histogram
+        FROM (VALUES {values})
+          AS t(media_id, kind, container, mean_intensity, histogram)
+    """
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only check): synth media -> magic-byte
-    sniff -> stub decode/featurize via mapInPandas."""
-    media = synth_media(spark, 2000).withColumn("container", sniff_media_type(F.col("payload")))
+    """Multimodal plumbing: synth media -> magic-byte sniff -> stub
+    decode/featurize via mapInPandas. Oracled since r5 by an independent
+    pure-Python VALUES replay (see _media_features_oracle)."""
+    media = synth_media(spark, _MEDIA_N).withColumn("container", sniff_media_type(F.col("payload")))
     # ONE mapInPandas pass (kind/container carried through) — the former
     # sniff⋈features self-join executed the Python subtree twice.  The
     # histogram array is serialized to a string: the driver's canonicalizer
@@ -375,6 +420,7 @@ def _oracle_sqls() -> dict[str, str]:
 
     docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
     sqls: dict[str, str] = {}
+    sqls["media_features"] = _media_features_oracle()
     sqls["epsg_vote"] = """
         WITH codes AS (
           SELECT (CASE WHEN n_regionkey % 2 = 0 THEN 32600 ELSE 32700 END

@@ -775,11 +775,68 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_ORACLE_SF = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _embedding_near_dup_oracle() -> str | None:
+    """Independent numpy replay of the banded hyperplane-LSH pipeline
+    (seeded planes -> sign buckets per table -> union of in-bucket pairs
+    -> exact cosine -> top-50), emitted as VALUES fresh each oracle build.
+    The replay re-derives everything from the seed with numpy matrix ops —
+    no repo operator code — so the match pins plane literals, the
+    fold-order dot products, multi-table dedup AND the rank window. The
+    one accepted hazard: a plane dot within ~1e-13 of 0 could sign-flip
+    between numpy's pairwise and Spark's sequential summation (measured
+    margins are orders of magnitude wider). Pinned to the driver's sf0.01
+    fixture; returns None (rows-only) when the fixture is absent."""
+    import os
+
+    if not os.path.exists(_EMB_ORACLE_SF):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_EMB_ORACLE_SF, columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    vecs = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    planes = np.random.default_rng(42).normal(size=(2, 8, vecs.shape[1]))
+    pair_idx: set[tuple[int, int]] = set()
+    for t in range(planes.shape[0]):
+        bits = ((vecs @ planes[t].T) > 0) @ (1 << np.arange(8))
+        buckets: dict[int, list[int]] = {}
+        for i, b in enumerate(bits):
+            buckets.setdefault(int(b), []).append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b2 = members[x], members[y]
+                    if ids[a] > ids[b2]:
+                        a, b2 = b2, a
+                    pair_idx.add((a, b2))
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    scored = sorted(
+        (
+            (-float(vecs[a] @ vecs[b] / (norms[a] * norms[b])),
+             int(ids[a]), int(ids[b]))
+            for a, b in pair_idx
+        )
+    )[:50]
+    values = ", ".join(
+        f"({ka}, {kb}, {round(-negc, 6)!r}, {rk + 1})"
+        for rk, (negc, ka, kb) in enumerate(scored)
+    )
+    return f"""
+        SELECT CAST(key_a AS BIGINT) AS key_a, CAST(key_b AS BIGINT) AS key_b,
+               CAST(cosine AS DOUBLE) AS cosine, CAST(rk AS INT) AS rk
+        FROM (VALUES {values}) AS t(key_a, key_b, cosine, rk)
+    """
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup (rows-only check: bucket membership depends on
-    seed-deterministic hyperplanes not expressible in the oracle). The
-    testdata embeddings are random unit vectors with no true near-dups, so
-    report the 50 most-similar bucketed pairs instead of thresholding."""
+    """LSH-bucketed near-dup. The testdata embeddings are random unit
+    vectors with no true near-dups, so report the 50 most-similar bucketed
+    pairs instead of thresholding. Oracled since r5 by an independent
+    numpy replay of the full pipeline (see _embedding_near_dup_oracle)."""
     from pyspark.sql.window import Window
 
     _register(spark, sf_dir, "embeddings")
@@ -1164,6 +1221,9 @@ def _oracle_sqls() -> dict[str, str]:
     _sh64 = _simhash64_pairs_oracle()
     if _sh64 is not None:
         sqls["simhash64_pairs"] = _sh64
+    _end = _embedding_near_dup_oracle()
+    if _end is not None:
+        sqls["embedding_near_dup"] = _end
     # oracle-only shape: a constant 36-way UNION ALL of one-scan projections
     # (DuckDB has no row-referencing VALUES); the Spark side is one explode
     _cov_dims = 8
@@ -3506,7 +3566,7 @@ def queries() -> dict:
         "embedding_cov": q_embedding_cov,
         "ann_topk_int8": q_ann_topk_int8,
         "ivf_topk": q_ivf_topk,  # rows-only (centroids are driver values)
-        "embedding_near_dup": q_embedding_near_dup,  # rows-only (no oracle)
+        "embedding_near_dup": q_embedding_near_dup,  # VALUES oracle: numpy replay
         "simhash64_pairs": q_simhash64_pairs,  # VALUES oracle: pure-python replay
         "repetition_signals": q_repetition_signals,
         "pii_scrub": q_pii_scrub,
