@@ -1378,7 +1378,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "event_pivot", "wow_growth", "embedding_cov", "extract_text_parity",
+    "media_dedup", "event_pivot", "wow_growth", "embedding_cov", "extract_text_parity",
     "value_anomalies", "tile_pyramid", "aspect_grid",
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",

@@ -374,6 +374,62 @@ def _media_features_oracle() -> str:
     """
 
 
+_MEDIA_DUP_N = 500  # re-keyed copies of the first 500 payloads
+
+
+def _dup_media(spark: SparkSession):
+    """synth_media(2000) plus _MEDIA_DUP_N re-keyed byte-identical copies —
+    the planted-duplicate corpus both the query and its replay construct."""
+    base = synth_media(spark, _MEDIA_N)
+    dups = base.where(F.col("media_id") < _MEDIA_DUP_N).withColumn(
+        "media_id", F.col("media_id") + F.lit(_MEDIA_N)
+    )
+    return base.unionByName(dups)
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary blob dedup — content-addressable dedup of media
+    payloads (the standard attachment/image store pass; the reference's
+    S3 upload path implicitly relies on object-key identity, ref
+    util.py upload paths): sha2-256 over the BINARY column (JVM-native
+    crypto, no Python), ONE hash aggregate keyed by digest, keep = min
+    media_id. At 10^12 blobs the exchange carries one 32-byte digest +
+    counters per distinct payload — never the payload bytes. Planted:
+    500 re-keyed byte-identical copies, so real groups of 2 exist.
+    Oracle: hashlib replay of the identical construction, emitted as
+    VALUES (DuckDB 1.0 sha256 is VARCHAR-only — same blocker, same
+    sidestep as media_features)."""
+    media = _dup_media(spark)
+    return (
+        media.select(F.col("media_id"), F.sha2(F.col("payload"), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("media_id").alias("keep_id"),
+        )
+    )
+
+
+def _media_dedup_oracle() -> str:
+    """hashlib replay of q_media_dedup's planted-duplicate corpus."""
+    import hashlib
+
+    magics = [b"\x89PNG"[:4], b"\xff\xd8\xff", b"GIF8", b"RIFF"]
+    groups: dict[str, list[int]] = {}
+    for mid in range(_MEDIA_N + _MEDIA_DUP_N):
+        src = mid if mid < _MEDIA_N else mid - _MEDIA_N
+        payload = magics[src % 4] + f"payload-{src}".encode()
+        groups.setdefault(hashlib.sha256(payload).hexdigest(), []).append(mid)
+    values = ", ".join(
+        f"('{sha}', {len(ms)}, {min(ms)})" for sha, ms in groups.items()
+    )
+    return f"""
+        SELECT content_sha, CAST(n_copies AS BIGINT) AS n_copies,
+               CAST(keep_id AS BIGINT) AS keep_id
+        FROM (VALUES {values}) AS t(content_sha, n_copies, keep_id)
+    """
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth media -> magic-byte sniff -> stub
     decode/featurize via mapInPandas. Oracled since r5 by an independent
@@ -421,6 +477,7 @@ def _oracle_sqls() -> dict[str, str]:
     docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
     sqls: dict[str, str] = {}
     sqls["media_features"] = _media_features_oracle()
+    sqls["media_dedup"] = _media_dedup_oracle()
     sqls["epsg_vote"] = """
         WITH codes AS (
           SELECT (CASE WHEN n_regionkey % 2 = 0 THEN 32600 ELSE 32700 END
@@ -649,6 +706,7 @@ def queries() -> dict:
         # rows-only: binary payloads can't cross the oracle (DuckDB 1.0
         # sha256 is VARCHAR-only; payload bytes are non-UTF8)
         "media_features": q_media_features,
+        "media_dedup": q_media_dedup,
     }
 
 
