@@ -128,6 +128,17 @@ def pip_candidates(
         cand = points.select(key, lat, lon).join(
             F.broadcast(boxes), in_box
         ).select("poly_id", key, lat, lon)
+    return pip_refine(cand, edges, key, lat, lon)
+
+
+def pip_refine(
+    cand: DataFrame, edges: DataFrame,
+    key: str = "doc_id", lat: str = "lat", lon: str = "lon",
+) -> DataFrame:
+    """The exact crossing-number refine over (poly_id, key, lat, lon)
+    candidates — shared by the cover-cell prune (pip_candidates) and the
+    STRtree probe (operators.strtree.strtree_candidates): broadcast edge
+    join + upward-ray parity, all whole-stage codegen."""
     crossing = (
         (F.col("y1") > F.col(lat)) != (F.col("y2") > F.col(lat))
     ) & (

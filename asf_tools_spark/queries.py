@@ -851,6 +851,32 @@ def q_pip_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_strtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact-PIP rollup as pip_page_counts, but candidates come
+    from the broadcast STRtree probe (operators/strtree.py — the
+    north_star's 'STRtree per partition' formulation: packed-leaf bbox
+    index in the task closure, vectorized two-level scan in mapInPandas)
+    instead of the cover-cell equi-join. Both generators implement the
+    IDENTICAL bbox-containment predicate and share pip_refine, so this
+    row sharing pip_page_counts' oracle IS the cross-engine proof the two
+    index strategies agree end-to-end."""
+    from .operators.geometry import pip_refine
+    from .operators.strtree import strtree_candidates
+    from .sources.polygons import polygon_edges_df, watershed_polygons
+
+    polys = watershed_polygons()
+    edges = polygon_edges_df(spark, polys)
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    cand = strtree_candidates(pages, polys, key="doc_id").withColumn(
+        "poly_id", F.col("poly_id").cast("int")
+    )
+    flags = pip_refine(cand, edges, key="doc_id")
+    return flags.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("inside"), 1).otherwise(0)).cast("long").alias("n_inside"),
+    )
+
+
 def _pip_oracle() -> str:
     from .sources.polygons import edges_values_sql, watershed_polygons
 
@@ -1335,6 +1361,7 @@ def _oracle_sqls() -> dict[str, str]:
         "hotspot_clusters": _hotspot_oracle(),
         "domain_quality": _domain_quality_oracle(),
         "pip_page_counts": _pip_oracle(),
+        "pip_strtree": _pip_oracle(),
         "idw_grid": _idw_oracle(),
         "tile_pyramid": _tile_pyramid_oracle(),
         "extract_text_parity": _extract_text_parity_oracle(),
@@ -1378,7 +1405,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "media_dedup", "event_pivot", "wow_growth", "embedding_cov", "extract_text_parity",
+    "pip_strtree", "media_dedup", "event_pivot", "wow_growth", "embedding_cov",
+    "extract_text_parity",
     "value_anomalies", "tile_pyramid", "aspect_grid",
     "morans_i", "gi_star", "distance_pairs", "convex_hull",
     "shortest_paths", "scd2_history", "rrf_fusion", "hillshade_grid",
@@ -1479,6 +1507,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "hotspot_clusters": q_hotspot_clusters,
         "pip_page_counts": q_pip_page_counts,
+        "pip_strtree": q_pip_strtree,
         "idw_grid": q_idw_grid,
         "tile_pyramid": q_tile_pyramid,
         "extract_text_parity": q_extract_text_parity,

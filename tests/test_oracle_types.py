@@ -46,8 +46,11 @@ def test_every_query_has_oracle_or_documented_rows_only(con):
     """Every rows-only query must be one of the documented-by-design set —
     a new query silently missing its oracle is a registry bug, not a
     design decision."""
+    # r5: embedding_near_dup / media_features / simhash64_pairs moved OUT of
+    # this set — they gained independent pure-Python/numpy VALUES-replay
+    # oracles (the BPE-golden de-circularization pattern)
     rows_only_by_design = {
-        "ivf_topk", "embedding_near_dup", "media_features", "simhash64_pairs",
+        "ivf_topk",       # sample-trained centroids are driver state
         "pq_topk",        # sample-trained codebooks are driver state
         "hll_distinct",   # DuckDB approx_count_distinct is a different estimator
         "ivfpq_topk",     # driver-state centroids/codebooks, like pq_topk
