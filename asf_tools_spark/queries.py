@@ -1405,7 +1405,8 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "pip_strtree", "media_dedup", "event_pivot", "wow_growth", "embedding_cov",
+    "moving_avg_7d", "pip_strtree", "media_dedup", "event_pivot", "wow_growth",
+    "embedding_cov",
     "extract_text_parity",
     "value_anomalies", "tile_pyramid", "aspect_grid",
     "morans_i", "gi_star", "distance_pairs", "convex_hull",

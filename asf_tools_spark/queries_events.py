@@ -214,6 +214,29 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily per-type activity via a
+    time-RANGE window frame (RANGE BETWEEN INTERVAL 6 DAYS PRECEDING) —
+    the VALUE-based frame ROWS cannot replicate when days are missing: a
+    gap shrinks the trailing window instead of silently reaching further
+    back. Frame scan is per (type, day) — ~365 rows per type-year, never
+    data-sized; the daily rollup is the only full-data aggregate. Oracle:
+    the identical RANGE frame in DuckDB (INTERVAL dialect differs:
+    '6 DAYS' vs '6 DAY')."""
+    _register(spark, sf_dir, "events")
+    return spark.sql("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+          FROM events GROUP BY event_type, date_trunc('day', ts)
+        )
+        SELECT event_type, CAST(day AS DATE) AS day, CAST(n AS BIGINT) AS n,
+               ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW),
+                     6) AS avg_7d
+        FROM daily
+    """)
+
+
 def _expander_edges(spark: SparkSession) -> DataFrame:
     """Symmetrized deterministic 97-node expander (doc_id residues; the
     undirected closure of the bfs_hops graph)."""
@@ -361,6 +384,17 @@ def _oracle_sqls() -> dict[str, str]:
                             AS DOUBLE) - 1.0, 6) AS wow_growth
         FROM weekly
     """
+    sqls["moving_avg_7d"] = """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+          FROM events GROUP BY event_type, date_trunc('day', ts)
+        )
+        SELECT event_type, CAST(day AS DATE) AS day, CAST(n AS BIGINT) AS n,
+               ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+                     6) AS avg_7d
+        FROM daily
+    """
     sqls["value_anomalies"] = """
         WITH med AS (
           SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1
@@ -423,6 +457,7 @@ def queries() -> dict:
         "value_anomalies": q_value_anomalies,
         "event_pivot": q_event_pivot,
         "wow_growth": q_wow_growth,
+        "moving_avg_7d": q_moving_avg_7d,
     }
 
 
