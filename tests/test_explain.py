@@ -157,3 +157,38 @@ def test_minhash_single_shuffle(spark, sf_dir):
     plan = plan_of(q_minhash_signatures(spark, sf_dir), "simple")
     assert plan.count("Exchange") <= 2  # partial/final agg exchange (+AQE read)
     assert "Join" not in plan
+
+
+def test_tile_pyramid_one_scan_two_aggregates(spark, sf_dir):
+    """The pyramid must scan the point table ONCE: base partial/final
+    aggregate + the tiny ancestor rollup — no joins, no per-level
+    re-scan (exactly one parquet scan in the plan)."""
+    from asf_tools_spark.queries import q_tile_pyramid
+
+    plan = plan_of(q_tile_pyramid(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") <= 3  # base agg + rollup (+AQE reads)
+
+
+def test_media_dedup_shuffles_digest_not_payload(spark, sf_dir):
+    """The blob-dedup exchange must carry the 32-byte digest, never the
+    payload bytes: sha2 is computed map-side below the exchange and the
+    payload column does not cross it."""
+    from asf_tools_spark.queries_raster import q_media_dedup
+
+    plan = plan_of(q_media_dedup(spark, sf_dir), "formatted")
+    ex = [b for b in plan.split("\n\n") if b.startswith("(")
+          and "Exchange" in b.splitlines()[0]]
+    assert ex, plan
+    assert all("payload" not in b for b in ex), ex
+
+
+def test_value_anomalies_broadcasts_group_stats(spark, sf_dir):
+    """Both per-key stat joins must be broadcast — the fact table is
+    scanned, never shuffled by key."""
+    from asf_tools_spark.queries_events import q_value_anomalies
+
+    plan = plan_of(q_value_anomalies(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
