@@ -502,3 +502,81 @@ def _lpa_local(spark, edge_rows, src, dst, n_iters: int) -> DataFrame:
     return spark.createDataFrame(
         sorted(labels.items()), "node string, label string"
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+    max_rounds: int = 50, local_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, core_deg): the k-core — the maximal subgraph where every
+    node keeps degree >= k after iteratively peeling lower-degree nodes
+    (Seidman 1983; dense-community extraction on the link graph — e.g.
+    template/spam farms in a near-dup pair graph survive, tendrils peel).
+    Input is the symmetrized simple edge list (pass both directions, no
+    self-loops); ``core_deg`` is each survivor's degree INSIDE the core.
+
+    Distributed shape: per peel round ONE semi-join of the edge list
+    against the live-node set (hash-partitioned by src once, reused) +
+    one partial/final degree aggregate; the live set shrinks
+    monotonically, so every round's exchange is no larger than the last.
+    Convergence needs one eager count per round (like the BFS frontier
+    loop) with lineage truncated by localCheckpoint; rounds are bounded
+    by the peel depth (the graph's degeneracy ordering length), not by
+    node count. Same driver-local small-graph guard discipline as
+    bfs_hops/label_propagation (one take(k+1) doubles as the collect;
+    local_threshold=0 forces the distributed path, as the tests do)."""
+    e = edges.select(src, dst).where(F.col(src) != F.col(dst))
+    if local_threshold:
+        rows = e.take(local_threshold + 1)
+        if len(rows) <= local_threshold:
+            return _k_core_local(e.sparkSession, rows, src, dst, k)
+    e = e.repartition(F.col(src)).persist()
+    live = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_live = live.count()
+    nxt = live.select("node", F.lit(0).cast("long").alias("core_deg")).limit(0)
+    for _ in range(max_rounds):
+        if n_live == 0:
+            break
+        deg = (
+            e.join(live.withColumnRenamed("node", src), src, "left_semi")
+            .join(live.withColumnRenamed("node", dst), dst, "left_semi")
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        nxt = deg.where(F.col("core_deg") >= k).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_live:
+            break
+        live, n_live = nxt.select("node"), n_nxt
+    e.unpersist()
+    return nxt
+
+
+def _k_core_local(spark, edge_rows, src, dst, k: int) -> DataFrame:
+    """Driver-local replay of the identical peel."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    edges = {(r[src], r[dst]) for r in edge_rows if r[src] != r[dst]}
+    live = {n for e2 in edges for n in e2}
+    deg: dict = {}
+    while live:
+        deg = {}
+        for s, d in edges:
+            if s in live and d in live:
+                deg[s] = deg.get(s, 0) + 1
+        drop = {n for n in live if deg.get(n, 0) < k}
+        if not drop:
+            break
+        live -= drop
+    rows = sorted((n, deg[n]) for n in live)
+    ntype = (
+        StructType([StructField("node", LongType()), StructField("core_deg", LongType())])
+        if (not rows or isinstance(rows[0][0], int))
+        else "node string, core_deg bigint"
+    )
+    return spark.createDataFrame(rows, ntype)

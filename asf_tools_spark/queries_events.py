@@ -214,6 +214,82 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K = 3
+_KCORE_ROUNDS = 6  # sim converges by round 4 on this fixture; extra rounds
+                   # are idempotent (pinned by test_kcore_extra_rounds_idempotent)
+
+
+def _kcore_edges(spark: SparkSession) -> DataFrame:
+    """Deterministic 112-node fixture graph with real k-core structure:
+    a dense 12-node core (two INDEPENDENT doc_id residues — not a
+    functional map, so it's clique-like), a 100-node degree-2 periphery
+    cycle, and sparse core->periphery bridges. At k=3 the periphery peels
+    over 4 cascading rounds and the core survives."""
+    d = spark.table("documents").select("doc_id")
+    e0 = (
+        d.selectExpr("doc_id % 12 AS u", "(doc_id div 12) % 12 AS v")
+        .unionByName(d.selectExpr("12 + doc_id % 100 AS u",
+                                  "12 + (doc_id + 1) % 100 AS v"))
+        .unionByName(d.where("doc_id % 7 = 0")
+                     .selectExpr("doc_id % 12 AS u", "12 + doc_id % 100 AS v"))
+    )
+    return (
+        e0.selectExpr("u AS src", "v AS dst")
+        .unionByName(e0.selectExpr("v AS src", "u AS dst"))
+        .where("src <> dst")
+        .distinct()
+    )
+
+
+def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983) at k=3 — dense-subgraph
+    extraction on the link graph (template/spam farms survive the peel,
+    tendrils drop; the degeneracy sibling of lpa/triangles). Operator:
+    graph.k_core — per peel round one live-set semi-join + one degree
+    aggregate, live set monotonically shrinking, driver-local small-graph
+    guard with the distributed path pinned equal by test. Oracle: the
+    identical peel unrolled as chained CTE rounds (a fixpoint can't ride
+    a recursive CTE with aggregation; rounds > convergence depth are
+    idempotent, pinned by test)."""
+    from .operators.graph import k_core
+
+    _register(spark, sf_dir, "documents")
+    return k_core(_kcore_edges(spark), KCORE_K)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = ["""
+        WITH e0 AS (
+          SELECT doc_id % 12 AS u, (doc_id // 12) % 12 AS v FROM documents
+          UNION ALL
+          SELECT 12 + doc_id % 100, 12 + (doc_id + 1) % 100 FROM documents
+          UNION ALL
+          SELECT doc_id % 12, 12 + doc_id % 100 FROM documents
+          WHERE doc_id % 7 = 0
+        ),
+        edges AS (
+          SELECT DISTINCT u AS src, v AS dst FROM (
+            SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+          ) s WHERE u <> v
+        ),
+        live0 AS (SELECT DISTINCT src AS node FROM edges)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        live{i} AS (
+          SELECT e.src AS node FROM edges e
+          JOIN live{i - 1} a ON e.src = a.node
+          JOIN live{i - 1} b ON e.dst = b.node
+          GROUP BY e.src HAVING COUNT(*) >= {k}
+        )""")
+    parts.append(f"""
+        SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM edges e
+        JOIN live{rounds} a ON e.src = a.node
+        JOIN live{rounds} b ON e.dst = b.node
+        GROUP BY e.src""")
+    return "".join(parts)
+
+
 def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day moving average of daily per-type activity via a
     time-RANGE window frame (RANGE BETWEEN INTERVAL 6 DAYS PRECEDING) —
@@ -384,6 +460,7 @@ def _oracle_sqls() -> dict[str, str]:
                             AS DOUBLE) - 1.0, 6) AS wow_growth
         FROM weekly
     """
+    sqls["kcore_nodes"] = _kcore_sql(KCORE_K, _KCORE_ROUNDS)
     sqls["moving_avg_7d"] = """
         WITH daily AS (
           SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
@@ -458,6 +535,7 @@ def queries() -> dict:
         "event_pivot": q_event_pivot,
         "wow_growth": q_wow_growth,
         "moving_avg_7d": q_moving_avg_7d,
+        "kcore_nodes": q_kcore_nodes,
     }
 
 

@@ -246,3 +246,51 @@ def test_pagerank_distributed_equals_local(spark):
     assert local.keys() == dist.keys()
     for n in local:
         assert local[n] == pytest.approx(dist[n], abs=1e-9)
+
+
+def test_kcore_hand_case(spark):
+    # triangle (a,b,c) + tail c-d: at k=2 the tail peels, triangle stays
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    e = e + [(y, x) for x, y in e]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got = {r.node: r.core_deg for r in graph.k_core(edges, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_distributed_equals_local(spark):
+    import random
+
+    rng = random.Random(11)
+    base = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    e = [(u, v) for u, v in base if u != v]
+    e = e + [(v, u) for u, v in e]
+    edges = spark.createDataFrame(e, "src long, dst long").distinct()
+    local = {tuple(r) for r in graph.k_core(edges, 3).collect()}
+    dist = {tuple(r) for r in graph.k_core(edges, 3, local_threshold=0).collect()}
+    assert local == dist
+
+
+def test_kcore_empty_core(spark):
+    # a pure cycle has max degree 2 -> k=3 peels everything
+    e = [(i, (i + 1) % 10) for i in range(10)]
+    e = e + [(v, u) for u, v in e]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    assert graph.k_core(edges, 3).count() == 0
+    assert graph.k_core(edges, 3, local_threshold=0).count() == 0
+
+
+def test_kcore_extra_rounds_idempotent(spark):
+    """The unrolled oracle uses _KCORE_ROUNDS rounds; peeling must have
+    converged strictly earlier, so +2 rounds changes nothing."""
+    import duckdb
+
+    from asf_tools_spark.queries_events import _KCORE_ROUNDS, _kcore_sql, KCORE_K
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    a = con.execute(_kcore_sql(KCORE_K, _KCORE_ROUNDS) + " ORDER BY node").fetchall()
+    b = con.execute(_kcore_sql(KCORE_K, _KCORE_ROUNDS + 2) + " ORDER BY node").fetchall()
+    assert a == b and len(a) == 12
