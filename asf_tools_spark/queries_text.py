@@ -2677,6 +2677,39 @@ def _oracle_sqls() -> dict[str, str]:
         )
         SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
     """
+    sqls["clustering_coeff"] = """
+        WITH e0 AS (
+          SELECT DISTINCT
+                 LEAST(doc_id % 61, (doc_id // 61) % 61) AS a,
+                 GREATEST(doc_id % 61, (doc_id // 61) % 61) AS b
+          FROM documents
+          WHERE doc_id % 61 <> (doc_id // 61) % 61
+        ),
+        deg AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+          ) n GROUP BY node
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e0 e1
+          JOIN e0 e2 ON e2.a = e1.b
+          JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ),
+        tcnt AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node)
+        SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+               ROUND(CASE WHEN d.deg >= 2
+                          THEN 2.0 * CAST(COALESCE(tcnt.t, 0) AS DOUBLE)
+                               / (CAST(d.deg AS DOUBLE) * (d.deg - 1))
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+        FROM deg d LEFT JOIN tcnt ON tcnt.node = d.node
+    """
     # chi2_terms: full-SQL replay of the 2xL contingency algebra (all
     # cells, zero-filled observed counts, degenerate-cell convention).
     # zipf_slope: DuckDB's native REGR/CORR aggregates over the same
@@ -3374,6 +3407,27 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz local clustering coefficient over the same 61-node
+    link graph as triangle_counts — the per-node link-farm density score
+    (near-cliques ~1, trees 0; degree-<2 nodes 0 by convention). One
+    degree aggregate + node-keyed left join on top of the skew-proof
+    triangle pass; the oracle extends the INDEPENDENT brute-force
+    three-way-join triangle replay with the same degree algebra."""
+    from .operators.graph import clustering_coefficient
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    edges = docs.select(
+        (F.col("doc_id") % 61).alias("src"),
+        (F.floor(F.col("doc_id") / 61) % 61).cast("long").alias("dst"),
+    )
+    out = clustering_coefficient(edges)
+    return out.select(
+        "node", "deg", "n_triangles", F.round("clustering", 6).alias("clustering")
+    )
+
+
 def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN (FAISS refine shape): IVFPQ ADC proposes an
     oversampled k'=20 shortlist, exact full-precision L2 reranks it to
@@ -3528,6 +3582,7 @@ def queries() -> dict:
         "trend_ols": q_trend_ols,
         "interval_merge": q_interval_merge,
         "triangle_counts": q_triangle_counts,
+        "clustering_coeff": q_clustering_coeff,
         "ivfpq_rerank": q_ivfpq_rerank,  # rows-only (driver-state codebooks)
         "hits_scores": q_hits_scores,
         "chunk_passages": q_chunk_passages,

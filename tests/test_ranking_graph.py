@@ -294,3 +294,16 @@ def test_kcore_extra_rounds_idempotent(spark):
     a = con.execute(_kcore_sql(KCORE_K, _KCORE_ROUNDS) + " ORDER BY node").fetchall()
     b = con.execute(_kcore_sql(KCORE_K, _KCORE_ROUNDS + 2) + " ORDER BY node").fetchall()
     assert a == b and len(a) == 12
+
+
+def test_clustering_coefficient_hand_case(spark):
+    # triangle (a,b,c) + pendant d on c: c(a)=c(b)=1, c(c)=2*1/(3*2)=1/3, c(d)=0
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    e = e + [(y, x) for x, y in e]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got = {r.node: (r.deg, r.n_triangles, r.clustering)
+           for r in graph.clustering_coefficient(edges).collect()}
+    assert got["a"] == (2, 1, 1.0) and got["b"] == (2, 1, 1.0)
+    assert got["c"][0] == 3 and got["c"][1] == 1
+    assert abs(got["c"][2] - 1 / 3) < 1e-12
+    assert got["d"] == (1, 0, 0.0)
