@@ -1405,7 +1405,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
-    "clustering_coeff", "kcore_nodes", "moving_avg_7d", "pip_strtree",
+    "ppr_scores", "clustering_coeff", "kcore_nodes", "moving_avg_7d", "pip_strtree",
     "media_dedup", "event_pivot",
     "wow_growth",
     "embedding_cov",

@@ -855,6 +855,29 @@ def _norm_sql(col: str) -> str:
     return f"TRIM(regexp_replace(LOWER({col}), '\\s+', ' ', 'g'))"
 
 
+def _ppr_unrolled_sql(iters: int) -> str:
+    """Personalized-pagerank power iterations unrolled (same mechanics as
+    :func:`_pagerank_unrolled_sql`; restart mass goes to the ``seeds``
+    CTE (node, mass) instead of uniformly). Expects CTEs ``nodes``,
+    ``edges``, ``deg`` and ``seeds``."""
+    pr = ("SELECT n.node, COALESCE(sd.mass, CAST(0.0 AS DOUBLE)) AS rank "
+          "FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node")
+    for _ in range(iters):
+        pr = f"""
+          SELECT n.node,
+                 0.15 * COALESCE(sd.mass, 0.0) + 0.85 * COALESCE(s.s, 0.0) AS rank
+          FROM nodes n
+          LEFT JOIN seeds sd ON sd.node = n.node
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.deg) AS s
+            FROM ({pr}) p
+            JOIN edges e ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node
+        """
+    return pr
+
+
 def _pagerank_unrolled_sql(iters: int) -> str:
     """Power-iteration pagerank as ``iters`` unrolled nested subqueries
     (aggregation is illegal in a recursive CTE term). Expects CTEs named
@@ -2097,6 +2120,19 @@ def _oracle_sqls() -> dict[str, str]:
     # recursive CTE term); same simplified formulation as operators/graph.
     # Shared by pagerank_domains and textrank_terms (expects CTEs named
     # nodes / edges / deg in scope).
+    _pp = _ppr_unrolled_sql(10)
+    sqls["ppr_scores"] = f"""
+        WITH edges AS (
+          SELECT DISTINCT source AS src,
+                 'src' || CAST((doc_id % 13) AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        seeds AS (SELECT 'src1' AS node, CAST(1.0 AS DOUBLE) AS mass)
+        SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM ({_pp}) z
+    """
     _pr = _pagerank_unrolled_sql(10)
     sqls["pagerank_domains"] = f"""
         WITH edges AS (
@@ -3014,6 +3050,29 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart (Haveliwala 2002)
+    over the same domain link graph, restart mass pinned to the 'src1'
+    hub — seed-set proximity scoring, the related-domain retrieval
+    primitive. Operator graph.personalized_pagerank (pagerank's plan
+    shape + seed restart vector, same small-graph guard); oracle = the
+    identical 10 iterations unrolled with a seeds CTE."""
+    from .operators.graph import personalized_pagerank
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    edges = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("source").alias("src"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 13).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = personalized_pagerank(edges, seeds=["src1"], n_iters=10, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank (10
     iterations, d=0.85) over the word adjacency graph — undirected
@@ -3583,6 +3642,7 @@ def queries() -> dict:
         "interval_merge": q_interval_merge,
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
+        "ppr_scores": q_ppr_scores,
         "ivfpq_rerank": q_ivfpq_rerank,  # rows-only (driver-state codebooks)
         "hits_scores": q_hits_scores,
         "chunk_passages": q_chunk_passages,

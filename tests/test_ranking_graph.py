@@ -307,3 +307,24 @@ def test_clustering_coefficient_hand_case(spark):
     assert got["c"][0] == 3 and got["c"][1] == 1
     assert abs(got["c"][2] - 1 / 3) < 1e-12
     assert got["d"] == (1, 0, 0.0)
+
+
+def test_ppr_distributed_equals_local_and_seeds_dominate(spark):
+    import random
+
+    rng = random.Random(5)
+    e = list({(f"s{rng.randrange(12)}", f"d{rng.randrange(8)}") for _ in range(60)})
+    edges = spark.createDataFrame(e, "src string, dst string")
+    seeds = ["s0", "s1"]
+    local = {r.node: r.rank
+             for r in graph.personalized_pagerank(edges, seeds).collect()}
+    dist = {r.node: r.rank
+            for r in graph.personalized_pagerank(edges, seeds, local_threshold=0).collect()}
+    assert local.keys() == dist.keys()
+    for n in local:
+        assert local[n] == pytest.approx(dist[n], abs=1e-9)
+    # source-only nodes with no restart mass and no in-edges score 0
+    pure_sources = {n for n in local if n.startswith("s") and n not in seeds}
+    assert pure_sources and all(local[n] == 0.0 for n in pure_sources)
+    # seeds hold restart mass
+    assert all(local[s] >= 0.15 * 0.5 - 1e-12 for s in seeds if s in local)
