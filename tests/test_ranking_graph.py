@@ -328,3 +328,31 @@ def test_ppr_distributed_equals_local_and_seeds_dominate(spark):
     assert pure_sources and all(local[n] == 0.0 for n in pure_sources)
     # seeds hold restart mass
     assert all(local[s] >= 0.15 * 0.5 - 1e-12 for s in seeds if s in local)
+
+
+def test_kcore_random_differential(spark):
+    """k_core distributed path vs an independent python peel, 3 seeds x 2 k."""
+    import random
+
+    for seed in (2, 9):
+        rng = random.Random(seed)
+        base = {(rng.randrange(25), rng.randrange(25)) for _ in range(90)}
+        e = [(u, v) for u, v in base if u != v]
+        e = e + [(v, u) for u, v in e]
+        edges = spark.createDataFrame(e, "src long, dst long").distinct()
+        es = set(e)
+        for k in (2, 3):
+            live = {n for p in es for n in p}
+            deg = {}
+            while live:
+                deg = {}
+                for s, d in es:
+                    if s in live and d in live:
+                        deg[s] = deg.get(s, 0) + 1
+                drop = {n for n in live if deg.get(n, 0) < k}
+                if not drop:
+                    break
+                live -= drop
+            expect = {(n, deg[n]) for n in live}
+            got = {tuple(r) for r in graph.k_core(edges, k, local_threshold=0).collect()}
+            assert got == expect, (seed, k)

@@ -55,3 +55,33 @@ def test_strtree_pip_equals_cover_path(spark):
     cover = {tuple(r) for r in q_pip_page_counts(spark, sf).collect()}
     strt = {tuple(r) for r in q_pip_strtree(spark, sf).collect()}
     assert cover == strt and len(cover) > 0
+
+
+def test_tile_pyramid_random_differential(spark):
+    """tile_pyramid vs an independent pure-python rollup, 3 seeds."""
+    import random
+
+    import pandas as pd
+
+    from asf_tools_spark.operators.tiling import tile_pyramid
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        pts = [(rng.uniform(-90, 90), rng.uniform(-180, 180), rng.uniform(0, 2))
+               for _ in range(200)]
+        pdf = pd.DataFrame(pts, columns=["lat", "lon", "value"])
+        out = tile_pyramid(spark.createDataFrame(pdf), base_res=4)
+        got = {(r.res, r.row, r.col): (r.n_pages, round(r.sum_value, 9))
+               for r in out.collect()}
+        expect = {}
+        for lat, lon, val in pts:
+            n = 1 << 4
+            row = min(max(int((lat + 90.0) / 180.0 * n), 0), n - 1)
+            col = min(max(int((lon + 180.0) / 360.0 * n), 0), n - 1)
+            for res in range(5):
+                key = (res, row >> (4 - res), col >> (4 - res))
+                c, s = expect.get(key, (0, 0.0))
+                expect[key] = (c + 1, s + val)
+        assert got.keys() == expect.keys()
+        for k, (c, s) in expect.items():
+            assert got[k][0] == c and abs(got[k][1] - s) < 1e-6
