@@ -628,7 +628,12 @@ def personalized_pagerank(
     dangling mass is dropped (same convention as :func:`pagerank`, whose
     plan shape — edges partitioned by src once, one join + one aggregate
     per iteration — this reuses verbatim). Same driver-local small-graph
-    guard; local_threshold=0 forces the distributed path (tests do)."""
+    guard; local_threshold=0 forces the distributed path (tests do).
+
+    Seeds absent from the graph carry their restart mass nowhere: if NO
+    seed appears in the edge set, every rank is 0.0 (the mathematically
+    consistent answer, not an error — checking would cost an extra
+    action; callers wanting a guard can assert max(rank) > 0)."""
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     mass = 1.0 / len(seeds)

@@ -260,6 +260,13 @@ def tile_pyramid(
     """
     from ..core import cells as C
 
+    if not 0 <= min_res <= base_res <= 16:
+        # an empty res range would build F.array() with zero elements and
+        # the explode would SILENTLY drop every row — fail loudly instead
+        raise ValueError(
+            f"need 0 <= min_res ({min_res}) <= base_res ({base_res}) <= 16"
+        )
+
     base = (
         points.select(
             F.expr(C.grid_y_sql(lat, base_res)).alias("row"),

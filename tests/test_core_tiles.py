@@ -106,3 +106,16 @@ def test_tile_pyramid_conserves_mass_and_halves_keys(spark):
         got = {(r, c) for r, c in
                zip(out[out["res"] == res - 1]["row"], out[out["res"] == res - 1]["col"])}
         assert parents == got
+
+
+def test_tile_pyramid_rejects_empty_res_range(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from asf_tools_spark.operators.tiling import tile_pyramid
+
+    df = spark.createDataFrame(pd.DataFrame({"lat": [0.0], "lon": [0.0], "value": [1.0]}))
+    with _pt.raises(ValueError):
+        tile_pyramid(df, base_res=3, min_res=5)
+    with _pt.raises(ValueError):
+        tile_pyramid(df, base_res=20)
