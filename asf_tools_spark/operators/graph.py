@@ -47,7 +47,8 @@ def pagerank(
         rows = edges.select(src, dst).take(local_threshold + 1)
         if len(rows) <= local_threshold:
             return _pagerank_local(
-                edges.sparkSession, rows, src, dst, n_iters, damping
+                edges.sparkSession, rows, src, dst, n_iters, damping,
+                edges.select(src).schema[0].dataType,
             )
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -84,12 +85,24 @@ def pagerank(
     return ranks
 
 
-def _pagerank_local(spark, edge_rows, src, dst, n_iters: int, damping: float) -> DataFrame:
+def _rank_schema(node_type):
+    """(node: <input type>, rank: double) — the node column keeps the
+    INPUT's type so int-keyed graphs work through the local guards and an
+    empty result matches the distributed path's schema."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType([
+        StructField("node", node_type), StructField("rank", DoubleType()),
+    ])
+
+
+def _pagerank_local(spark, edge_rows, src, dst, n_iters: int, damping: float,
+                    node_type) -> DataFrame:
     """Driver-local replay of exactly the distributed iterations."""
     import numpy as np
 
     if not edge_rows:
-        return spark.createDataFrame([], "node string, rank double")
+        return spark.createDataFrame([], _rank_schema(node_type))
     srcs = [r[src] for r in edge_rows]
     dsts = [r[dst] for r in edge_rows]
     nodes = sorted(set(srcs) | set(dsts))
@@ -102,7 +115,7 @@ def _pagerank_local(spark, edge_rows, src, dst, n_iters: int, damping: float) ->
         s = np.bincount(di, weights=rank[si] / deg[si], minlength=len(nodes))
         rank = (1.0 - damping) + damping * s
     return spark.createDataFrame(
-        [(n, float(rank[idx[n]])) for n in nodes], "node string, rank double"
+        [(n, float(rank[idx[n]])) for n in nodes], _rank_schema(node_type)
     )
 
 
@@ -303,6 +316,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     per-node rollup. Three shuffles total (degree agg, wedge join,
     closing join), all on node keys.
     """
+    und, deg = _undirected_and_deg(edges, src, dst)
+    return _triangles_from(und, deg)
+
+
+def _undirected_and_deg(edges: DataFrame, src: str, dst: str):
+    """(und, deg): the deduped undirected simple edge set (a < b) and the
+    per-node degree aggregate — shared by triangle_count and
+    clustering_coefficient so the coefficient pays for them ONCE."""
     und = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -314,6 +335,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    return und, deg
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered wedge triangle count over a prebuilt (und, deg)."""
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_degb"))
     ranked = und.join(da, "a").join(db, "b")
@@ -521,15 +547,20 @@ def k_core(
     monotonically, so every round's exchange is no larger than the last.
     Convergence needs one eager count per round (like the BFS frontier
     loop) with lineage truncated by localCheckpoint; rounds are bounded
-    by the peel depth (the graph's degeneracy ordering length), not by
-    node count. Same driver-local small-graph guard discipline as
-    bfs_hops/label_propagation (one take(k+1) doubles as the collect;
+    by the peel depth (the graph's degeneracy ordering length, which is
+    O(n) in the worst case — a long path at k=2 peels from both ends).
+    If the peel has NOT converged within ``max_rounds`` the call raises
+    rather than returning the unconverged live set (a silently-wrong
+    near-core is worse than asking the caller to raise the bound). Same
+    driver-local small-graph guard discipline as bfs_hops/
+    label_propagation (one take(k+1) doubles as the collect;
     local_threshold=0 forces the distributed path, as the tests do)."""
     e = edges.select(src, dst).where(F.col(src) != F.col(dst))
+    node_type = e.schema[0].dataType
     if local_threshold:
         rows = e.take(local_threshold + 1)
         if len(rows) <= local_threshold:
-            return _k_core_local(e.sparkSession, rows, src, dst, k)
+            return _k_core_local(e.sparkSession, rows, src, dst, k, node_type)
     e = e.repartition(F.col(src)).persist()
     live = (
         e.select(F.col(src).alias("node"))
@@ -539,8 +570,10 @@ def k_core(
     )
     n_live = live.count()
     nxt = live.select("node", F.lit(0).cast("long").alias("core_deg")).limit(0)
+    converged = n_live == 0
     for _ in range(max_rounds):
         if n_live == 0:
+            converged = True
             break
         deg = (
             e.join(live.withColumnRenamed("node", src), src, "left_semi")
@@ -551,14 +584,24 @@ def k_core(
         nxt = deg.where(F.col("core_deg") >= k).localCheckpoint(eager=True)
         n_nxt = nxt.count()
         if n_nxt == n_live:
+            converged = True
             break
         live, n_live = nxt.select("node"), n_nxt
     e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge within max_rounds={max_rounds} "
+            f"({n_live} nodes still live) — raise max_rounds; returning the "
+            "unconverged live set would silently overstate the core"
+        )
     return nxt
 
 
-def _k_core_local(spark, edge_rows, src, dst, k: int) -> DataFrame:
-    """Driver-local replay of the identical peel."""
+def _k_core_local(spark, edge_rows, src, dst, k: int, node_type) -> DataFrame:
+    """Driver-local replay of the identical peel. ``node_type`` comes from
+    the input schema so an EMPTY result keeps the node column's type (an
+    inferred-from-rows schema would default to long and diverge from the
+    distributed path on string-keyed graphs)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     edges = {(r[src], r[dst]) for r in edge_rows if r[src] != r[dst]}
@@ -574,12 +617,10 @@ def _k_core_local(spark, edge_rows, src, dst, k: int) -> DataFrame:
             break
         live -= drop
     rows = sorted((n, deg[n]) for n in live)
-    ntype = (
-        StructType([StructField("node", LongType()), StructField("core_deg", LongType())])
-        if (not rows or isinstance(rows[0][0], int))
-        else "node string, core_deg bigint"
-    )
-    return spark.createDataFrame(rows, ntype)
+    schema = StructType([
+        StructField("node", node_type), StructField("core_deg", LongType()),
+    ])
+    return spark.createDataFrame(rows, schema)
 
 
 def clustering_coefficient(
@@ -590,20 +631,12 @@ def clustering_coefficient(
     the undirected simple graph — the per-node link-farm density score on
     top of :func:`triangle_count` (near-cliques score ~1, trees 0).
     Degree-<2 nodes get 0.0 (no wedge exists — the usual convention).
-    One extra degree aggregate + a node-keyed left join beyond the
-    triangle pass; both sides are node-cardinality frames."""
-    und = (
-        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
-    tri = triangle_count(edges, src, dst)
+    One extra node-keyed left join beyond the triangle pass; the deduped
+    edge set and degree aggregate are built ONCE and shared with the
+    triangle stage (_undirected_and_deg)."""
+    und, deg = _undirected_and_deg(edges, src, dst)
+    deg = deg.select("node", F.col("deg").cast("long").alias("deg"))
+    tri = _triangles_from(und, deg)
     t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
     c = F.when(
         F.col("deg") >= 2,
@@ -642,7 +675,7 @@ def personalized_pagerank(
         if len(rows) <= local_threshold:
             return _ppr_local(
                 edges.sparkSession, rows, src, dst, list(seeds), mass,
-                n_iters, damping,
+                n_iters, damping, edges.select(src).schema[0].dataType,
             )
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -672,12 +705,13 @@ def personalized_pagerank(
     return ranks
 
 
-def _ppr_local(spark, edge_rows, src, dst, seeds, mass, n_iters, damping) -> DataFrame:
+def _ppr_local(spark, edge_rows, src, dst, seeds, mass, n_iters, damping,
+               node_type) -> DataFrame:
     """Driver-local numpy replay of the identical restart iterations."""
     import numpy as np
 
     if not edge_rows:
-        return spark.createDataFrame([], "node string, rank double")
+        return spark.createDataFrame([], _rank_schema(node_type))
     srcs = [r[src] for r in edge_rows]
     dsts = [r[dst] for r in edge_rows]
     nodes = sorted(set(srcs) | set(dsts))
@@ -694,5 +728,5 @@ def _ppr_local(spark, edge_rows, src, dst, seeds, mass, n_iters, damping) -> Dat
         s = np.bincount(di, weights=rank[si] / deg[si], minlength=len(nodes))
         rank = (1.0 - damping) * seed + damping * s
     return spark.createDataFrame(
-        [(n, float(rank[idx[n]])) for n in nodes], "node string, rank double"
+        [(n, float(rank[idx[n]])) for n in nodes], _rank_schema(node_type)
     )

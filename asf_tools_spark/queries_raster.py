@@ -703,8 +703,8 @@ def queries() -> dict:
         "label_stats_nmad": q_label_stats_nmad,
         "mosaic_weighted": q_mosaic_weighted,
         "fill_missing_tiles": q_fill_missing_tiles,
-        # rows-only: binary payloads can't cross the oracle (DuckDB 1.0
-        # sha256 is VARCHAR-only; payload bytes are non-UTF8)
+        # oracled since r5 by pure-Python VALUES replays (DuckDB 1.0 sha256
+        # is VARCHAR-only, so the digests are replayed with hashlib instead)
         "media_features": q_media_features,
         "media_dedup": q_media_dedup,
     }

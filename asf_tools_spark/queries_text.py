@@ -168,12 +168,21 @@ def _simhash64_pairs_oracle() -> str | None:
     cache: dict[str, int] = {}
     shifts = np.arange(64, dtype=np.uint64)
     sims = np.zeros(len(ids), dtype=np.uint64)
+    keep = np.ones(len(ids), dtype=bool)
     for i, tx in enumerate(texts):
         toks = {
             t
-            for t in _re.sub(r"\s+", " ", tx.lower(), flags=_re.ASCII).strip().split(" ")
+            for t in _re.sub(r"\s+", " ", (tx or "").lower(), flags=_re.ASCII)
+            .strip().split(" ")
             if t
         }
+        if not toks:
+            # mirror the Spark path exactly: word_shingles drops empty
+            # tokens, so a token-less doc gets NO simhash row at all (a
+            # zero fingerprint here would fabricate pairs the engine
+            # cannot emit)
+            keep[i] = False
+            continue
         hs = np.array(
             [
                 cache.setdefault(t, xxhash64_strings("simhash-", t) & ((1 << 64) - 1))
@@ -185,13 +194,14 @@ def _simhash64_pairs_oracle() -> str | None:
         # bit j set iff (+1 per one) - (-1 per zero) > 0 <=> 2*ones > n
         bits = (2 * ones > len(hs)).astype(np.uint64)
         sims[i] = np.bitwise_or.reduce(bits << shifts)
+    ids, sims = np.asarray(ids)[keep], sims[keep]
     x = sims[:, None] ^ sims[None, :]
     try:
         ham = np.bitwise_count(x)
     except AttributeError:  # numpy < 2.0
         ham = np.vectorize(lambda v: bin(int(v)).count("1"))(x)
     ia, ib = np.where(np.triu(ham <= 3, k=1))
-    idv = np.asarray(ids)
+    idv = ids
     rows = sorted(
         (min(int(idv[a]), int(idv[b])), max(int(idv[a]), int(idv[b])), int(ham[a, b]))
         for a, b in zip(ia, ib)

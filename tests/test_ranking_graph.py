@@ -356,3 +356,36 @@ def test_kcore_random_differential(spark):
             expect = {(n, deg[n]) for n in live}
             got = {tuple(r) for r in graph.k_core(edges, k, local_threshold=0).collect()}
             assert got == expect, (seed, k)
+
+
+def test_graph_local_guards_accept_int_nodes(spark):
+    # int-keyed graphs must work through the driver-local guards (the
+    # distributed paths always did) and keep the node type on empty output
+    e = [(1, 2), (2, 3), (3, 1)]
+    e = e + [(v, u) for u, v in e]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    pr = graph.pagerank(edges, n_iters=3)
+    assert pr.schema["node"].dataType.simpleString() == "bigint"
+    assert pr.count() == 3
+    ppr = graph.personalized_pagerank(edges, seeds=[1], n_iters=3)
+    assert ppr.schema["node"].dataType.simpleString() == "bigint"
+    assert {r.node for r in ppr.collect()} == {1, 2, 3}
+    # empty k-core on a STRING graph keeps node:string on the local path
+    se = [("a", "b"), ("b", "a")]
+    sedges = spark.createDataFrame(se, "src string, dst string")
+    out = graph.k_core(sedges, 3)
+    assert out.count() == 0
+    assert out.schema["node"].dataType.simpleString() == "string"
+
+
+def test_kcore_raises_when_unconverged(spark):
+    import pytest as _pt
+
+    # a 14-node path at k=2 needs ~7 peel rounds from both ends
+    e = [(i, i + 1) for i in range(13)]
+    e = e + [(v, u) for u, v in e]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        graph.k_core(edges, 2, max_rounds=2, local_threshold=0)
+    # with enough rounds the same input converges (to empty: a path has no 2-core)
+    assert graph.k_core(edges, 2, max_rounds=20, local_threshold=0).count() == 0
