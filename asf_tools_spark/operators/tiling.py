@@ -276,6 +276,18 @@ def tile_pyramid(
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s"))
     )
+    return pyramid_from_base(base, base_res, min_res)
+
+
+def pyramid_from_base(base: DataFrame, base_res: int, min_res: int = 0) -> DataFrame:
+    """Roll base-res cell partials (row, col, _n, _s) up to every level in
+    ``min_res..base_res`` — the second half of :func:`tile_pyramid`, shared
+    with the incremental maintainer (streaming.pyramid), so the batch and
+    streaming pyramids are the same plan by construction."""
+    if not 0 <= min_res <= base_res <= 16:
+        raise ValueError(
+            f"need 0 <= min_res ({min_res}) <= base_res ({base_res}) <= 16"
+        )
     anc = F.explode(F.array(*[
         F.struct(
             F.lit(res).alias("res"),

@@ -1405,6 +1405,7 @@ def _oracle_sqls() -> dict[str, str]:
 # partially rotated out as multiply-green.
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
+    "quadkey_rollup", "geohash_rollup", "track_stats", "od_matrix",
     "ppr_scores", "clustering_coeff", "kcore_nodes", "moving_avg_7d", "pip_strtree",
     "media_dedup", "event_pivot",
     "wow_growth",
@@ -1477,13 +1478,14 @@ def _reorder(out: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import queries_events, queries_grid, queries_raster, queries_text
+    from . import queries_events, queries_geo, queries_grid, queries_raster, queries_text
 
     out = _base_queries()
     out.update(queries_text.queries())
     out.update(queries_raster.queries())
     out.update(queries_grid.queries())
     out.update(queries_events.queries())
+    out.update(queries_geo.queries())
     return _reorder(out)
 
 
@@ -1526,13 +1528,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from . import queries_events, queries_grid, queries_raster, queries_text
+    from . import queries_events, queries_geo, queries_grid, queries_raster, queries_text
 
     out = _oracle_sqls()
     out.update(queries_text.oracle_sql())
     out.update(queries_raster.oracle_sql())
     out.update(queries_grid.oracle_sql())
     out.update(queries_events.oracle_sql())
+    out.update(queries_geo.oracle_sql())
     for k in _RETIRED:
         out.pop(k, None)
     return out
