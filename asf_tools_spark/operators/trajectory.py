@@ -114,3 +114,193 @@ def od_matrix(
         F.count(F.lit(1)).alias("n_trips"),
         F.countDistinct(key).alias("n_users"),
     )
+
+
+def trip_segments(
+    pings: DataFrame,
+    gap_minutes: float = 30.0,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Split each entity's ping sequence into trips at time gaps longer
+    than ``gap_minutes`` (the standard trajectory segmentation rule), and
+    aggregate per trip.
+
+    trip_id is the running count of gap-exceeding boundaries — ONE
+    entity-keyed window shuffle computes the lag, the running sum, AND the
+    leg lengths (identical partitioning, Catalyst plans one exchange); the
+    per-trip aggregate then re-keys by (entity, trip) which is a strict
+    refinement, so AQE keeps it local. Legs that CROSS a gap boundary are
+    excluded from trip distance (the vehicle was off the radar).
+    """
+    gap_us = int(gap_minutes * 60_000_000)
+    w = Window.partitionBy(key).orderBy("_ts", tiebreak)
+    staged = pings.select(
+        key,
+        tiebreak,
+        F.col(ts).cast("timestamp_ltz").alias("_ts"),
+        F.col(lat).alias("_lat"),
+        F.col(lon).alias("_lon"),
+    ).select(
+        key,
+        "_ts",
+        (F.unix_micros("_ts") - F.unix_micros(F.lag("_ts").over(w))).alias("_gap"),
+        haversine_km(
+            F.lag("_lat").over(w), F.lag("_lon").over(w),
+            F.col("_lat"), F.col("_lon"),
+        ).alias("_leg"),
+        F.sum(
+            F.when(
+                F.lag("_ts").over(w).isNull()
+                | (F.unix_micros("_ts") - F.unix_micros(F.lag("_ts").over(w)) > gap_us),
+                1,
+            ).otherwise(0)
+        ).over(w).alias("trip_id"),
+    )
+    in_trip_leg = F.when(F.col("_gap") <= gap_us, F.col("_leg"))
+    return staged.groupBy(key, "trip_id").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.min("_ts").alias("start_ts"),
+        F.max("_ts").alias("end_ts"),
+        F.round(F.coalesce(F.sum(in_trip_leg), F.lit(0.0)), 4).alias("trip_km"),
+    )
+
+
+def colocation_pairs(
+    pings: DataFrame,
+    res: int = 6,
+    bucket_hours: int = 1,
+    key: str = "user_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Entity pairs observed in the same space-time bucket (res-``res``
+    cell x ``bucket_hours`` window) — the contact-graph primitive.
+
+    Never all-pairs: distinct (entity, cell, bucket) occupancy first (one
+    aggregate bounded by occupancy, not pings), then a self-equi-join on
+    (cell, bucket) — the join fan-out is per-bucket occupancy squared,
+    which the space-time bucketing keeps small by construction (the same
+    bounded-bucket argument as the LSH band join). Hot buckets (a stadium
+    cell at kickoff) are the documented skew lever: shrink the bucket.
+    """
+    bucket_us = bucket_hours * 3_600_000_000
+    occ = (
+        with_cell_col(pings, lat, lon, res, "_cell")
+        .select(
+            key,
+            "_cell",
+            F.floor(
+                F.unix_micros(F.col(ts).cast("timestamp_ltz")) / F.lit(bucket_us)
+            ).alias("_bucket"),
+        )
+        .distinct()
+    )
+    a, b = occ.alias("a"), occ.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("user_a"),
+            F.col(f"b.{key}").alias("user_b"),
+            F.col("a._cell").alias("cell"),
+            F.col("a._bucket").alias("bucket"),
+        )
+    )
+    return pair.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+
+
+def bearing_rose(
+    pings: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Global 8-bin compass rose of leg bearings (movement anisotropy —
+    the direction-distribution screen run before flow modeling): initial
+    great-circle bearing per consecutive leg, binned at 45° centered on
+    N/NE/E/..., with leg count and mean leg length per bin. Zero-length
+    legs (identical consecutive coordinates) have no bearing — dropped.
+    Same one-window shape as track_stats; the rose aggregate is 8 rows.
+    """
+    w = Window.partitionBy(key).orderBy("_ts", tiebreak)
+    staged = pings.select(
+        key,
+        tiebreak,
+        F.col(ts).cast("timestamp_ltz").alias("_ts"),
+        F.radians(lat).alias("_rlat"),
+        F.radians(lon).alias("_rlon"),
+        F.col(lat).alias("_lat"),
+        F.col(lon).alias("_lon"),
+    ).select(
+        haversine_km(
+            F.lag("_lat").over(w), F.lag("_lon").over(w),
+            F.col("_lat"), F.col("_lon"),
+        ).alias("_leg"),
+        F.lag("_rlat").over(w).alias("_p_rlat"),
+        F.lag("_rlon").over(w).alias("_p_rlon"),
+        F.col("_rlat"),
+        F.col("_rlon"),
+    ).where(F.col("_p_rlat").isNotNull() & (F.col("_leg") > 0.0))
+    dlon = F.col("_rlon") - F.col("_p_rlon")
+    # initial great-circle bearing (forward azimuth), degrees in (-180, 180]
+    deg = F.degrees(
+        F.atan2(
+            F.sin(dlon) * F.cos("_rlat"),
+            F.cos("_p_rlat") * F.sin("_rlat")
+            - F.sin("_p_rlat") * F.cos("_rlat") * F.cos(dlon),
+        )
+    )
+    # shift so bin 0 is centered on north: (-180,180] + 360 + 22.5 -> floor/45 mod 8
+    bin_ = F.pmod(F.floor((deg + 382.5) / 45.0).cast("long"), F.lit(8))
+    return (
+        staged.select(bin_.alias("bin"), "_leg")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_legs"),
+            F.round(F.avg("_leg"), 4).alias("avg_leg_km"),
+        )
+    )
+
+
+def geofence_events(
+    flags: DataFrame,
+    key: str = "user_id",
+    seq: str = "seq",
+    ts: str = "ts",
+) -> DataFrame:
+    """Fence entry/exit transitions from sparse containment hits.
+
+    ``flags`` is the (poly_id, key, seq, ts)-shaped INSIDE-hit table (one
+    row per ping x containing fence — the output of the exact PIP refine,
+    already sparse). ``seq`` is the ping's position in the entity's global
+    timeline (row_number over ts). A hit opens a visit when the previous
+    timeline ping was NOT inside (lag(seq) != seq-1) and closes it when
+    the next one isn't (lead(seq) != seq+1) — pure lag/lead over the
+    (entity, fence)-keyed window; no per-ping dense timeline is ever
+    materialized, so the shuffle is bounded by HITS, not pings x fences.
+    """
+    w = Window.partitionBy(key, "poly_id").orderBy(seq)
+    prev_seq, next_seq = F.lag(seq).over(w), F.lead(seq).over(w)
+    ev = flags.select(
+        key,
+        "poly_id",
+        seq,
+        ts,
+        (prev_seq.isNull() | (prev_seq != F.col(seq) - 1)).alias("is_entry"),
+        (next_seq.isNull() | (next_seq != F.col(seq) + 1)).alias("is_exit"),
+    )
+    return ev.where(F.col("is_entry") | F.col("is_exit"))

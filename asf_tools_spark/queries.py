@@ -1406,6 +1406,7 @@ def _oracle_sqls() -> dict[str, str]:
 _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
     "quadkey_rollup", "geohash_rollup", "track_stats", "od_matrix",
+    "trip_segments", "colocation_pairs", "bearing_rose", "geofence_events",
     "ppr_scores", "clustering_coeff", "kcore_nodes", "moving_avg_7d", "pip_strtree",
     "media_dedup", "event_pivot",
     "wow_growth",

@@ -211,12 +211,251 @@ def _od_matrix_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# trip segmentation
+
+_GAP_MIN = 30.0
+
+
+def q_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based trajectory segmentation (>30 min off-radar splits a
+    trip): ONE entity-keyed window computes lag, running boundary count
+    AND leg lengths; cross-gap legs are excluded from trip_km. Timestamps
+    exported as exact integer epoch-micros (the repo's cross-engine
+    timestamp rule)."""
+    from .operators.trajectory import trip_segments
+
+    out = trip_segments(_geotagged_events(spark, sf_dir), gap_minutes=_GAP_MIN)
+    return out.select(
+        "user_id",
+        F.col("trip_id").cast("long").alias("trip_id"),
+        "n_pings",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+        "trip_km",
+    )
+
+
+def _trip_segments_oracle() -> str:
+    ev = _geotagged_events_sql()
+    gap_us = int(_GAP_MIN * 60_000_000)
+    return f"""
+        WITH s AS (
+          SELECT user_id, ts, event_id, lat, lon,
+                 LAG(lat) OVER w AS _plat, LAG(lon) OVER w AS _plon,
+                 LAG(ts) OVER w AS _pts
+          FROM {ev} _ts0
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+          SELECT user_id, ts,
+                 epoch_us(ts) - epoch_us(_pts) AS _gap,
+                 CASE WHEN _plat IS NULL THEN NULL ELSE {_HAV} END AS _leg,
+                 CAST(SUM(CASE WHEN _pts IS NULL
+                                    OR epoch_us(ts) - epoch_us(_pts) > {gap_us}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS BIGINT) AS trip_id
+          FROM s
+        )
+        SELECT user_id, trip_id, COUNT(*) AS n_pings,
+               epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+               ROUND(COALESCE(SUM(CASE WHEN _gap <= {gap_us} THEN _leg END),
+                              0.0), 4) AS trip_km
+        FROM g GROUP BY user_id, trip_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# co-location pairs
+
+_COLOC_RES = 6
+_COLOC_HOURS = 1
+
+
+def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-cell same-hour entity pairs (contact-graph primitive) —
+    distinct space-time occupancy then a bucket-keyed self-join; never
+    all-pairs."""
+    from .operators.trajectory import colocation_pairs
+
+    return colocation_pairs(
+        _geotagged_events(spark, sf_dir), res=_COLOC_RES, bucket_hours=_COLOC_HOURS
+    )
+
+
+def _colocation_oracle() -> str:
+    ev = _geotagged_events_sql()
+    celled = cells.cell_layered_select(
+        ev, "lat", "lon", _COLOC_RES, carry=["event_id", "ts", "user_id"], out="cell"
+    )
+    bucket_us = _COLOC_HOURS * 3_600_000_000
+    return f"""
+        WITH occ AS (
+          SELECT DISTINCT user_id, cell,
+                 CAST(FLOOR(epoch_us(ts) / CAST({float(bucket_us)!r} AS DOUBLE))
+                      AS BIGINT) AS bucket
+          FROM {celled} _cl0
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               COUNT(*) AS n_windows, COUNT(DISTINCT a.cell) AS n_cells
+        FROM occ a JOIN occ b
+          ON a.cell = b.cell AND a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# bearing rose
+
+def q_bearing_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bin compass rose of leg bearings over all user tracks (movement
+    anisotropy screen). ATAN2/DEGREES algebra identical on both engines;
+    bin arithmetic is exact integer floor/mod on the shifted angle."""
+    from .operators.trajectory import bearing_rose
+
+    return bearing_rose(_geotagged_events(spark, sf_dir))
+
+
+def _bearing_oracle() -> str:
+    ev = _geotagged_events_sql()
+    deg = (
+        "DEGREES(ATAN2(SIN(RADIANS(lon) - RADIANS(_plon)) * COS(RADIANS(lat)), "
+        "COS(RADIANS(_plat)) * SIN(RADIANS(lat)) "
+        "- SIN(RADIANS(_plat)) * COS(RADIANS(lat)) * COS(RADIANS(lon) - RADIANS(_plon))))"
+    )
+    return f"""
+        WITH legs AS (
+          SELECT user_id, ts,
+                 LAG(lat) OVER w AS _plat, LAG(lon) OVER w AS _plon,
+                 lat, lon
+          FROM {ev} _br0
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        d AS (
+          SELECT {deg} AS deg, {_HAV} AS leg
+          FROM legs WHERE _plat IS NOT NULL
+        )
+        SELECT CAST(FLOOR((deg + CAST(382.5 AS DOUBLE)) / CAST(45.0 AS DOUBLE))
+                    AS BIGINT) % 8 AS bin,
+               COUNT(*) AS n_legs, ROUND(AVG(leg), 4) AS avg_leg_km
+        FROM d WHERE leg > 0.0
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# geofence entry/exit events
+
+def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fence entry/exit transitions: exact PIP hits (the flagship
+    cover-cell prune + crossing-parity refine, shared with
+    pip_page_counts) against the watershed fences, then lag/lead over the
+    per-(user, fence) hit sequence — the shuffle is bounded by HITS, not
+    pings x fences. The ping timeline position (seq) is a per-user
+    row_number computed before the spatial join and carried through."""
+    from .core import cells as C
+    from .operators.geometry import pip_candidates
+    from .operators.trajectory import geofence_events
+    from .sources.polygons import polygon_edges_df, watershed_polygons
+    from pyspark.sql.window import Window
+
+    polys = watershed_polygons()
+    edges = polygon_edges_df(spark, polys)
+    cover_rows = []
+    for p in polys:
+        ring = p["ring"]
+        for c in C.cover_bbox(
+            float(ring[:, 1].min()), float(ring[:, 0].min()),
+            float(ring[:, 1].max()), float(ring[:, 0].max()), 8,
+        ):
+            cover_rows.append((int(p["poly_id"]), int(c)))
+    cover = spark.createDataFrame(cover_rows, "poly_id int, cell_id long")
+
+    ev = _geotagged_events(spark, sf_dir)
+    from .functions.spatial import with_cell_col
+
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = with_cell_col(ev, "lat", "lon", 8, "cell_id").withColumn(
+        "seq", F.row_number().over(seq_w).cast("long")
+    )
+    flags = pip_candidates(ev, edges, key="event_id", cover=cover)
+    hits = (
+        flags.where("inside")
+        .select("poly_id", "event_id")
+        .join(ev.select("event_id", "user_id", "seq", "ts"), "event_id")
+    )
+    out = geofence_events(hits, key="user_id", seq="seq", ts="ts")
+    return out.select(
+        "user_id", "poly_id", "seq",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "is_entry", "is_exit",
+    )
+
+
+def _geofence_oracle() -> str:
+    from .sources.polygons import edges_values_sql, watershed_polygons
+
+    ev = _geotagged_events_sql()
+    edges = edges_values_sql(watershed_polygons())
+    return f"""
+        WITH seqd AS (
+          SELECT user_id, event_id, ts, lat, lon,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS BIGINT) AS seq
+          FROM {ev} _gf0
+        ),
+        edges AS (SELECT * FROM {edges} e),
+        boxes AS (
+          SELECT poly_id,
+                 MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
+                 MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
+          FROM edges GROUP BY poly_id
+        ),
+        cand AS (
+          SELECT b.poly_id, p.user_id, p.event_id, p.seq, p.ts, p.lat, p.lon
+          FROM seqd p JOIN boxes b
+            ON p.lon >= b.minx AND p.lon <= b.maxx
+           AND p.lat >= b.miny AND p.lat <= b.maxy
+        ),
+        par AS (
+          SELECT c.poly_id, c.event_id, COUNT(*) AS nc
+          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
+           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
+           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+          GROUP BY c.poly_id, c.event_id
+        ),
+        hits AS (
+          SELECT c.user_id, c.poly_id, c.seq, c.ts
+          FROM cand c JOIN par p
+            ON p.poly_id = c.poly_id AND p.event_id = c.event_id
+          WHERE p.nc % 2 = 1
+        ),
+        marked AS (
+          SELECT user_id, poly_id, seq, ts,
+                 (LAG(seq) OVER w IS NULL OR LAG(seq) OVER w <> seq - 1)
+                   AS is_entry,
+                 (LEAD(seq) OVER w IS NULL OR LEAD(seq) OVER w <> seq + 1)
+                   AS is_exit
+          FROM hits
+          WINDOW w AS (PARTITION BY user_id, poly_id ORDER BY seq)
+        )
+        SELECT user_id, poly_id, seq, epoch_us(ts) AS ts_us,
+               is_entry, is_exit
+        FROM marked WHERE is_entry OR is_exit
+    """
+
+
 def queries() -> dict:
     return {
         "quadkey_rollup": q_quadkey_rollup,
         "geohash_rollup": q_geohash_rollup,
         "track_stats": q_track_stats,
         "od_matrix": q_od_matrix,
+        "trip_segments": q_trip_segments,
+        "colocation_pairs": q_colocation_pairs,
+        "bearing_rose": q_bearing_rose,
+        "geofence_events": q_geofence_events,
     }
 
 
@@ -226,4 +465,8 @@ def oracle_sql() -> dict:
         "geohash_rollup": _geohash_oracle(),
         "track_stats": _track_stats_oracle(),
         "od_matrix": _od_matrix_oracle(),
+        "trip_segments": _trip_segments_oracle(),
+        "colocation_pairs": _colocation_oracle(),
+        "bearing_rose": _bearing_oracle(),
+        "geofence_events": _geofence_oracle(),
     }

@@ -84,3 +84,76 @@ def test_od_matrix_day_endpoints(spark):
     assert rows_out[(c(10, 10), c(45, 90))].n_trips == 1
     diag = rows_out[(c(10, 10), c(10, 10))]
     assert diag.n_trips == 2 and diag.n_users == 2
+
+
+def test_trip_segments_gap_split(spark):
+    rows = [
+        (1, 1, T0, 0.0, 0.0),
+        (1, 2, T0 + dt.timedelta(minutes=10), 0.0, 1.0),
+        (1, 3, T0 + dt.timedelta(minutes=50), 0.0, 2.0),  # 40 min gap -> new trip
+        (1, 4, T0 + dt.timedelta(minutes=60), 0.0, 3.0),
+    ]
+    from asf_tools_spark.operators.trajectory import trip_segments
+
+    out = {r.trip_id: r for r in trip_segments(_pings(spark, rows), 30.0).collect()}
+    assert set(out) == {1, 2}
+    t1, t2 = out[1], out[2]
+    assert (t1.n_pings, t2.n_pings) == (2, 2)
+    # the cross-gap leg (lon 1 -> 2) is excluded from BOTH trips
+    assert t1.trip_km == round(hav((0, 0), (0, 1)), 4)
+    assert t2.trip_km == round(hav((0, 2), (0, 3)), 4)
+
+
+def test_colocation_pairs_bucket_and_cell(spark):
+    from asf_tools_spark.operators.trajectory import colocation_pairs
+
+    rows = [
+        (1, 1, T0, 10.0, 10.0),
+        (2, 2, T0 + dt.timedelta(minutes=30), 10.0, 10.0),   # same cell+hour
+        (3, 3, T0 + dt.timedelta(hours=2), 10.0, 10.0),      # same cell, later
+        (4, 4, T0, -60.0, -120.0),                           # far away
+        (1, 5, T0 + dt.timedelta(hours=5), 20.0, 20.0),      # 1&2 again elsewhere
+        (2, 6, T0 + dt.timedelta(hours=5, minutes=1), 20.0, 20.0),
+    ]
+    out = {(r.user_a, r.user_b): r for r in colocation_pairs(_pings(spark, rows)).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].n_windows == 2 and out[(1, 2)].n_cells == 2
+
+
+def test_bearing_rose_cardinal_bins(spark):
+    from asf_tools_spark.operators.trajectory import bearing_rose
+
+    rows = [
+        (1, 1, T0, 0.0, 0.0),
+        (1, 2, T0 + dt.timedelta(hours=1), 1.0, 0.0),   # due north -> bin 0
+        (2, 3, T0, 0.0, 0.0),
+        (2, 4, T0 + dt.timedelta(hours=1), 0.0, 1.0),   # due east -> bin 2
+        (3, 5, T0, 1.0, 0.0),
+        (3, 6, T0 + dt.timedelta(hours=1), 0.0, 0.0),   # due south -> bin 4
+        (4, 7, T0, 0.0, 0.0),
+        (4, 8, T0 + dt.timedelta(hours=1), 0.0, 0.0),   # zero leg: dropped
+    ]
+    out = {r.bin: r.n_legs for r in bearing_rose(_pings(spark, rows)).collect()}
+    assert out == {0: 1, 2: 1, 4: 1}
+
+
+def test_geofence_events_entry_exit(spark):
+    from asf_tools_spark.operators.trajectory import geofence_events
+
+    # user 1 vs fence 7: inside at seqs 2,3 then again at 6; user 2 one hit
+    hits = spark.createDataFrame(
+        [
+            (1, 7, 2, T0),
+            (1, 7, 3, T0 + dt.timedelta(hours=1)),
+            (1, 7, 6, T0 + dt.timedelta(hours=4)),
+            (2, 7, 1, T0),
+        ],
+        "user_id long, poly_id int, seq long, ts timestamp",
+    )
+    out = {(r.user_id, r.seq): (r.is_entry, r.is_exit) for r in geofence_events(hits).collect()}
+    assert out == {
+        (1, 2): (True, False),
+        (1, 3): (False, True),
+        (1, 6): (True, True),   # isolated hit: enter and leave
+        (2, 1): (True, True),
+    }
