@@ -446,6 +446,360 @@ def _geofence_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# geofence dwell time
+
+def q_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, fence) dwell rollup: pair each entry with its visit's
+    exit (visit id = running entry count over the transition stream —
+    entry/exit rows arrive strictly alternating per (user, fence) by
+    construction) and aggregate visit count + total/max dwell hours.
+    Rides the geofence_events transition stream, so the added cost is
+    one window + one aggregate over TRANSITIONS (already sparse)."""
+    from pyspark.sql.window import Window
+
+    tr = q_geofence_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "poly_id").orderBy("seq")
+    visits = tr.withColumn(
+        "visit", F.sum(F.col("is_entry").cast("int")).over(w)
+    )
+    per_visit = visits.groupBy("user_id", "poly_id", "visit").agg(
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(3600000000.0)).alias("_dwell_h")
+    )
+    return per_visit.groupBy("user_id", "poly_id").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.round(F.sum("_dwell_h"), 6).alias("total_dwell_h"),
+        F.round(F.max("_dwell_h"), 6).alias("max_dwell_h"),
+    )
+
+
+def _geofence_dwell_oracle() -> str:
+    inner = _geofence_oracle()
+    return f"""
+        WITH tr AS ({inner}),
+        visits AS (
+          SELECT user_id, poly_id, ts_us,
+                 SUM(CASE WHEN is_entry THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, poly_id ORDER BY seq) AS visit
+          FROM tr
+        ),
+        pv AS (
+          SELECT user_id, poly_id, visit,
+                 (MAX(ts_us) - MIN(ts_us)) / CAST(3600000000.0 AS DOUBLE)
+                   AS dwell_h
+          FROM visits GROUP BY user_id, poly_id, visit
+        )
+        SELECT user_id, poly_id, COUNT(*) AS n_visits,
+               ROUND(SUM(dwell_h), 6) AS total_dwell_h,
+               ROUND(MAX(dwell_h), 6) AS max_dwell_h
+        FROM pv GROUP BY user_id, poly_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# emerging hotspots (Mann-Kendall trend per cell)
+
+_MK_RES = 3
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis: Mann-Kendall monotonic-trend test
+    (Mann 1945 / Kendall 1975, tie-corrected variance) on each occupied
+    res-3 cell's gap-filled DAILY event-count series — the space-time
+    extension of hotspot_clusters/gi_star (density says where, Gi* says
+    how surprising, MK says which cells are HEATING UP). Scale shape:
+    the only event-scale exchange is the (cell, day) count aggregate;
+    the pair self-join and tie rollup run on the gap-filled series —
+    bounded by occupied_cells x T^2 (T = calendar days), independent of
+    event count. S is an exact integer (signs of integer diffs); z uses
+    the tie-corrected variance and the standard +/-1 continuity
+    correction; all-tied series (var 0) are 'no_trend' with NULL z."""
+    from pyspark.sql.window import Window  # noqa: F401  (doc parity)
+
+    ev = _geotagged_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp_ltz")).cast("date")
+    pts = ev.select(
+        F.expr(cells.grid_y_sql("lat", _MK_RES)).alias("row"),
+        F.expr(cells.grid_x_sql("lon", _MK_RES)).alias("col"),
+        day.alias("day"),
+    )
+    daily = pts.groupBy("row", "col", "day").agg(F.count(F.lit(1)).alias("n"))
+    cal = (
+        pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    occ = daily.select("row", "col").distinct()
+    filled = (
+        occ.crossJoin(F.broadcast(cal))
+        .join(daily, ["row", "col", "day"], "left")
+        .select("row", "col", "day", F.coalesce("n", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # 3 consumers below; avoid the lazy-persist race
+    )
+    a, b = filled.alias("a"), filled.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.row") == F.col("b.row")) & (F.col("a.col") == F.col("b.col"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.row").alias("row"), F.col("a.col").alias("col"))
+        .agg(
+            F.sum(
+                F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast("long")
+            ).alias("s")
+        )
+    )
+    tie = (
+        filled.groupBy("row", "col", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("row", "col")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_term"),
+            F.sum("t").alias("n_days"),
+        )
+    )
+    j = s.join(tie, ["row", "col"])
+    nd = F.col("n_days").cast("double")
+    var_s = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0) - F.col("tie_term").cast("double")
+    ) / 18.0
+    z = F.when(var_s <= 0.0, F.lit(None).cast("double")).otherwise(
+        F.when(F.col("s") > 0, (F.col("s") - 1.0) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "row", "col", "n_days", "s",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNull(), "no_trend")
+        .when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+def _emerging_oracle() -> str:
+    ev = _geotagged_events_sql()
+    py = cells.grid_y_sql("lat", _MK_RES)
+    px = cells.grid_x_sql("lon", _MK_RES)
+    return f"""
+        WITH pts AS (
+          SELECT {py} AS row, {px} AS col,
+                 CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM {ev} _mk0
+        ),
+        daily AS (SELECT row, col, day, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM pts GROUP BY 1, 2, 3),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM pts),
+        cal AS (
+          SELECT CAST(lo + (g.i * INTERVAL 1 DAY) AS DATE) AS day
+          FROM bounds, (SELECT unnest(range(0, 10000)) AS i) g
+          WHERE lo + (g.i * INTERVAL 1 DAY) <= hi
+        ),
+        occ AS (SELECT DISTINCT row, col FROM daily),
+        filled AS (
+          SELECT o.row, o.col, c.day, COALESCE(d.n, 0) AS x
+          FROM occ o CROSS JOIN cal c
+          LEFT JOIN daily d ON d.row = o.row AND d.col = o.col AND d.day = c.day
+        ),
+        sgn AS (
+          SELECT a.row, a.col,
+                 CAST(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+          FROM filled a JOIN filled b
+            ON a.row = b.row AND a.col = b.col AND a.day < b.day
+          GROUP BY a.row, a.col
+        ),
+        tie AS (
+          SELECT row, col,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+                 CAST(SUM(t) AS BIGINT) AS n_days
+          FROM (SELECT row, col, x, COUNT(*) AS t FROM filled GROUP BY 1, 2, 3) _t
+          GROUP BY row, col
+        ),
+        j AS (
+          SELECT sgn.row, sgn.col, tie.n_days, sgn.s,
+                 (CAST(tie.n_days AS DOUBLE) * (CAST(tie.n_days AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(tie.n_days AS DOUBLE) + 5.0)
+                  - CAST(tie.tie_term AS DOUBLE)) / 18.0 AS var_s
+          FROM sgn JOIN tie ON sgn.row = tie.row AND sgn.col = tie.col
+        ),
+        zc AS (
+          SELECT row, col, n_days, s, var_s,
+                 CASE WHEN var_s <= 0.0 THEN NULL
+                      WHEN s > 0 THEN (s - 1.0) / SQRT(var_s)
+                      WHEN s < 0 THEN (s + 1.0) / SQRT(var_s)
+                      ELSE 0.0 END AS z
+          FROM j
+        )
+        SELECT row, col, n_days, s, ROUND(var_s, 6) AS var_s,
+               ROUND(z, 6) AS z,
+               CASE WHEN z IS NULL THEN 'no_trend'
+                    WHEN z > 1.96 THEN 'increasing'
+                    WHEN z < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM zc
+    """
+
+
+# ---------------------------------------------------------------------------
+# polygon rasterization (burn fences onto the cell grid)
+
+_RAST_RES = 6
+
+
+def q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed polygon rasterization: burn each watershed ring onto
+    the res-6 grid by exact center-in-polygon tests over its bbox-cover
+    cells — the engine twin of the reference's GDAL rasterize step
+    (hydrosar flood/water masks are burned rasters; ref
+    src/asf_tools/vector.py get_features + gdal RasterizeLayer usage).
+    Shape: candidates are the BBOX COVER (bounded per poly, built once,
+    never a points-scale join); the refine is the shared crossing-parity
+    pip_refine, whole-stage codegen. Returns per-poly cover size, burned
+    count, and the burned bbox."""
+    from .operators.geometry import pip_refine
+    from .sources.polygons import polygon_edges_df, watershed_polygons
+    import numpy as np
+
+    polys = watershed_polygons()
+    edges = polygon_edges_df(spark, polys)
+    n = 1 << _RAST_RES
+    rows = []
+    for p in polys:
+        ring = p["ring"]
+        cover = cells.cover_bbox(
+            float(ring[:, 1].min()), float(ring[:, 0].min()),
+            float(ring[:, 1].max()), float(ring[:, 0].max()), _RAST_RES,
+        )
+        x, y, _ = cells.decode_xy(np.asarray(cover))
+        for xi, yi in zip(x.tolist(), y.tolist()):
+            rows.append((int(p["poly_id"]), int(yi), int(xi)))
+    cand = spark.createDataFrame(rows, "poly_id int, row long, col long")
+    cand = cand.select(
+        "poly_id", "row", "col",
+        (F.col("row") * n + F.col("col")).alias("cell_key"),
+        ((F.col("row") + 0.5) / n * 180.0 - 90.0).alias("lat"),
+        ((F.col("col") + 0.5) / n * 360.0 - 180.0).alias("lon"),
+    )
+    flags = pip_refine(cand, edges, key="cell_key").join(
+        cand.select("poly_id", "cell_key", "row", "col"), ["poly_id", "cell_key"]
+    )
+    burned = F.when(F.col("inside"), 1).otherwise(0)
+    return flags.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_cover"),
+        F.sum(burned).cast("long").alias("n_burned"),
+        # -1 sentinel, not NULL: nothing-burned polys must stay sortable
+        # in mixed-type row compares (the repo's no-NULL-in-key rule)
+        F.coalesce(F.min(F.when(F.col("inside"), F.col("row"))), F.lit(-1)).alias("min_row"),
+        F.coalesce(F.max(F.when(F.col("inside"), F.col("row"))), F.lit(-1)).alias("max_row"),
+        F.coalesce(F.min(F.when(F.col("inside"), F.col("col"))), F.lit(-1)).alias("min_col"),
+        F.coalesce(F.max(F.when(F.col("inside"), F.col("col"))), F.lit(-1)).alias("max_col"),
+    )
+
+
+def _polygon_raster_oracle() -> str:
+    from .sources.polygons import edges_values_sql, watershed_polygons
+
+    edges = edges_values_sql(watershed_polygons())
+    n = 1 << _RAST_RES
+    gx0 = cells.grid_x_sql("b.minx", _RAST_RES)
+    gx1 = cells.grid_x_sql("b.maxx", _RAST_RES)
+    gy0 = cells.grid_y_sql("b.miny", _RAST_RES)
+    gy1 = cells.grid_y_sql("b.maxy", _RAST_RES)
+    return f"""
+        WITH edges AS (SELECT * FROM {edges} e),
+        boxes AS (
+          SELECT poly_id,
+                 MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
+                 MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
+          FROM edges GROUP BY poly_id
+        ),
+        grid AS (SELECT gr.i AS row, gc.i AS col
+                 FROM (SELECT unnest(range(0, {n})) AS i) gr,
+                      (SELECT unnest(range(0, {n})) AS i) gc),
+        cand AS (
+          SELECT b.poly_id, g.row, g.col,
+                 ((g.row + 0.5) / {n} * 180.0 - 90.0) AS lat,
+                 ((g.col + 0.5) / {n} * 360.0 - 180.0) AS lon
+          FROM boxes b JOIN grid g
+            ON g.row >= {gy0} AND g.row <= {gy1}
+           AND g.col >= {gx0} AND g.col <= {gx1}
+        ),
+        par AS (
+          SELECT c.poly_id, c.row, c.col, COUNT(*) AS nc
+          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
+           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
+           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+          GROUP BY c.poly_id, c.row, c.col
+        ),
+        flags AS (
+          SELECT c.poly_id, c.row, c.col,
+                 COALESCE(p.nc % 2 = 1, FALSE) AS inside
+          FROM cand c LEFT JOIN par p
+            ON p.poly_id = c.poly_id AND p.row = c.row AND p.col = c.col
+        )
+        SELECT poly_id, COUNT(*) AS n_cover,
+               CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_burned,
+               COALESCE(MIN(CASE WHEN inside THEN row END), -1) AS min_row,
+               COALESCE(MAX(CASE WHEN inside THEN row END), -1) AS max_row,
+               COALESCE(MIN(CASE WHEN inside THEN col END), -1) AS min_col,
+               COALESCE(MAX(CASE WHEN inside THEN col END), -1) AS max_col
+        FROM flags GROUP BY poly_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-source geographic spread
+
+_SPREAD_RES = 5
+
+
+def q_domain_geo_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source geographic footprint: occupied res-5 cells, Shannon
+    spatial entropy (H = ln n - sum(c ln c)/n — the one-pass algebraic
+    form, so no per-cell p=c/n division feeds the cross-engine sum), and
+    the top-cell concentration share. The webtext x geo blend: is a
+    source geographically diffuse (global CDN crawl) or pinned (a city
+    portal)? Two hash aggregates, both keyed well below event scale."""
+    pages = geotagged_documents(spark, sf_dir)
+    cell = F.expr(oracle.cell_sql("lat", "lon", _SPREAD_RES))
+    cc = (
+        pages.withColumn("_cell", cell)
+        .groupBy("source", "_cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    slc = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return cc.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.log(n) - slc / n, 6).alias("entropy"),
+        F.round(F.max("c").cast("double") / n, 6).alias("top_cell_share"),
+    )
+
+
+def _domain_spread_oracle() -> str:
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    cell = cells.morton_cell_sql("lat", "lon", _SPREAD_RES)
+    return f"""
+        WITH cc AS (
+          SELECT source, {cell} AS _cell, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {docs} _ds0 GROUP BY 1, 2
+        )
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                     - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                       / CAST(SUM(c) AS DOUBLE), 6) AS entropy,
+               ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                 AS top_cell_share
+        FROM cc GROUP BY source
+    """
+
+
 def queries() -> dict:
     return {
         "quadkey_rollup": q_quadkey_rollup,
@@ -456,6 +810,10 @@ def queries() -> dict:
         "colocation_pairs": q_colocation_pairs,
         "bearing_rose": q_bearing_rose,
         "geofence_events": q_geofence_events,
+        "emerging_hotspots": q_emerging_hotspots,
+        "polygon_raster": q_polygon_raster,
+        "geofence_dwell": q_geofence_dwell,
+        "domain_geo_spread": q_domain_geo_spread,
     }
 
 
@@ -469,4 +827,8 @@ def oracle_sql() -> dict:
         "colocation_pairs": _colocation_oracle(),
         "bearing_rose": _bearing_oracle(),
         "geofence_events": _geofence_oracle(),
+        "emerging_hotspots": _emerging_oracle(),
+        "polygon_raster": _polygon_raster_oracle(),
+        "geofence_dwell": _geofence_dwell_oracle(),
+        "domain_geo_spread": _domain_spread_oracle(),
     }
