@@ -752,6 +752,35 @@ def _polygon_raster_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# vector tiles (clip rings to grid tiles)
+
+_VT_RES = 5
+
+
+def q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile generation: Sutherland-Hodgman clip of every watershed
+    ring against each res-5 tile its bbox covers (the vector twin of
+    tile_pyramid; a tile server's cut step). Ring assembly is one
+    collect_list per polygon; the bbox->tile fan-out is an in-plan
+    explode; the clip is Arrow-batched mapInPandas (numpy per-boundary
+    arithmetic). Oracle: an INDEPENDENT pure-python scalar replay
+    (sources/polygons.clip_ring_py) emitted as VALUES fresh each build —
+    two implementations, one spec, bit-identical IEEE expressions."""
+    from .operators.geometry import clip_rings_to_tiles
+    from .sources.polygons import polygon_vertices_df, watershed_polygons
+
+    verts = polygon_vertices_df(spark, watershed_polygons())
+    return clip_rings_to_tiles(verts, _VT_RES)
+
+
+def _vector_tiles_oracle() -> str:
+    from .sources.polygons import clip_tiles_values_sql, watershed_polygons
+
+    vals = clip_tiles_values_sql(watershed_polygons(), _VT_RES)
+    return f"SELECT poly_id, row, col, n_input, n_clip, area FROM {vals} vt"
+
+
+# ---------------------------------------------------------------------------
 # per-source geographic spread
 
 _SPREAD_RES = 5
@@ -813,6 +842,7 @@ def queries() -> dict:
         "emerging_hotspots": q_emerging_hotspots,
         "polygon_raster": q_polygon_raster,
         "geofence_dwell": q_geofence_dwell,
+        "vector_tiles": q_vector_tiles,
         "domain_geo_spread": q_domain_geo_spread,
     }
 
@@ -830,5 +860,6 @@ def oracle_sql() -> dict:
         "emerging_hotspots": _emerging_oracle(),
         "polygon_raster": _polygon_raster_oracle(),
         "geofence_dwell": _geofence_dwell_oracle(),
+        "vector_tiles": _vector_tiles_oracle(),
         "domain_geo_spread": _domain_spread_oracle(),
     }

@@ -254,3 +254,101 @@ def hull_values_sql(polys: list[dict]) -> str:
         for pid, i, lon, lat in convex_hull_py(polys)
     )
     return f"(SELECT * FROM (VALUES {rows}) AS t(poly_id, hull_idx, lon, lat, n_input))"
+
+
+def clip_ring_py(xs: list, ys: list, lon0: float, lon1: float, lat0: float, lat1: float):
+    """Pure-python scalar Sutherland-Hodgman — the INDEPENDENT replay of
+    operators.geometry._clip_ring_np (same spec, loop-structured; the
+    arithmetic is the same IEEE expressions in the same order, so the
+    outputs are bit-identical — the simplify_rings DP discipline)."""
+    def clip(pxs, pys, axis, sense, bound):
+        nx, ny = [], []
+        k = len(pxs)
+        for i in range(k):
+            ax_, ay_ = pxs[i], pys[i]
+            bx_, by_ = pxs[(i + 1) % k], pys[(i + 1) % k]
+            va, vb = (ax_, bx_) if axis == "x" else (ay_, by_)
+            in_a = va >= bound if sense == ">=" else va <= bound
+            in_b = vb >= bound if sense == ">=" else vb <= bound
+            t = (bound - va) / (vb - va) if vb != va else 0.0
+            if axis == "x":
+                ix_, iy_ = float(bound), ay_ + t * (by_ - ay_)
+            else:
+                ix_, iy_ = ax_ + t * (bx_ - ax_), float(bound)
+            if in_a:
+                if in_b:
+                    nx.append(bx_); ny.append(by_)
+                else:
+                    nx.append(ix_); ny.append(iy_)
+            elif in_b:
+                nx.append(ix_); ny.append(iy_)
+                nx.append(bx_); ny.append(by_)
+        return nx, ny
+
+    for axis, sense, bound in (
+        ("x", ">=", lon0), ("x", "<=", lon1), ("y", ">=", lat0), ("y", "<=", lat1)
+    ):
+        if not xs:
+            return [], []
+        xs, ys = clip(xs, ys, axis, sense, bound)
+    return xs, ys
+
+
+def _ring_area_py(xs: list, ys: list) -> float:
+    k = len(xs)
+    if k < 3:
+        return 0.0
+    total = 0.0
+    for i in range(k):
+        j = (i + 1) % k
+        total += xs[i] * ys[j] - xs[j] * ys[i]
+    return abs(total) / 2.0
+
+
+def clip_tiles_py(polys: list[dict], res: int) -> list[tuple]:
+    """Full replay of operators.geometry.clip_rings_to_tiles: bbox tile
+    cover (the grid_x/grid_y clamp formulas) + scalar clip + sequential
+    shoelace. Returns (poly_id, row, col, n_input, n_clip, area)."""
+    import math
+
+    n = 1 << res
+
+    def g(v, lo, span):
+        return min(max(int(math.floor((v + lo) / span * n)), 0), n - 1)
+
+    out = []
+    for p in polys:
+        ring = p["ring"]
+        xs = [float(v) for v in ring[:, 0]]
+        ys = [float(v) for v in ring[:, 1]]
+        x0, x1 = g(min(xs), 180.0, 360.0), g(max(xs), 180.0, 360.0)
+        y0, y1 = g(min(ys), 90.0, 180.0), g(max(ys), 90.0, 180.0)
+        for row in range(y0, y1 + 1):
+            for col in range(x0, x1 + 1):
+                lon0 = col / n * 360.0 - 180.0
+                lon1 = (col + 1) / n * 360.0 - 180.0
+                lat0 = row / n * 180.0 - 90.0
+                lat1 = (row + 1) / n * 180.0 - 90.0
+                cx, cy = clip_ring_py(list(xs), list(ys), lon0, lon1, lat0, lat1)
+                out.append((
+                    p["poly_id"], row, col, len(xs), len(cx),
+                    round(_ring_area_py(cx, cy), 9),
+                ))
+    return out
+
+
+def clip_tiles_values_sql(polys: list[dict], res: int) -> str:
+    """DuckDB VALUES emitter of the clip replay (fresh each oracle build)."""
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    rows = ", ".join(
+        f"({pid}, CAST({row} AS BIGINT), CAST({col} AS BIGINT),"
+        f" {ni}, {nc}, {d(area)})"
+        for pid, row, col, ni, nc, area in clip_tiles_py(polys, res)
+    )
+    return (
+        "(SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(poly_id, row, col, n_input, n_clip, area))"
+    )
