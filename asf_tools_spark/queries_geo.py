@@ -752,6 +752,220 @@ def _polygon_raster_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# buffered spatial split
+
+_SPLIT_RES = 5
+_SPLIT_FOLDS = 5
+
+
+def q_spatial_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered spatial train/test split (the GEOGRAPHIC leakage control;
+    the text twin is split_leakage): occupied res-5 cells are hashed into
+    folds, fold 0 is TEST, every non-test cell touching a test cell's 3x3
+    ring becomes BUFFER (excluded from training — spatial autocorrelation
+    leaks across cell borders; Roberts et al. 2017 blocked CV), the rest
+    is TRAIN. Outputs per-split doc and cell counts. All joins are on the
+    bounded occupied-cell table; docs are labeled with ONE broadcast
+    join — the doc table is never shuffled."""
+    pages = geotagged_documents(spark, sf_dir)
+    n = 1 << _SPLIT_RES
+    pts = pages.select(
+        F.expr(cells.grid_y_sql("lat", _SPLIT_RES)).alias("row"),
+        F.expr(cells.grid_x_sql("lon", _SPLIT_RES)).alias("col"),
+    )
+    occ = pts.distinct().withColumn(
+        "fold",
+        F.pmod(
+            F.expr(oracle.hash8_sql(f"(row * {n} + col)", oracle.SPARK, salt="fold")),
+            F.lit(_SPLIT_FOLDS),
+        ),
+    )
+    test = occ.where(F.col("fold") == 0)
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+        ])
+    ).alias("o")
+    nbrs = (
+        test.select(offs, "row", "col")
+        .select(
+            (F.col("row") + F.col("o.dr")).alias("row"),
+            (F.col("col") + F.col("o.dc")).alias("col"),
+        )
+        .distinct()
+    )
+    labeled = (
+        occ.join(nbrs.withColumn("_near", F.lit(True)), ["row", "col"], "left")
+        .select(
+            "row", "col",
+            F.when(F.col("fold") == 0, "test")
+            .when(F.col("_near"), "buffer")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+    docs = pts.join(F.broadcast(labeled), ["row", "col"])
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("row", "col").alias("n_cells"),
+    )
+
+
+def _spatial_split_oracle() -> str:
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    n = 1 << _SPLIT_RES
+    py = cells.grid_y_sql("lat", _SPLIT_RES)
+    px = cells.grid_x_sql("lon", _SPLIT_RES)
+    fold = oracle.hash8_sql(f"(row * {n} + col)", oracle.DUCKDB, salt="fold")
+    return f"""
+        WITH pts AS (SELECT {py} AS row, {px} AS col FROM {docs} _sp0),
+        occ AS (
+          SELECT row, col, ({fold}) % {_SPLIT_FOLDS} AS fold
+          FROM (SELECT DISTINCT row, col FROM pts) _sp1
+        ),
+        offs AS (SELECT a.i AS dr, b.i AS dc
+                 FROM (SELECT unnest([-1, 0, 1]) AS i) a,
+                      (SELECT unnest([-1, 0, 1]) AS i) b),
+        nbrs AS (
+          SELECT DISTINCT t.row + o.dr AS row, t.col + o.dc AS col
+          FROM occ t, offs o WHERE t.fold = 0
+        ),
+        labeled AS (
+          SELECT o.row, o.col,
+                 CASE WHEN o.fold = 0 THEN 'test'
+                      WHEN nb.row IS NOT NULL THEN 'buffer'
+                      ELSE 'train' END AS split
+          FROM occ o LEFT JOIN nbrs nb
+            ON nb.row = o.row AND nb.col = o.col
+        )
+        SELECT l.split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT (p.row, p.col)) AS n_cells
+        FROM pts p JOIN labeled l ON l.row = p.row AND l.col = p.col
+        GROUP BY l.split
+    """
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (the classic GIS op; the reference's per-label
+    NMAD/logstat aggregates are its raster-label cousin — ref
+    src/asf_tools/hydrosar/flood_map.py per-label stats): per watershed,
+    mean/variance of page value over the pages EXACTLY inside the ring.
+    PIP machinery shared with pip_page_counts (cover prune + crossing
+    refine); the value joins back on the page key (co-partitioned at
+    scale); variance via explicit sum/sumsq algebra — identical text
+    both engines, no stddev built-in semantics to reconcile."""
+    from .core import cells as C
+    from .operators.geometry import pip_candidates
+    from .sources.polygons import polygon_edges_df, watershed_polygons
+
+    from .functions.spatial import with_cell_col
+    from .sources.pages import _with_geotag
+
+    polys = watershed_polygons()
+    edges = polygon_edges_df(spark, polys)
+    cover_rows = [
+        (int(p["poly_id"]), int(c))
+        for p in polys
+        for c in C.cover_bbox(
+            float(p["ring"][:, 1].min()), float(p["ring"][:, 0].min()),
+            float(p["ring"][:, 1].max()), float(p["ring"][:, 0].max()), 8,
+        )
+    ]
+    cover = spark.createDataFrame(cover_rows, "poly_id int, cell_id long")
+    # events, not documents: 20x the points at every sf — the zonal means
+    # rest on a non-trivial population per zone
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pings = with_cell_col(
+        _with_geotag(ev, F.col("event_id")).drop("hand"), "lat", "lon", 8, "cell_id"
+    )
+    hits = (
+        pip_candidates(pings, edges, key="event_id", cover=cover)
+        .where("inside")
+        .join(pings.select("event_id", "value"), "event_id")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    s = F.sum("value")
+    s2 = F.sum(F.col("value") * F.col("value"))
+    return hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.round(s / n, 6).alias("mean_value"),
+        F.round(
+            F.when(n > 1.0, (s2 - s * s / n) / (n - 1.0)), 9
+        ).alias("var_value"),
+    )
+
+
+def _zonal_events_sql() -> str:
+    """_geotagged_events_sql + the hash-derived value field (same algebra
+    as oracle.synth_value_sql, staged off the _hv hash)."""
+    d = oracle.DUCKDB
+    base = "event_id, ts, user_id"
+    hashes = f"""(
+      SELECT {base},
+             {oracle.hash8_sql("event_id", d, salt="geo-a")} AS _ha,
+             {oracle.hash8_sql("event_id", d, salt="geo-b")} AS _hb,
+             {oracle.hash8_sql("event_id", d, salt="geo-c")} AS _hc,
+             {oracle.hash8_sql("event_id", d, salt="geo-d")} AS _hd,
+             {oracle.hash8_sql("event_id", d, salt="val")} AS _hv
+      FROM events
+    )"""
+    u = f"(_hv % 1000000) / {oracle.dbl(1000000.0)}"
+    return f"""(
+      SELECT {base},
+             {oracle.geotag_lat_from_hashes_sql()} AS lat,
+             {oracle.geotag_lon_from_hashes_sql()} AS lon,
+             POWER({u}, {oracle.dbl(3.0)}) * {oracle.dbl(2.0)} + {oracle.dbl(0.000001)} AS value
+      FROM {hashes} _ze0
+    )"""
+
+
+def _zonal_oracle() -> str:
+    from .sources.polygons import edges_values_sql, watershed_polygons
+
+    docs = _zonal_events_sql()
+    edges = edges_values_sql(watershed_polygons())
+    return f"""
+        WITH edges AS (SELECT * FROM {edges} e),
+        boxes AS (
+          SELECT poly_id,
+                 MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
+                 MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
+          FROM edges GROUP BY poly_id
+        ),
+        cand AS (
+          SELECT b.poly_id, p.event_id, p.lat, p.lon, p.value
+          FROM {docs} p JOIN boxes b
+            ON p.lon >= b.minx AND p.lon <= b.maxx
+           AND p.lat >= b.miny AND p.lat <= b.maxy
+        ),
+        par AS (
+          SELECT c.poly_id, c.event_id, COUNT(*) AS nc
+          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
+           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
+           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+          GROUP BY c.poly_id, c.event_id
+        ),
+        hits AS (
+          SELECT c.poly_id, c.event_id, c.value
+          FROM cand c JOIN par p
+            ON p.poly_id = c.poly_id AND p.event_id = c.event_id
+          WHERE p.nc % 2 = 1
+        )
+        SELECT poly_id, COUNT(*) AS n_inside,
+               ROUND(SUM(value) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value,
+               ROUND(CASE WHEN COUNT(*) > 1 THEN
+                 (SUM(value * value)
+                  - SUM(value) * SUM(value) / CAST(COUNT(*) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) - 1.0) END, 9) AS var_value
+        FROM hits GROUP BY poly_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # vector tiles (clip rings to grid tiles)
 
 _VT_RES = 5
@@ -843,6 +1057,8 @@ def queries() -> dict:
         "polygon_raster": q_polygon_raster,
         "geofence_dwell": q_geofence_dwell,
         "vector_tiles": q_vector_tiles,
+        "zonal_stats": q_zonal_stats,
+        "spatial_split": q_spatial_split,
         "domain_geo_spread": q_domain_geo_spread,
     }
 
@@ -861,5 +1077,7 @@ def oracle_sql() -> dict:
         "polygon_raster": _polygon_raster_oracle(),
         "geofence_dwell": _geofence_dwell_oracle(),
         "vector_tiles": _vector_tiles_oracle(),
+        "zonal_stats": _zonal_oracle(),
+        "spatial_split": _spatial_split_oracle(),
         "domain_geo_spread": _domain_spread_oracle(),
     }
