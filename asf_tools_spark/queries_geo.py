@@ -752,6 +752,94 @@ def _polygon_raster_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# track similarity (shared-cell Jaccard)
+
+_TSIM_RES = 4
+_TSIM_MIN_J = 0.2
+
+
+def q_track_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity as Jaccard over visited res-4 cell sets —
+    the set-similarity dedup idea (setsim_join/jaccard_pairs) applied to
+    movement footprints: candidate pairs come from an INVERTED CELL INDEX
+    (cell-keyed self-join of distinct occupancy), never all user pairs;
+    |union| = |A| + |B| - |inter| from a broadcast per-user cell-count
+    join. This row is the EXACT gate: join volume is sum(u_c^2) over
+    cells, and the synthetic corpus is deliberately adversarial (every
+    user visits the same 5 hotspot cities -> ~5M intersection rows at
+    sf0.1, ~10 s). The 100 TB path is the repo's existing MinHash/LSH
+    machinery applied to the cell-id sets (operators/dedup.py — same
+    signatures, cell ids instead of shingles), with THIS row as its
+    recall oracle, exactly the lsh_recall_report discipline. Emits
+    pairs with jaccard >= 0.2."""
+    ev = _geotagged_events(spark, sf_dir)
+    occ = (
+        ev.select(
+            "user_id",
+            F.expr(cells.grid_y_sql("lat", _TSIM_RES)).alias("row"),
+            F.expr(cells.grid_x_sql("lon", _TSIM_RES)).alias("col"),
+        )
+        .distinct()
+    )
+    sizes = occ.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_cells"))
+    a, b = occ.alias("a"), occ.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.row") == F.col("b.row")) & (F.col("a.col") == F.col("b.col"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("_na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("_nb"))
+    j = (
+        inter.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a", "user_b", "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= _TSIM_MIN_J)
+
+
+def _track_similarity_oracle() -> str:
+    ev = _geotagged_events_sql()
+    py = cells.grid_y_sql("lat", _TSIM_RES)
+    px = cells.grid_x_sql("lon", _TSIM_RES)
+    return f"""
+        WITH occ AS (
+          SELECT DISTINCT user_id, {py} AS row, {px} AS col FROM {ev} _ts0
+        ),
+        sizes AS (SELECT user_id, COUNT(*) AS n_cells FROM occ GROUP BY user_id),
+        inter AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_inter
+          FROM occ a JOIN occ b
+            ON a.row = b.row AND a.col = b.col AND a.user_id < b.user_id
+          GROUP BY a.user_id, b.user_id
+        )
+        SELECT i.user_a, i.user_b, i.n_inter,
+               ROUND(CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.n_cells + sb.n_cells - i.n_inter AS DOUBLE), 6)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.user_id = i.user_a
+        JOIN sizes sb ON sb.user_id = i.user_b
+        WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+              / CAST(sa.n_cells + sb.n_cells - i.n_inter AS DOUBLE), 6)
+              >= {oracle.dbl(_TSIM_MIN_J)}
+    """
+
+
+# ---------------------------------------------------------------------------
 # buffered spatial split
 
 _SPLIT_RES = 5
@@ -1059,6 +1147,7 @@ def queries() -> dict:
         "vector_tiles": q_vector_tiles,
         "zonal_stats": q_zonal_stats,
         "spatial_split": q_spatial_split,
+        "track_similarity": q_track_similarity,
         "domain_geo_spread": q_domain_geo_spread,
     }
 
@@ -1079,5 +1168,6 @@ def oracle_sql() -> dict:
         "vector_tiles": _vector_tiles_oracle(),
         "zonal_stats": _zonal_oracle(),
         "spatial_split": _spatial_split_oracle(),
+        "track_similarity": _track_similarity_oracle(),
         "domain_geo_spread": _domain_spread_oracle(),
     }
