@@ -455,7 +455,8 @@ def clip_rings_to_tiles(verts: DataFrame, res: int, key: str = "poly_id") -> Dat
         .select(key, "row", "col", "_xs", "_ys")
     )
 
-    out_schema = f"{key} int, row long, col long, n_input int, n_clip int, area double"
+    key_type = dict(verts.dtypes)[key]  # not hardcoded: bigint/string keys survive
+    out_schema = f"{key} {key_type}, row long, col long, n_input int, n_clip int, area double"
 
     def clip_batches(batches):
         for pdf in batches:

@@ -828,21 +828,12 @@ def q_pip_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row also PINS how much the refine tightens the cover join.
     Oracle: the identical ray-crossing algebra over a VALUES edge table
     (same repr-rendered double literals)."""
-    from .core import cells as C
     from .operators.geometry import pip_candidates
-    from .sources.polygons import polygon_edges_df, watershed_polygons
+    from .sources.polygons import bbox_cover_df, polygon_edges_df, watershed_polygons
 
     polys = watershed_polygons()
     edges = polygon_edges_df(spark, polys)
-    cover_rows = []
-    for p in polys:
-        ring = p["ring"]
-        for c in C.cover_bbox(
-            float(ring[:, 1].min()), float(ring[:, 0].min()),
-            float(ring[:, 1].max()), float(ring[:, 0].max()), 8,
-        ):
-            cover_rows.append((int(p["poly_id"]), int(c)))
-    cover = spark.createDataFrame(cover_rows, "poly_id int, cell_id long")
+    cover = bbox_cover_df(spark, polys, 8)
     pages = geotagged_documents(spark, sf_dir, cell_res=8)
     flags = pip_candidates(pages, edges, key="doc_id", cover=cover)
     return flags.groupBy("poly_id").agg(
@@ -878,6 +869,7 @@ def q_pip_strtree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pip_oracle() -> str:
+    from .sources.polygons import CROSSING_PRED as CROSS_PRED
     from .sources.polygons import edges_values_sql, watershed_polygons
 
     docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
@@ -899,8 +891,7 @@ def _pip_oracle() -> str:
         par AS (
           SELECT c.poly_id, c.doc_id, COUNT(*) AS nc
           FROM cand c JOIN edges e ON e.poly_id = c.poly_id
-           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
-           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+           AND {CROSS_PRED}
           GROUP BY c.poly_id, c.doc_id
         )
         SELECT c.poly_id, COUNT(*) AS n_candidates,

@@ -354,30 +354,26 @@ def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(user, fence) hit sequence — the shuffle is bounded by HITS, not
     pings x fences. The ping timeline position (seq) is a per-user
     row_number computed before the spatial join and carried through."""
-    from .core import cells as C
     from .operators.geometry import pip_candidates
     from .operators.trajectory import geofence_events
-    from .sources.polygons import polygon_edges_df, watershed_polygons
+    from .sources.polygons import bbox_cover_df, polygon_edges_df, watershed_polygons
     from pyspark.sql.window import Window
 
     polys = watershed_polygons()
     edges = polygon_edges_df(spark, polys)
-    cover_rows = []
-    for p in polys:
-        ring = p["ring"]
-        for c in C.cover_bbox(
-            float(ring[:, 1].min()), float(ring[:, 0].min()),
-            float(ring[:, 1].max()), float(ring[:, 0].max()), 8,
-        ):
-            cover_rows.append((int(p["poly_id"]), int(c)))
-    cover = spark.createDataFrame(cover_rows, "poly_id int, cell_id long")
+    cover = bbox_cover_df(spark, polys, 8)
 
     ev = _geotagged_events(spark, sf_dir)
     from .functions.spatial import with_cell_col
 
     seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = with_cell_col(ev, "lat", "lon", 8, "cell_id").withColumn(
-        "seq", F.row_number().over(seq_w).cast("long")
+    # eagerly materialized: BOTH the flags branch and the hits join-back
+    # consume ev within one action (the lazy multi-branch recompute race
+    # documented in sources/maintenance)
+    ev = (
+        with_cell_col(ev, "lat", "lon", 8, "cell_id")
+        .withColumn("seq", F.row_number().over(seq_w).cast("long"))
+        .localCheckpoint(eager=True)
     )
     flags = pip_candidates(ev, edges, key="event_id", cover=cover)
     hits = (
@@ -394,43 +390,18 @@ def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _geofence_oracle() -> str:
-    from .sources.polygons import edges_values_sql, watershed_polygons
+    from .sources.polygons import pip_hits_ctes_sql
 
     ev = _geotagged_events_sql()
-    edges = edges_values_sql(watershed_polygons())
+    seqd = f"""(
+        SELECT user_id, event_id, ts, lat, lon,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS seq
+        FROM {ev} _gf0
+    )"""
+    ctes = pip_hits_ctes_sql(seqd, "event_id", ["user_id", "seq", "ts"])
     return f"""
-        WITH seqd AS (
-          SELECT user_id, event_id, ts, lat, lon,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS BIGINT) AS seq
-          FROM {ev} _gf0
-        ),
-        edges AS (SELECT * FROM {edges} e),
-        boxes AS (
-          SELECT poly_id,
-                 MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
-                 MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
-          FROM edges GROUP BY poly_id
-        ),
-        cand AS (
-          SELECT b.poly_id, p.user_id, p.event_id, p.seq, p.ts, p.lat, p.lon
-          FROM seqd p JOIN boxes b
-            ON p.lon >= b.minx AND p.lon <= b.maxx
-           AND p.lat >= b.miny AND p.lat <= b.maxy
-        ),
-        par AS (
-          SELECT c.poly_id, c.event_id, COUNT(*) AS nc
-          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
-           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
-           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
-          GROUP BY c.poly_id, c.event_id
-        ),
-        hits AS (
-          SELECT c.user_id, c.poly_id, c.seq, c.ts
-          FROM cand c JOIN par p
-            ON p.poly_id = c.poly_id AND p.event_id = c.event_id
-          WHERE p.nc % 2 = 1
-        ),
+        WITH {ctes},
         marked AS (
           SELECT user_id, poly_id, seq, ts,
                  (LAG(seq) OVER w IS NULL OR LAG(seq) OVER w <> seq - 1)
@@ -523,9 +494,27 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(cells.grid_x_sql("lon", _MK_RES)).alias("col"),
         day.alias("day"),
     )
-    daily = pts.groupBy("row", "col", "day").agg(F.count(F.lit(1)).alias("n"))
+    # eager: cal, occ and the grid join all branch off daily within one
+    # action (bounded by occupied (cell, day) rows); deriving the calendar
+    # bounds from daily — not from the event-scale pts — keeps the
+    # serialized-md5 geotag scan to exactly ONE pass
+    daily = (
+        pts.groupBy("row", "col", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     cal = (
-        pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        # fail loudly if the span ever exceeds the oracle's bounded
+        # generate_series replay (range(0, 10000)) instead of silently
+        # diverging from the truncated DuckDB calendar
+        .select(
+            "lo", "hi",
+            F.assert_true(
+                F.datediff("hi", "lo") < 10000,
+                F.lit("emerging_hotspots: event span exceeds the oracle's 10000-day calendar bound"),
+            ).alias("_guard"),
+        )
         .select(F.explode(F.sequence("lo", "hi")).alias("day"))
     )
     occ = daily.select("row", "col").distinct()
@@ -700,6 +689,7 @@ def q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _polygon_raster_oracle() -> str:
+    from .sources.polygons import CROSSING_PRED as CROSS_PRED
     from .sources.polygons import edges_values_sql, watershed_polygons
 
     edges = edges_values_sql(watershed_polygons())
@@ -730,8 +720,7 @@ def _polygon_raster_oracle() -> str:
         par AS (
           SELECT c.poly_id, c.row, c.col, COUNT(*) AS nc
           FROM cand c JOIN edges e ON e.poly_id = c.poly_id
-           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
-           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+           AND {CROSS_PRED}
           GROUP BY c.poly_id, c.row, c.col
         ),
         flags AS (
@@ -780,6 +769,9 @@ def q_track_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(cells.grid_x_sql("lon", _TSIM_RES)).alias("col"),
         )
         .distinct()
+        # 3 consumers (sizes + both self-join sides) within one action:
+        # eager, or the serialized-md5 geotag re-runs per branch
+        .localCheckpoint(eager=True)
     )
     sizes = occ.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_cells"))
     a, b = occ.alias("a"), occ.alias("b")
@@ -1012,37 +1004,11 @@ def _zonal_events_sql() -> str:
 
 
 def _zonal_oracle() -> str:
-    from .sources.polygons import edges_values_sql, watershed_polygons
+    from .sources.polygons import pip_hits_ctes_sql
 
-    docs = _zonal_events_sql()
-    edges = edges_values_sql(watershed_polygons())
+    ctes = pip_hits_ctes_sql(_zonal_events_sql(), "event_id", ["value"])
     return f"""
-        WITH edges AS (SELECT * FROM {edges} e),
-        boxes AS (
-          SELECT poly_id,
-                 MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
-                 MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
-          FROM edges GROUP BY poly_id
-        ),
-        cand AS (
-          SELECT b.poly_id, p.event_id, p.lat, p.lon, p.value
-          FROM {docs} p JOIN boxes b
-            ON p.lon >= b.minx AND p.lon <= b.maxx
-           AND p.lat >= b.miny AND p.lat <= b.maxy
-        ),
-        par AS (
-          SELECT c.poly_id, c.event_id, COUNT(*) AS nc
-          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
-           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
-           AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
-          GROUP BY c.poly_id, c.event_id
-        ),
-        hits AS (
-          SELECT c.poly_id, c.event_id, c.value
-          FROM cand c JOIN par p
-            ON p.poly_id = c.poly_id AND p.event_id = c.event_id
-          WHERE p.nc % 2 = 1
-        )
+        WITH {ctes}
         SELECT poly_id, COUNT(*) AS n_inside,
                ROUND(SUM(value) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value,
                ROUND(CASE WHEN COUNT(*) > 1 THEN
@@ -1095,10 +1061,11 @@ def q_domain_geo_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-cell concentration share. The webtext x geo blend: is a
     source geographically diffuse (global CDN crawl) or pinned (a city
     portal)? Two hash aggregates, both keyed well below event scale."""
+    from .functions.spatial import with_cell_col
+
     pages = geotagged_documents(spark, sf_dir)
-    cell = F.expr(oracle.cell_sql("lat", "lon", _SPREAD_RES))
     cc = (
-        pages.withColumn("_cell", cell)
+        with_cell_col(pages, "lat", "lon", _SPREAD_RES, "_cell")
         .groupBy("source", "_cell")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -352,3 +352,66 @@ def clip_tiles_values_sql(polys: list[dict], res: int) -> str:
         + rows
         + ") AS t(poly_id, row, col, n_input, n_clip, area))"
     )
+
+
+def bbox_cover_df(spark, polys: list[dict], res: int = 8):
+    """(poly_id, cell_id) bbox-cover table for a polygon list — THE shared
+    cover builder (batch PIP queries + streaming geofence; one definition
+    so a cover-resolution or schema change cannot silently diverge)."""
+    from ..core import cells as C
+
+    rows = [
+        (int(p["poly_id"]), int(c))
+        for p in polys
+        for c in C.cover_bbox(
+            float(p["ring"][:, 1].min()), float(p["ring"][:, 0].min()),
+            float(p["ring"][:, 1].max()), float(p["ring"][:, 0].max()), res,
+        )
+    ]
+    return spark.createDataFrame(rows, "poly_id int, cell_id long")
+
+
+# the strict-inequality upward-ray crossing rule — ONE definition shared by
+# every PIP oracle (an edit or typo in a private copy would make one oracle
+# silently disagree with the engine while the others pass)
+CROSSING_PRED = (
+    "((e.y1 > c.lat) <> (e.y2 > c.lat)) "
+    "AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)"
+)
+
+
+def pip_hits_ctes_sql(points_sql: str, key: str, carry: list[str]) -> str:
+    """The crossing-parity PIP oracle skeleton as ONE shared emitter:
+    edges/boxes/cand/par/hits CTEs over ``points_sql`` (which must expose
+    ``key``, lat, lon and the ``carry`` columns). Four oracles previously
+    hand-typed this safety-critical algebra; one definition keeps them
+    identical by construction. Use as:  WITH {pip_hits_ctes_sql(...)},
+    <your CTEs> SELECT ... FROM hits."""
+    edges = edges_values_sql(watershed_polygons())
+    cols = ", ".join(dict.fromkeys([f"p.{key}"] + [f"p.{c}" for c in carry]))
+    hit_cols = ", ".join(dict.fromkeys([f"c.{key}"] + [f"c.{c}" for c in carry]))
+    return f"""edges AS (SELECT * FROM {edges} e),
+        boxes AS (
+          SELECT poly_id,
+                 MIN(LEAST(x1, x2)) AS minx, MAX(GREATEST(x1, x2)) AS maxx,
+                 MIN(LEAST(y1, y2)) AS miny, MAX(GREATEST(y1, y2)) AS maxy
+          FROM edges GROUP BY poly_id
+        ),
+        cand AS (
+          SELECT b.poly_id, {cols}, p.lat, p.lon
+          FROM {points_sql} p JOIN boxes b
+            ON p.lon >= b.minx AND p.lon <= b.maxx
+           AND p.lat >= b.miny AND p.lat <= b.maxy
+        ),
+        par AS (
+          SELECT c.poly_id, c.{key}, COUNT(*) AS nc
+          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
+           AND {CROSSING_PRED}
+          GROUP BY c.poly_id, c.{key}
+        ),
+        hits AS (
+          SELECT c.poly_id, {hit_cols}
+          FROM cand c JOIN par p
+            ON p.poly_id = c.poly_id AND p.{key} = c.{key}
+          WHERE p.nc % 2 = 1
+        )"""

@@ -32,24 +32,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..core import cells as C
 from ..operators.geometry import pip_candidates
 from ..sources.maintenance import _fs_and_path
 from .near_dup import _dir_exists
 
 
 def fence_cover_df(spark: SparkSession, polys: list[dict], res: int = 8) -> DataFrame:
-    """(poly_id, cell_id) bbox-cover table for a polygon list (driver-built
-    once per stream — bounded by fences x cover cells, broadcast)."""
-    rows = [
-        (int(p["poly_id"]), int(c))
-        for p in polys
-        for c in C.cover_bbox(
-            float(p["ring"][:, 1].min()), float(p["ring"][:, 0].min()),
-            float(p["ring"][:, 1].max()), float(p["ring"][:, 0].max()), res,
-        )
-    ]
-    return spark.createDataFrame(rows, "poly_id int, cell_id long")
+    """(poly_id, cell_id) bbox-cover table (driver-built once per stream —
+    bounded by fences x cover cells, broadcast). Thin alias of the shared
+    sources.polygons.bbox_cover_df so batch and streaming covers cannot
+    diverge."""
+    from ..sources.polygons import bbox_cover_df
+
+    return bbox_cover_df(spark, polys, res)
 
 
 class GeofenceAlertIndexer:
@@ -107,7 +102,7 @@ class GeofenceAlertIndexer:
 
         if state is None:
             entries = hits.select(key, "poly_id", F.col("first_ts").alias("alert_ts"))
-            exits = entries.limit(0).withColumn("alert_ts", F.col("alert_ts"))
+            exits = entries.limit(0)
             new_state = hits.select(key, "poly_id", F.col("first_ts").alias("since_ts"))
         else:
             entries = (
@@ -156,6 +151,24 @@ class GeofenceAlertIndexer:
         new_state.unionByName(sentinel).write.mode("overwrite").parquet(
             f"{self.state_dir}/batch_id={batch_id}"
         )
+
+
+ALERTS_SCHEMA = "user_id long, poly_id int, alert_ts timestamp, kind string, batch_id int"
+
+
+def read_alerts(spark: SparkSession, alerts_dir: str, key_type: str = "long") -> DataFrame:
+    """Schema-safe alerts reader: quiet batches write NO partition under
+    dynamic overwrite, so before any alert ever fires the directory is
+    absent (or file-less) and a bare spark.read.parquet crashes with
+    'unable to infer schema'. Returns a correctly-typed empty frame in
+    that case instead."""
+    schema = ALERTS_SCHEMA.replace("user_id long", f"user_id {key_type}")
+    if not _dir_exists(spark, alerts_dir):
+        return spark.createDataFrame([], schema)
+    try:
+        return spark.read.parquet(alerts_dir)
+    except Exception:
+        return spark.createDataFrame([], schema)
 
 
 def prune_snapshots(spark: SparkSession, state_dir: str, keep: int = 2) -> list[int]:

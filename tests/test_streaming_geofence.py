@@ -120,3 +120,20 @@ def test_available_now_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [(u, k) for (_b, u, _p, k) in _alerts(spark, tmp_path)] == [(1, "entry")]
+
+
+def test_quiet_first_batch_alerts_readable(spark, tmp_path):
+    from asf_tools_spark.streaming.geofence import read_alerts
+
+    # no stream ever ran: reader returns a typed empty frame, not a crash
+    empty = read_alerts(spark, str(tmp_path / "alerts"))
+    assert empty.count() == 0 and "kind" in empty.columns
+
+    # first batch has pings but zero fence activity -> still readable
+    idx = _indexer(spark, tmp_path)
+    idx(_pings(spark, [(1, 2, 0, OUT_PT)]), 0)
+    assert read_alerts(spark, str(tmp_path / "alerts")).count() == 0
+    # and alerts appear once something happens
+    idx(_pings(spark, [(2, 1, 10, IN_PT)]), 1)
+    got = read_alerts(spark, str(tmp_path / "alerts")).collect()
+    assert [(r.user_id, r.kind) for r in got] == [(1, "entry")]
