@@ -473,6 +473,46 @@ def _geofence_dwell_oracle() -> str:
 _MK_RES = 3
 
 
+def _daily_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (row, col, day, x) daily event-count cube over occupied res-3
+    cells x the observed calendar — shared by the Mann-Kendall and
+    space-time Gi* rows (one definition, one checkpoint discipline). The
+    only event-scale exchange is the (cell, day) count aggregate; the
+    calendar bounds come from the aggregated daily frame (one md5 geotag
+    pass), and the in-plan assert_true fails loudly if the span ever
+    exceeds the oracle's bounded 10000-day replay calendar."""
+    ev = _geotagged_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp_ltz")).cast("date")
+    pts = ev.select(
+        F.expr(cells.grid_y_sql("lat", _MK_RES)).alias("row"),
+        F.expr(cells.grid_x_sql("lon", _MK_RES)).alias("col"),
+        day.alias("day"),
+    )
+    daily = (
+        pts.groupBy("row", "col", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # cal, occ and the grid join branch off it
+    )
+    cal = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "lo", "hi",
+            F.assert_true(
+                F.datediff("hi", "lo") < 10000,
+                F.lit("daily cube: event span exceeds the oracle's 10000-day calendar bound"),
+            ).alias("_guard"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    occ = daily.select("row", "col").distinct()
+    return (
+        occ.crossJoin(F.broadcast(cal))
+        .join(daily, ["row", "col", "day"], "left")
+        .select("row", "col", "day", F.coalesce("n", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # multiple consumers; avoid the lazy-persist race
+    )
+
+
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emerging-hotspot analysis: Mann-Kendall monotonic-trend test
     (Mann 1945 / Kendall 1975, tie-corrected variance) on each occupied
@@ -485,45 +525,7 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count. S is an exact integer (signs of integer diffs); z uses
     the tie-corrected variance and the standard +/-1 continuity
     correction; all-tied series (var 0) are 'no_trend' with NULL z."""
-    from pyspark.sql.window import Window  # noqa: F401  (doc parity)
-
-    ev = _geotagged_events(spark, sf_dir)
-    day = F.date_trunc("day", F.col("ts").cast("timestamp_ltz")).cast("date")
-    pts = ev.select(
-        F.expr(cells.grid_y_sql("lat", _MK_RES)).alias("row"),
-        F.expr(cells.grid_x_sql("lon", _MK_RES)).alias("col"),
-        day.alias("day"),
-    )
-    # eager: cal, occ and the grid join all branch off daily within one
-    # action (bounded by occupied (cell, day) rows); deriving the calendar
-    # bounds from daily — not from the event-scale pts — keeps the
-    # serialized-md5 geotag scan to exactly ONE pass
-    daily = (
-        pts.groupBy("row", "col", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    cal = (
-        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        # fail loudly if the span ever exceeds the oracle's bounded
-        # generate_series replay (range(0, 10000)) instead of silently
-        # diverging from the truncated DuckDB calendar
-        .select(
-            "lo", "hi",
-            F.assert_true(
-                F.datediff("hi", "lo") < 10000,
-                F.lit("emerging_hotspots: event span exceeds the oracle's 10000-day calendar bound"),
-            ).alias("_guard"),
-        )
-        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    )
-    occ = daily.select("row", "col").distinct()
-    filled = (
-        occ.crossJoin(F.broadcast(cal))
-        .join(daily, ["row", "col", "day"], "left")
-        .select("row", "col", "day", F.coalesce("n", F.lit(0)).alias("x"))
-        .localCheckpoint(eager=True)  # 3 consumers below; avoid the lazy-persist race
-    )
+    filled = _daily_cube(spark, sf_dir)
     a, b = filled.alias("a"), filled.alias("b")
     s = (
         a.join(
@@ -569,12 +571,13 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emerging_oracle() -> str:
+def _daily_cube_ctes() -> str:
+    """SQL twin of :func:`_daily_cube` (pts/daily/bounds/cal/occ/filled
+    CTE fragment) — shared by the MK and space-time Gi* oracles."""
     ev = _geotagged_events_sql()
     py = cells.grid_y_sql("lat", _MK_RES)
     px = cells.grid_x_sql("lon", _MK_RES)
-    return f"""
-        WITH pts AS (
+    return f"""pts AS (
           SELECT {py} AS row, {px} AS col,
                  CAST(date_trunc('day', ts) AS DATE) AS day
           FROM {ev} _mk0
@@ -592,7 +595,12 @@ def _emerging_oracle() -> str:
           SELECT o.row, o.col, c.day, COALESCE(d.n, 0) AS x
           FROM occ o CROSS JOIN cal c
           LEFT JOIN daily d ON d.row = o.row AND d.col = o.col AND d.day = c.day
-        ),
+        )"""
+
+
+def _emerging_oracle() -> str:
+    return f"""
+        WITH {_daily_cube_ctes()},
         sgn AS (
           SELECT a.row, a.col,
                  CAST(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
@@ -629,6 +637,82 @@ def _emerging_oracle() -> str:
                     WHEN z < -1.96 THEN 'decreasing'
                     ELSE 'no_trend' END AS trend
         FROM zc
+    """
+
+
+# ---------------------------------------------------------------------------
+# space-time Gi* (the hotspot half of ESRI's emerging-hotspot pair)
+
+def q_gi_star_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time Getis-Ord Gi* per (cell, day) bin over the dense daily
+    cube: binary 3x3x3 weights (space ring x {t-1, t, t+1}, including
+    self) — MK says which cells trend, THIS says which (cell, day) bins
+    are locally hot right now; together they are the ESRI emerging-
+    hotspot formulation. Same scatter shape as the spatial gi_star row
+    (constant 27-fan offset explode + ONE equi-join back), evaluated on
+    the cube — bounded by occupied_cells x T, independent of events.
+    Oracle: the INDEPENDENT ABS-predicate 3-dim self-join replay."""
+    filled = _daily_cube(spark, sf_dir)
+    cube = filled.select("row", "col", "day", F.col("x").cast("double").alias("x"))
+    offs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(dr).alias("dr"), F.lit(dc).alias("dc"), F.lit(dt).alias("dt")
+            )
+            for dr in (-1, 0, 1) for dc in (-1, 0, 1) for dt in (-1, 0, 1)
+        ])
+    ).alias("o")
+    contrib = cube.select(offs, "row", "col", "day", "x").select(
+        (F.col("row") + F.col("o.dr")).alias("row"),
+        (F.col("col") + F.col("o.dc")).alias("col"),
+        F.date_add("day", F.col("o.dt")).alias("day"),
+        F.col("x").alias("x_j"),
+    )
+    sums = contrib.groupBy("row", "col", "day").agg(
+        F.sum("x_j").alias("sum_x"), F.count(F.lit(1)).alias("w_i")
+    )
+    at_bins = cube.join(sums, ["row", "col", "day"])
+    g = cube.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("m"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = at_bins.crossJoin(F.broadcast(g))
+    s2 = F.col("sxx") / F.col("n") - F.col("m") * F.col("m")
+    var_term = (F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")) / (F.col("n") - 1)
+    denom = F.sqrt(s2) * F.sqrt(var_term)
+    return j.select(
+        "row", "col", "day", "w_i",
+        F.round("sum_x", 6).alias("sum_x"),
+        F.when(
+            (F.col("n") >= 2) & (s2 > 0) & (var_term > 0),
+            F.round((F.col("sum_x") - F.col("m") * F.col("w_i")) / denom, 6),
+        ).alias("gi_z"),
+    )
+
+
+def _gi_spacetime_oracle() -> str:
+    return f"""
+        WITH {_daily_cube_ctes()},
+        cube AS (SELECT row, col, day, CAST(x AS DOUBLE) AS x FROM filled),
+        g AS (SELECT COUNT(*) AS n, AVG(x) AS m, SUM(x * x) AS sxx FROM cube),
+        nb AS (
+          SELECT a.row, a.col, a.day, SUM(b.x) AS sum_x, COUNT(*) AS w_i
+          FROM cube a JOIN cube b
+            ON ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1
+           AND ABS(datediff('day', b.day, a.day)) <= 1
+          GROUP BY a.row, a.col, a.day
+        )
+        SELECT nb.row, nb.col, nb.day, nb.w_i,
+               ROUND(nb.sum_x, 6) AS sum_x,
+               CASE WHEN g.n >= 2 AND g.sxx / g.n - g.m * g.m > 0
+                         AND (g.n * nb.w_i - nb.w_i * nb.w_i) / (g.n - 1) > 0
+                    THEN ROUND((nb.sum_x - g.m * nb.w_i)
+                         / (SQRT(g.sxx / g.n - g.m * g.m)
+                            * SQRT(CAST(g.n * nb.w_i - nb.w_i * nb.w_i AS DOUBLE)
+                                   / (g.n - 1))), 6)
+               END AS gi_z
+        FROM nb CROSS JOIN g
     """
 
 
@@ -1109,6 +1193,7 @@ def queries() -> dict:
         "bearing_rose": q_bearing_rose,
         "geofence_events": q_geofence_events,
         "emerging_hotspots": q_emerging_hotspots,
+        "gi_star_spacetime": q_gi_star_spacetime,
         "polygon_raster": q_polygon_raster,
         "geofence_dwell": q_geofence_dwell,
         "vector_tiles": q_vector_tiles,
@@ -1130,6 +1215,7 @@ def oracle_sql() -> dict:
         "bearing_rose": _bearing_oracle(),
         "geofence_events": _geofence_oracle(),
         "emerging_hotspots": _emerging_oracle(),
+        "gi_star_spacetime": _gi_spacetime_oracle(),
         "polygon_raster": _polygon_raster_oracle(),
         "geofence_dwell": _geofence_dwell_oracle(),
         "vector_tiles": _vector_tiles_oracle(),
