@@ -480,3 +480,37 @@ def clip_rings_to_tiles(verts: DataFrame, res: int, key: str = "poly_id") -> Dat
             )
 
     return cand.mapInPandas(clip_batches, out_schema)
+
+
+def boundary_distance(
+    cand: DataFrame, edges: DataFrame,
+    key: str = "doc_id", lat: str = "lat", lon: str = "lon",
+) -> DataFrame:
+    """Planar distance (degrees) from each candidate point to the nearest
+    point of its candidate polygon's RING — the distance-transform
+    primitive (GDAL ComputeProximity's vector twin; the reference buffers
+    water masks by fixed pixel distances, ref hydrosar/flood_map.py
+    iterative masking). ``cand`` is a (poly_id, key, lat, lon) candidate
+    table (cover-pruned upstream — this never sees points x all fences);
+    the per-edge clamped-projection distance runs entirely in whole-stage
+    codegen over the broadcast edge table and reduces with ONE hash
+    aggregate. Returns (poly_id, key, dist_deg): distance to the ring
+    itself (a point INSIDE the ring gets its distance to the boundary,
+    not 0 — compose with pip_candidates when inside-ness matters)."""
+    ex = F.col("x2") - F.col("x1")
+    ey = F.col("y2") - F.col("y1")
+    seg2 = ex * ex + ey * ey
+    t = F.when(
+        seg2 > 0.0,
+        ((F.col(lon) - F.col("x1")) * ex + (F.col(lat) - F.col("y1")) * ey) / seg2,
+    ).otherwise(F.lit(0.0))
+    tc = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+    dx = F.col(lon) - (F.col("x1") + tc * ex)
+    dy = F.col(lat) - (F.col("y1") + tc * ey)
+    d = F.sqrt(dx * dx + dy * dy)
+    return (
+        cand.join(F.broadcast(edges), "poly_id")
+        .groupBy("poly_id", key)
+        .agg(F.min(d).alias("_d"))
+        .select("poly_id", key, F.round("_d", 6).alias("dist_deg"))
+    )

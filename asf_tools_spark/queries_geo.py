@@ -1133,6 +1133,115 @@ def _vector_tiles_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# fence boundary distance
+
+_FDIST_MARGIN = 2.0
+
+
+def q_fence_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-fence boundary distance per page within a 2-degree search
+    band: candidates come from the MARGIN-INFLATED bbox cover (equi
+    broadcast join — never points x all fences), the clamped-projection
+    point-to-segment distance runs in codegen over the broadcast edge
+    table, and the per-page nearest fence is a deterministic
+    (dist, poly_id) window pick. Pages outside every inflated bbox are
+    ABSENT (documented band semantics — the proximity query, not a
+    global transform). Distance is to the RING, so interior pages get
+    boundary distance (compose with pip for inside-ness)."""
+    from pyspark.sql.window import Window
+
+    from .core import cells as C
+    from .operators.geometry import boundary_distance
+    from .sources.polygons import polygon_edges_df, watershed_polygons
+
+    polys = watershed_polygons()
+    edges = polygon_edges_df(spark, polys)
+    m = _FDIST_MARGIN
+    cover_rows = [
+        (int(p["poly_id"]), int(c))
+        for p in polys
+        for c in C.cover_bbox(
+            float(p["ring"][:, 1].min()) - m, float(p["ring"][:, 0].min()) - m,
+            float(p["ring"][:, 1].max()) + m, float(p["ring"][:, 0].max()) + m, 8,
+        )
+    ]
+    cover = spark.createDataFrame(cover_rows, "poly_id int, cell_id long")
+    pages = geotagged_documents(spark, sf_dir, cell_res=8)
+    cand = (
+        pages.select("doc_id", "lat", "lon", "cell_id")
+        .join(F.broadcast(cover), "cell_id")
+        .select("poly_id", "doc_id", "lat", "lon")
+    )
+    d = boundary_distance(cand, edges, key="doc_id")
+    w = Window.partitionBy("doc_id").orderBy("dist_deg", "poly_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("poly_id").alias("nearest_poly"), "dist_deg")
+    )
+
+
+def _fence_distance_oracle() -> str:
+    from .core import cells as C
+    from .sources.polygons import edges_values_sql, watershed_polygons
+
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    polys = watershed_polygons()
+    edges = edges_values_sql(polys)
+    m = _FDIST_MARGIN
+    cover_rows = ", ".join(
+        f"({int(p['poly_id'])}, CAST({int(c)} AS BIGINT))"
+        for p in polys
+        for c in C.cover_bbox(
+            float(p["ring"][:, 1].min()) - m, float(p["ring"][:, 0].min()) - m,
+            float(p["ring"][:, 1].max()) + m, float(p["ring"][:, 0].max()) + m, 8,
+        )
+    )
+    return f"""
+        WITH edges AS (SELECT * FROM {edges} e0),
+        cover AS (SELECT * FROM (VALUES {cover_rows}) AS t(poly_id, cell_id)),
+        cand AS (
+          SELECT cv.poly_id, p.doc_id, p.lat, p.lon
+          FROM {docs} p JOIN cover cv ON cv.cell_id = p.cell_id
+        ),
+        seg AS (
+          SELECT c.poly_id, c.doc_id,
+                 CASE WHEN (e.x2 - e.x1) * (e.x2 - e.x1)
+                           + (e.y2 - e.y1) * (e.y2 - e.y1) > 0.0
+                      THEN ((c.lon - e.x1) * (e.x2 - e.x1)
+                            + (c.lat - e.y1) * (e.y2 - e.y1))
+                           / ((e.x2 - e.x1) * (e.x2 - e.x1)
+                              + (e.y2 - e.y1) * (e.y2 - e.y1))
+                      ELSE 0.0 END AS t,
+                 c.lon, c.lat, e.x1, e.y1, e.x2, e.y2
+          FROM cand c JOIN edges e ON e.poly_id = c.poly_id
+        ),
+        clamped AS (
+          SELECT poly_id, doc_id,
+                 lon - (x1 + LEAST(GREATEST(t, 0.0), 1.0) * (x2 - x1)) AS dx,
+                 lat - (y1 + LEAST(GREATEST(t, 0.0), 1.0) * (y2 - y1)) AS dy
+          FROM seg
+        ),
+        dist AS (
+          -- dx*dx, not POWER(dx, 2): libm pow may differ from multiply in
+          -- the last ulp, and the Spark side multiplies
+          SELECT poly_id, doc_id, SQRT(dx * dx + dy * dy) AS d FROM clamped
+        ),
+        per_poly AS (
+          SELECT poly_id, doc_id, ROUND(MIN(d), 6) AS dist_deg
+          FROM dist GROUP BY poly_id, doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, poly_id AS nearest_poly, dist_deg,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY dist_deg, poly_id) AS rn
+          FROM per_poly
+        )
+        SELECT doc_id, nearest_poly, dist_deg FROM ranked WHERE rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # per-source geographic spread
 
 _SPREAD_RES = 5
@@ -1201,6 +1310,7 @@ def queries() -> dict:
         "spatial_split": q_spatial_split,
         "track_similarity": q_track_similarity,
         "domain_geo_spread": q_domain_geo_spread,
+        "fence_distance": q_fence_distance,
     }
 
 
@@ -1223,4 +1333,5 @@ def oracle_sql() -> dict:
         "spatial_split": _spatial_split_oracle(),
         "track_similarity": _track_similarity_oracle(),
         "domain_geo_spread": _domain_spread_oracle(),
+        "fence_distance": _fence_distance_oracle(),
     }
