@@ -141,3 +141,22 @@ def geotagged_documents_sql(res: int, dialect: str, table: str = "documents") ->
         fields, "lat", "lon", res,
         carry=["doc_id", "text", "lang", "source", "n_chars", "value", "hand"],
     )
+
+
+def geotag_py(key: int) -> tuple[float, float]:
+    """Pure-python (hashlib) replay of the md5 geotag lat/lon CASEs — for
+    VALUES-replay oracles that must recompute page coordinates outside
+    both engines (the core/xxh.py discipline applied to the geotag)."""
+    import hashlib
+
+    def h8(salt: str) -> int:
+        return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
+
+    ha, hb = h8("geo-a"), h8("geo-b")
+    hc, hd = h8("geo-c"), h8("geo-d")
+    if ha % 100 < HOTSPOT_PCT:
+        lat0, lon0 = HOTSPOTS[hb % 5]
+        return (lat0 + (hc % 1000) / 1000.0 - 0.5,
+                lon0 + (hd % 1000) / 1000.0 - 0.5)
+    return ((hc % 1700000) / 10000.0 - 85.0,
+            (hd % 3500000) / 10000.0 - 175.0)

@@ -1133,6 +1133,66 @@ def _vector_tiles_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hilbert range rollup
+
+_HIL_ORDER = 8
+
+
+def q_hilbert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-index range rollup: order-8 Hilbert index per page (the
+    locality-superior alternative to the engine's Morton cells —
+    consecutive d are ALWAYS grid-adjacent, so d-ranges are contiguous
+    map regions; the layout key a 100 TB spatial table would Z-ORDER —
+    here H-order — its files by), rolled up into 256-cell d-ranges with
+    per-range page counts and d extents. Entirely whole-stage codegen
+    (functions/geocode.with_hilbert_col unrolls the 8 rotation levels as
+    staged columns — no UDF). Oracle: an INDEPENDENT pure-python replay
+    (hashlib geotag + scalar rotate-accumulate Hilbert) emitted as
+    per-doc VALUES fresh each build, rolled up by DuckDB itself. Like
+    the BPE goldens, the replay is pinned to the sf0.01 gate scale (the
+    driver's compare scale) — regenerate-by-rerun if testdata moves."""
+    from .functions.geocode import with_hilbert_col
+
+    pages = geotagged_documents(spark, sf_dir)
+    h = with_hilbert_col(pages, order=_HIL_ORDER, out="d")
+    return (
+        h.withColumn("d_range", F.shiftright("d", 8))
+        .groupBy("d_range")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+    )
+
+
+def _hilbert_oracle() -> str:
+    import math
+
+    import pyarrow.parquet as pq
+
+    from .functions.geocode import hilbert_xy2d_py
+
+    n = 1 << _HIL_ORDER
+    doc_ids = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows = []
+    for did in doc_ids:
+        lat, lon = oracle.geotag_py(int(did))
+        x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        y = min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+        rows.append(hilbert_xy2d_py(_HIL_ORDER, x, y))
+    vals = ", ".join(f"(CAST({d} AS BIGINT))" for d in rows)
+    return f"""
+        SELECT d >> 8 AS d_range, COUNT(*) AS n_pages,
+               MIN(d) AS min_d, MAX(d) AS max_d
+        FROM (VALUES {vals}) AS t(d)
+        GROUP BY d >> 8
+    """
+
+
+# ---------------------------------------------------------------------------
 # fence boundary distance
 
 _FDIST_MARGIN = 2.0
@@ -1311,6 +1371,7 @@ def queries() -> dict:
         "track_similarity": q_track_similarity,
         "domain_geo_spread": q_domain_geo_spread,
         "fence_distance": q_fence_distance,
+        "hilbert_rollup": q_hilbert_rollup,
     }
 
 
@@ -1334,4 +1395,5 @@ def oracle_sql() -> dict:
         "track_similarity": _track_similarity_oracle(),
         "domain_geo_spread": _domain_spread_oracle(),
         "fence_distance": _fence_distance_oracle(),
+        "hilbert_rollup": _hilbert_oracle(),
     }

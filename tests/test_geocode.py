@@ -143,3 +143,32 @@ def test_spark_columns_match_sql_emitters(spark):
     for r in out.collect():
         assert r.qk == r.qk_sql == ref_quadkey(r.lat, r.lon, 8)
         assert r.geohash == r.gh_sql == ref_geohash(r.lat, r.lon, 6)
+
+
+def test_hilbert_known_values_and_locality():
+    from asf_tools_spark.functions.geocode import hilbert_xy2d_py as h
+
+    assert [h(1, x, y) for x, y in [(0, 0), (0, 1), (1, 1), (1, 0)]] == [0, 1, 2, 3]
+    # the full order-4 walk visits every cell exactly once, each step
+    # grid-adjacent (THE Hilbert property Morton lacks)
+    order, n = 4, 16
+    pos = {h(order, x, y): (x, y) for x in range(n) for y in range(n)}
+    assert sorted(pos) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_spark_matches_scalar_replay(spark):
+    import math
+
+    from asf_tools_spark.functions.geocode import hilbert_xy2d_py, with_hilbert_col
+
+    pts = _test_points()
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = with_hilbert_col(df, order=8, out="d").collect()
+    n = 1 << 8
+    for r in out:
+        x = min(max(int(math.floor((r.lon + 180.0) / 360.0 * n)), 0), n - 1)
+        y = min(max(int(math.floor((r.lat + 90.0) / 180.0 * n)), 0), n - 1)
+        assert r.d == hilbert_xy2d_py(8, x, y), (r.lat, r.lon)

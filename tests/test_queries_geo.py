@@ -16,19 +16,7 @@ from asf_tools_spark.queries_geo import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _h8(key: int, salt: str) -> int:
-    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
-
-
-def _geotag(key: int) -> tuple[float, float]:
-    ha, hb = _h8(key, "geo-a"), _h8(key, "geo-b")
-    hc, hd = _h8(key, "geo-c"), _h8(key, "geo-d")
-    if ha % 100 < O.HOTSPOT_PCT:
-        lat0, lon0 = O.HOTSPOTS[hb % 5]
-        return (lat0 + (hc % 1000) / 1000.0 - 0.5,
-                lon0 + (hd % 1000) / 1000.0 - 0.5)
-    return ((hc % 1700000) / 10000.0 - 85.0,
-            (hd % 3500000) / 10000.0 - 175.0)
+_geotag = O.geotag_py
 
 
 def _grid(v: float, lo: float, span: float, res: int) -> int:
