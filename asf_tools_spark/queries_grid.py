@@ -175,6 +175,47 @@ def q_label_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOLE_MOD = 37  # scattered single-pixel NaN holes: (row*7+col*13) % 37 == 0
 
 
+def q_label_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector bridge: per-component boundary extraction — a
+    labeled pixel is BOUNDARY if any 4-neighbor is missing (non-water or
+    off-grid) or carries a different label (the marching-squares edge
+    set; ref flood_map's perimeter reasoning over ndimage labels).
+    Scatter shape: constant 4-fan offset explode + ONE left equi-join
+    back to the label table + a per-component rollup — never a dense
+    neighborhood window. Interior = cells - boundary."""
+    labels = _canonical_labels(spark)
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1))
+        ])
+    ).alias("o")
+    probes = labels.select(offs, "row", "col", "comp_id").select(
+        "row", "col", "comp_id",
+        (F.col("row") + F.col("o.dr")).alias("nrow"),
+        (F.col("col") + F.col("o.dc")).alias("ncol"),
+    )
+    nb = labels.select(
+        F.col("row").alias("nrow"), F.col("col").alias("ncol"),
+        F.col("comp_id").alias("n_comp"),
+    )
+    flagged = (
+        probes.join(nb, ["nrow", "ncol"], "left")
+        .groupBy("row", "col", "comp_id")
+        .agg(
+            F.max(
+                F.when(F.col("n_comp").isNull() | (F.col("n_comp") != F.col("comp_id")), 1)
+                .otherwise(0)
+            ).alias("is_boundary")
+        )
+    )
+    return flagged.groupBy("comp_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("is_boundary").cast("long").alias("n_boundary"),
+        (F.count(F.lit(1)) - F.sum("is_boundary")).cast("long").alias("n_interior"),
+    )
+
+
 def q_gaussian_infill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 (ref hand/calculate.py:25-37 fill_nan / astropy
     interpolate_replace_nans): Gaussian-kernel weighted-mean NaN infill via
@@ -373,6 +414,23 @@ def _oracle_sqls() -> dict[str, str]:
         FROM d
     """
     sqls["grid_labels"] = f"SELECT row, col, comp_id FROM {labels} l"
+    sqls["label_boundaries"] = f"""
+        WITH lab AS (SELECT row, col, comp_id FROM {labels} l0),
+        offs AS (SELECT * FROM (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) AS t(dr, dc)),
+        flagged AS (
+          SELECT a.row, a.col, a.comp_id,
+                 MAX(CASE WHEN b.comp_id IS NULL
+                               OR b.comp_id <> a.comp_id THEN 1 ELSE 0 END)
+                   AS is_boundary
+          FROM lab a CROSS JOIN offs o
+          LEFT JOIN lab b ON b.row = a.row + o.dr AND b.col = a.col + o.dc
+          GROUP BY a.row, a.col, a.comp_id
+        )
+        SELECT comp_id, COUNT(*) AS n_cells,
+               CAST(SUM(is_boundary) AS BIGINT) AS n_boundary,
+               CAST(COUNT(*) - SUM(is_boundary) AS BIGINT) AS n_interior
+        FROM flagged GROUP BY comp_id
+    """
     sqls["segment_areas_grid"] = f"""
         SELECT comp_id, COUNT(*) AS area FROM {labels} l GROUP BY comp_id
     """
@@ -635,6 +693,7 @@ def queries() -> dict:
         "hillshade_grid": q_hillshade_grid,
         "aspect_grid": q_aspect_grid,
         "grid_labels": q_grid_labels,
+        "label_boundaries": q_label_boundaries,
         "segment_areas_grid": q_segment_areas_grid,
         "label_bboxes": q_label_bboxes,
         "em_fixture_thresholds": q_em_fixture_thresholds,
