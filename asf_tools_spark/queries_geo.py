@@ -1133,6 +1133,63 @@ def _vector_tiles_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# per-cell top sources
+
+_TOPSRC_RES = 3
+_TOPSRC_K = 3
+
+
+def q_cell_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional top content: the top-3 sources per occupied res-3 cell by
+    page count (deterministic (count DESC, source) tie-break) — the
+    per-region leaderboard every geo dashboard serves. Shape: one
+    (cell, source) hash aggregate at event scale, then the rank window
+    runs on the AGGREGATED table (bounded by cells x sources, never
+    pages)."""
+    from pyspark.sql.window import Window
+
+    pages = geotagged_documents(spark, sf_dir)
+    cc = (
+        pages.select(
+            F.expr(cells.grid_y_sql("lat", _TOPSRC_RES)).alias("row"),
+            F.expr(cells.grid_x_sql("lon", _TOPSRC_RES)).alias("col"),
+            "source",
+        )
+        .groupBy("row", "col", "source")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    w = Window.partitionBy("row", "col").orderBy(
+        F.col("n_pages").desc(), F.col("source")
+    )
+    return (
+        cc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPSRC_K)
+        .select("row", "col", "rank", "source", "n_pages")
+    )
+
+
+def _cell_top_sources_oracle() -> str:
+    docs = oracle.geotagged_documents_sql(8, oracle.DUCKDB)
+    py = cells.grid_y_sql("lat", _TOPSRC_RES)
+    px = cells.grid_x_sql("lon", _TOPSRC_RES)
+    return f"""
+        WITH cc AS (
+          SELECT row, col, source, CAST(COUNT(*) AS BIGINT) AS n_pages
+          FROM (SELECT {py} AS row, {px} AS col, source FROM {docs} _ts0) _ts1
+          GROUP BY row, col, source
+        ),
+        ranked AS (
+          SELECT row, col, source, n_pages,
+                 ROW_NUMBER() OVER (PARTITION BY row, col
+                                    ORDER BY n_pages DESC, source) AS rank
+          FROM cc
+        )
+        SELECT row, col, CAST(rank AS INT) AS rank, source, n_pages
+        FROM ranked WHERE rank <= {_TOPSRC_K}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Hilbert range rollup
 
 _HIL_ORDER = 8
@@ -1372,6 +1429,7 @@ def queries() -> dict:
         "domain_geo_spread": q_domain_geo_spread,
         "fence_distance": q_fence_distance,
         "hilbert_rollup": q_hilbert_rollup,
+        "cell_top_sources": q_cell_top_sources,
     }
 
 
@@ -1396,4 +1454,5 @@ def oracle_sql() -> dict:
         "domain_geo_spread": _domain_spread_oracle(),
         "fence_distance": _fence_distance_oracle(),
         "hilbert_rollup": _hilbert_oracle(),
+        "cell_top_sources": _cell_top_sources_oracle(),
     }
