@@ -1398,7 +1398,7 @@ _REGISTRY_HEAD = [
     # round-5 additions (never driver-seen):
     "quadkey_rollup", "geohash_rollup", "track_stats", "od_matrix",
     "trip_segments", "colocation_pairs", "bearing_rose", "geofence_events",
-    "emerging_hotspots", "domain_geo_spread", "polygon_raster", "geofence_dwell", "vector_tiles", "zonal_stats", "spatial_split", "track_similarity", "gi_star_spacetime", "fence_distance", "hilbert_rollup", "label_boundaries", "cell_top_sources",
+    "emerging_hotspots", "domain_geo_spread", "polygon_raster", "geofence_dwell", "vector_tiles", "zonal_stats", "spatial_split", "track_similarity", "gi_star_spacetime", "fence_distance", "hilbert_rollup", "label_boundaries", "cell_top_sources", "tile_decay_rank",
     "ppr_scores", "clustering_coeff", "kcore_nodes", "moving_avg_7d", "pip_strtree",
     "media_dedup", "event_pivot",
     "wow_growth",

@@ -1133,6 +1133,71 @@ def _vector_tiles_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# time-decayed tile ranking
+
+_DECAY_RES = 4
+_DECAY_HALF_LIFE_DAYS = 7.0
+_DECAY_TOP_K = 20
+
+
+def q_tile_decay_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-cache planning: exponentially time-decayed event mass per
+    res-4 cell (half-life 7 days, decayed to the corpus max timestamp),
+    top-20 tiles — the freshness-weighted popularity a tile cache
+    prewarms by. Decay weights are computed per event from EXACT integer
+    microsecond ages (2^(-age/half_life), identical libm exp2/pow text
+    both engines), partially aggregated map-side; the rank is a sort
+    over the bounded cell table. The 1-row max-ts aggregate broadcasts
+    (scalar BNLJ, allowlisted like the other global-moment joins)."""
+    ev = _geotagged_events(spark, sf_dir)
+    pts = ev.select(
+        F.expr(cells.grid_y_sql("lat", _DECAY_RES)).alias("row"),
+        F.expr(cells.grid_x_sql("lon", _DECAY_RES)).alias("col"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("_us"),
+    )
+    bounds = pts.agg(F.max("_us").alias("_max_us"))
+    half_us = _DECAY_HALF_LIFE_DAYS * 86400.0 * 1e6
+    w = F.pow(F.lit(2.0), -((F.col("_max_us") - F.col("_us")) / F.lit(half_us)))
+    ranked = (
+        pts.crossJoin(F.broadcast(bounds))
+        .select("row", "col", w.alias("_w"))
+        .groupBy("row", "col")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("_w"), 6).alias("decayed_mass"),
+        )
+        .orderBy(F.col("decayed_mass").desc(), "row", "col")
+        .limit(_DECAY_TOP_K)
+    )
+    return ranked
+
+
+def _tile_decay_oracle() -> str:
+    ev = _geotagged_events_sql()
+    py = cells.grid_y_sql("lat", _DECAY_RES)
+    px = cells.grid_x_sql("lon", _DECAY_RES)
+    half_us = _DECAY_HALF_LIFE_DAYS * 86400.0 * 1e6
+    return f"""
+        WITH pts AS (
+          SELECT {py} AS row, {px} AS col, epoch_us(ts) AS _us
+          FROM {ev} _td0
+        ),
+        bounds AS (SELECT MAX(_us) AS _max_us FROM pts),
+        wts AS (
+          SELECT row, col,
+                 POWER(CAST(2.0 AS DOUBLE),
+                       -((b._max_us - _us) / {oracle.dbl(half_us)})) AS w
+          FROM pts CROSS JOIN bounds b
+        )
+        SELECT row, col, COUNT(*) AS n_events,
+               ROUND(SUM(w), 6) AS decayed_mass
+        FROM wts GROUP BY row, col
+        ORDER BY decayed_mass DESC, row, col
+        LIMIT {_DECAY_TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
 # per-cell top sources
 
 _TOPSRC_RES = 3
@@ -1430,6 +1495,7 @@ def queries() -> dict:
         "fence_distance": q_fence_distance,
         "hilbert_rollup": q_hilbert_rollup,
         "cell_top_sources": q_cell_top_sources,
+        "tile_decay_rank": q_tile_decay_rank,
     }
 
 
@@ -1455,4 +1521,5 @@ def oracle_sql() -> dict:
         "fence_distance": _fence_distance_oracle(),
         "hilbert_rollup": _hilbert_oracle(),
         "cell_top_sources": _cell_top_sources_oracle(),
+        "tile_decay_rank": _tile_decay_oracle(),
     }

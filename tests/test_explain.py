@@ -114,6 +114,7 @@ _BNLJ_ALLOWED = {
     "histogram_quantile",  # 3-row quantile-literal frame broadcast into bins
     "morans_i", "gi_star",  # 1-row global-moment scalar broadcast joins
     "gi_star_spacetime",  # same 1-row global-moment scalar broadcast
+    "tile_decay_rank",  # 1-row max-ts scalar broadcast into the decay weight
     "emerging_hotspots",  # 1-row calendar-bounds explode (span-bounded)
     "rrf_fusion",  # full-outer of two 50-row rank lists (BHJ can't do full outer)
     "nb_classify",  # model grid = |C| x |V| broadcast NL + 1-row V/N scalars
