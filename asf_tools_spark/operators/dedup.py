@@ -62,9 +62,16 @@ def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
-    """(key, shingle): distinct lowercase word tokens per document."""
+    """(key, shingle): distinct lowercase word tokens per document.
+
+    Fanned out before the explode: the normalize+split+explode chain is
+    narrow, so on a single-file scan it would run as one task
+    (core/parallel.py; no-op at cluster scale)."""
+    from ..core.parallel import fan_out
+
     return (
-        df.select(key, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("shingle"))
+        fan_out(df)
+        .select(key, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("shingle"))
         .where(F.length("shingle") > 0)
         .distinct()
     )
@@ -225,9 +232,18 @@ def near_dup_clusters(
     join, not collected. Set local_max_edges=0 to force the BSP path.
     """
     edges = pairs.select(F.col(key_a).alias("label"), F.col(key_b).alias("nbr_label")).distinct()
-    sample = (
-        edges.limit(local_max_edges + 1).collect() if local_max_edges > 0 else None
-    )
+    # Size the graph with persist + count instead of limit(n+1).collect():
+    # CollectLimit escalates through SERIALIZED single-task result stages,
+    # each re-running the verify chain on a growing partition subset
+    # (measured: ~8 s of 1-task stages inside corpus_funnel at sf0.1,
+    # guide §5 driver notes). count() runs the same upstream once, wide;
+    # collect() then reads the cached edges. Map-side shuffle work is paid
+    # in full by either form, so this is never worse at scale.
+    sample = None
+    if local_max_edges > 0:
+        edges = edges.persist()
+        if edges.count() <= local_max_edges:
+            sample = edges.collect()
     if sample is not None and len(sample) <= local_max_edges:
         parent: dict = {}
 
@@ -256,6 +272,7 @@ def near_dup_clusters(
         mapping = spark.createDataFrame(
             rows or [(None, None)], f"_mk {ktype}, _mc {ktype}"
         ).where(F.col("_mk").isNotNull())
+        edges.unpersist()  # mapping is driver-built; edges has no consumer
         return (
             docs.select(F.col(key).alias("_k"))
             .join(F.broadcast(mapping), F.col("_k") == F.col("_mk"), "left")
@@ -270,6 +287,8 @@ def near_dup_clusters(
 
     labeled = docs.select(F.col(key).alias("_k"), F.col(key).alias("label"))
     merged = _merge_labels_distributed(labeled, edges)
+    if local_max_edges > 0:
+        edges.unpersist()  # sym is eagerly localCheckpointed inside _merge
     return merged.select(
         F.col("_k").alias(key),
         F.col("label").alias("cluster_id"),
@@ -504,9 +523,11 @@ def ngram_shingle_sets(
     re-substitute and re-evaluate the whole normalize+split+filter chain
     PER ELEMENT PER n — ~3n regex normalizations per document (measured
     14.8s -> 1.4s for 5000 sf0.1 docs)."""
+    from ..core.parallel import fan_out
+
     norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
     ws_expr = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
-    staged = df.select(F.col(key), F.explode(F.array(ws_expr)).alias("_ws"))
+    staged = fan_out(df).select(F.col(key), F.explode(F.array(ws_expr)).alias("_ws"))
     ws = F.col("_ws")
     grams = F.array_distinct(
         F.transform(

@@ -82,8 +82,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     conjunct — the funnel filters on quality_score immediately), so the
     stage rides the repo's Generate fence (explode of a 1-element array):
     predicates referencing generator output cannot cross a Generate."""
+    from ..core.parallel import fan_out
+
     t = F.col(text_col)
-    staged = df.withColumn("_norm", F.explode(F.array(normalize_text(t))))
+    staged = fan_out(df).withColumn("_norm", F.explode(F.array(normalize_text(t))))
     norm = F.col("_norm")
     n_chars = F.length(t)
     # token_count_col(t) inlined against the staged norm (same semantics)
@@ -178,8 +180,10 @@ def repetition_signals(df: DataFrame, key: str, text_col: str = "text") -> DataF
     scale that is two co-keyed shuffles instead of r2's two aggregates plus
     a 3-way join on key. All Catalyst.
     """
+    from ..core.parallel import fan_out
+
     norm = normalize_text(F.col(text_col))
-    base = df.select(key, F.split(norm, " ").alias("_w")).where(F.size("_w") > 0)
+    base = fan_out(df).select(key, F.split(norm, " ").alias("_w")).where(F.size("_w") > 0)
     tagged = base.select(
         key,
         F.explode(
@@ -214,17 +218,28 @@ def word_ngrams(
     df: DataFrame, key: str | None, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(key?, ngram): all word n-grams of the normalized text (duplicates
-    kept; callers dedup as needed). Pure Catalyst."""
-    norm = normalize_text(F.col(text_col))
-    ws = F.split(norm, " ")
+    kept; callers dedup as needed). Pure Catalyst.
+
+    The token array rides the Generate fence (explode of a 1-element
+    array), exactly like ngram_shingle_sets: referencing ``split(...)``
+    inside the transform lambda re-substitutes and re-evaluates the whole
+    normalize+split chain PER ELEMENT (one `\\s+` regex pass per n-gram;
+    the fence took the sibling operator 14.8s -> 1.4s at sf0.1). The input
+    is fanned out first: the explode's parent is a narrow chain over the
+    scan, which on a single-file input is one task (core/parallel.py)."""
+    from ..core.parallel import fan_out
+
+    cols = [key] if key else []
+    ws_expr = F.split(normalize_text(F.col(text_col)), " ")
+    staged = fan_out(df).select(*cols, F.explode(F.array(ws_expr)).alias("_ws"))
+    ws = F.col("_ws")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - n + 1),
         lambda i: F.array_join(F.slice(ws, i, n), " "),
     )
     # sequence(1, x) is DESCENDING for x < 1 — guard short docs explicitly
     grams = F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
-    cols = [key] if key else []
-    return df.select(*cols, F.explode(grams).alias("ngram"))
+    return staged.select(*cols, F.explode(grams).alias("ngram"))
 
 
 def contamination_report(
@@ -305,7 +320,9 @@ def line_dedup(
     2^-64-per-pair xxhash64 collision; pass hash_lines=False for the
     collision-free raw-line join (small corpora / oracle replays).
     """
-    lines = df.select(
+    from ..core.parallel import fan_out
+
+    lines = fan_out(df).select(
         key, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
     )
     line_key = F.xxhash64("line") if hash_lines else F.col("line")
@@ -378,9 +395,11 @@ def cooccurrence_pmi(
     no positions self-join, no shuffle until the count aggregates; the
     unigram join is vocabulary-sized. ``top_k`` orders by (pmi desc,
     term_a, term_b) via sort+limit (TakeOrdered, no global window)."""
+    from ..core.parallel import fan_out
+
     norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
     ws = F.split(norm, " ")
-    base = df.select(F.explode(F.array(ws)).alias("_ws")).where(F.size("_ws") > 0)
+    base = fan_out(df).select(F.explode(F.array(ws)).alias("_ws")).where(F.size("_ws") > 0)
 
     pair_arr = F.flatten(
         F.transform(

@@ -569,11 +569,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary guarantees real cross-document line collisions). Lines in
     more than 2 distinct documents are dropped as boilerplate; output
     verifies counts plus the md5 of the reassembled text."""
+    from .core.parallel import fan_out
+
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    ws = F.split(dedup.normalize_text(F.col("text")), " ")
+    # stage the token array behind the Generate fence: `ws` referenced
+    # inside the transform lambda re-evaluates normalize+split per chunk
+    # (guide §1.2 per-task work; same fix as ngram_shingle_sets), and the
+    # narrow chunking chain fans out off the single-file scan
+    ws_expr = F.split(dedup.normalize_text(F.col("text")), " ")
+    staged = fan_out(docs).select("doc_id", F.explode(F.array(ws_expr)).alias("_ws"))
+    ws = F.col("_ws")
     n_chunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
-    chunked = docs.select(
+    chunked = staged.select(
         "doc_id",
         F.array_join(
             F.transform(

@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1m) serializes compute-dense
+        # stages whose *input bytes* are small but whose work explodes
+        # downstream (self-joins, n-gram generates): a few-MB shuffle
+        # coalesces to 1 task and 31 cores idle. parallelismFirst already
+        # targets total/parallelism; a lower floor lets that target win on
+        # small inputs. At cluster scale partitions sit far above either
+        # floor, so this is a no-op there (scale-adaptive, guide §2.2/2.5).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
