@@ -316,15 +316,22 @@ def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 16) -> 
     else:
         h = F.xxhash64(F.lit("simhash-"), F.col("shingle"))
     sh = word_shingles(df, key, text_col).withColumn("h", h)
+    # one F.expr per aggregate / one for the packing instead of ~10 py4j
+    # round-trips per bit: at bits=64 the Column-algebra form spent more
+    # DRIVER time building the plan than the cluster spent running it
+    # (measured 1.5 s build vs 1.7 s exec per bench invocation; same
+    # parsed expressions, so the physical plan is unchanged)
     sums = [
-        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{j}")
+        F.expr(f"SUM(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"s{j}")
         for j in range(bits)
     ]
     agg = sh.groupBy(key).agg(*sums)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        bitval = F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))  # j=63: sign bit
-        out = out.bitwiseOR(F.when(F.col(f"s{j}") > 0, bitval).otherwise(F.lit(0)).cast("long"))
+    terms = [
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j if j < 63 else -(1 << 63)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    ]
+    out = F.expr("CAST(0 AS BIGINT) | " + " | ".join(terms))  # j=63: sign bit
     return agg.select(key, out.alias("simhash"))
 
 
@@ -412,7 +419,9 @@ def embedding_near_dup(
                 F.when(dot_with(planes[t, i]) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
             )
         tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
-    bucketed = emb.select(
+    from ..core.parallel import fan_out
+
+    bucketed = fan_out(emb).select(
         key, vec_col, F.explode(F.array(*tables)).alias("tb")
     ).select(key, vec_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket"))
 

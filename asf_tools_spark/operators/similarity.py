@@ -48,10 +48,16 @@ def cosine_topk_bruteforce(
     """Exact top-k by cosine for each query vector. The query set is
     broadcast (small side); the corpus streams through one whole-stage
     codegen pass; the only shuffle is the per-query top-k window."""
+    from ..core.parallel import fan_out
+
     q = F.broadcast(
         queries.select(F.col(key).alias("q_id"), F.col(vec_col).alias("q_vec"))
     )
-    joined = emb.select(F.col(key).alias("c_id"), F.col(vec_col).alias("c_vec")).crossJoin(q)
+    # fan_out: the broadcast cross join keeps the corpus side's
+    # partitioning, and higher-order-function dot/norm chains are
+    # interpreted (CodegenFallback) — a single-file scan otherwise scores
+    # every pair on one core (core/parallel.py; no-op at cluster scale)
+    joined = fan_out(emb).select(F.col(key).alias("c_id"), F.col(vec_col).alias("c_vec")).crossJoin(q)
     # zero-norm vectors have no defined cosine; without this filter they
     # produce NaN, which Spark's (and DuckDB's) DESC ordering ranks FIRST —
     # a zero vector would become everyone's top neighbor
@@ -137,14 +143,23 @@ def quantize_embeddings(
     float/double embeddings, the first lever for ANN at corpus scale.
     Cosine is per-vector-scale invariant, so similarity search runs on the
     quantized arrays directly (no dequantize); the scale column is kept for
-    consumers that need magnitudes back. Pure Catalyst transform."""
+    consumers that need magnitudes back. Pure Catalyst transform.
+
+    Both the max and the quantized array ride the repo's Generate fence
+    (explode of a 1-element array): ``safe_mx`` referenced inside the
+    transform lambda re-evaluates the array_max PER ELEMENT (O(d^2)/row),
+    and downstream dot/norm lambdas referencing the un-fenced ``q_vec``
+    expression re-substitute the whole quantize chain per use — measured
+    as a seconds-long single stage on the int8 ANN row (guide §1.2)."""
     mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
     safe_mx = F.when(mx > 0.0, mx).otherwise(F.lit(1.0))  # all-zero vectors stay zero
+    staged = emb.select("*", F.explode(F.array(safe_mx)).alias("_qmx"))
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.round(x.cast("double") / safe_mx * 127.0).cast("tinyint"),
+        lambda x: F.round(x.cast("double") / F.col("_qmx") * 127.0).cast("tinyint"),
     )
-    return emb.withColumn(out_col, q).withColumn(f"{out_col}_scale", safe_mx / 127.0)
+    staged = staged.select("*", F.explode(F.array(q)).alias(out_col))
+    return staged.withColumn(f"{out_col}_scale", F.col("_qmx") / 127.0).drop("_qmx")
 
 
 def _staged_cosines(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:

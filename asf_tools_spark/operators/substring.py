@@ -61,8 +61,10 @@ def gram_occurrences(
     position — the shared postings input of the batch operator and the
     streaming postings store (streaming/substring.py). Narrow (array ops
     per row, one posexplode); no shuffle."""
+    from ..core.parallel import fan_out
+
     norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
-    base = df.select(F.col(key).alias("_k"), F.split(norm, " ").alias("_ws"))
+    base = fan_out(df).select(F.col(key).alias("_k"), F.split(norm, " ").alias("_ws"))
     gram_txt = F.transform(
         F.sequence(F.lit(1), F.size("_ws") - n + 1),
         lambda i: F.array_join(F.slice("_ws", i, n), " "),
@@ -98,8 +100,10 @@ def substring_dedup(
     canonical copy lives in the earlier data); grams duplicated only
     within this slice keep the local first-copy rule.
     """
+    from ..core.parallel import fan_out
+
     norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
-    base = df.select(F.col(key).alias("_k"), F.split(norm, " ").alias("_ws"))
+    base = fan_out(df).select(F.col(key).alias("_k"), F.split(norm, " ").alias("_ws"))
 
     # one row per token; positions are 1..len and DENSE, so the coverage
     # windows below can use exact row frames

@@ -43,8 +43,9 @@ def _grid_sql(dialect: str) -> str:
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+    from .core.io import register_views
+
+    register_views(spark, sf_dir, *names)
 
 
 def _grid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,7 +731,9 @@ def q_extract_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 rows."""
     from .sources.pages import extract_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .core.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<html><head><title>Doc '),
         F.col("doc_id").cast("string"),

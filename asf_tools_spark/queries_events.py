@@ -18,8 +18,9 @@ from pyspark.sql.window import Window
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+    from .core.io import register_views
+
+    register_views(spark, sf_dir, *names)
 
 
 LPA_ITERS = 4

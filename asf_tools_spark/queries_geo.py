@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import oracle
+from .core.io import read_table
 from .core import cells
 from .functions import geocode
 from .sources.pages import _with_geotag, geotagged_documents
@@ -29,8 +30,15 @@ _OD_RES = 4
 
 def _geotagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + md5-parity lat/lon keyed by event_id (the oracle-checked
-    geotag path; value/hand are dropped — trajectory rows don't use them)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    geotag path; value/hand are dropped — trajectory rows don't use them).
+
+    Fanned out off the scan: the md5 geotag chain is narrow, and a
+    single-file events scan otherwise computes every hash on one core
+    (~0.5-0.9 s single-task stage at the head of EVERY geo query at
+    sf0.1; core/parallel.py, no-op at cluster scale)."""
+    from .core.parallel import fan_out
+
+    ev = fan_out(read_table(spark, sf_dir, "events"))
     return _with_geotag(ev, F.col("event_id")).drop("value", "hand")
 
 
@@ -1041,11 +1049,17 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cover = spark.createDataFrame(cover_rows, "poly_id int, cell_id long")
     # events, not documents: 20x the points at every sf — the zonal means
-    # rest on a non-trivial population per zone
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # rest on a non-trivial population per zone. fan_out: broadcast PIP
+    # keeps the stream side's partitioning, so a single-file scan would
+    # run geotag + crossing refine on one core (core/parallel.py)
+    from .core.parallel import fan_out
+
+    ev = fan_out(read_table(spark, sf_dir, "events"))
+    # 2 consumers in one action (PIP prune/refine + the value join-back):
+    # eager, or the whole geotag+cell subtree re-executes per branch
     pings = with_cell_col(
         _with_geotag(ev, F.col("event_id")).drop("hand"), "lat", "lon", 8, "cell_id"
-    )
+    ).select("event_id", "lat", "lon", "cell_id", "value").localCheckpoint(eager=True)
     hits = (
         pip_candidates(pings, edges, key="event_id", cover=cover)
         .where("inside")

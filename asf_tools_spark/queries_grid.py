@@ -263,7 +263,9 @@ def q_scaling_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_li(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    from .core.io import register_views
+
+    register_views(spark, sf_dir, "lineitem")
 
 
 def q_flood_depth_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,8 +13,9 @@ _NMAD_SCALE = 0.6744897501960817
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+    from .core.io import register_views
+
+    register_views(spark, sf_dir, *names)
 
 
 def q_epsg_vote(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,8 +12,9 @@ from .operators import dedup, similarity, text
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+    from .core.io import register_views
+
+    register_views(spark, sf_dir, *names)
 
 
 N_MINHASH = 8
@@ -3219,9 +3220,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketch import countmin_build, countmin_estimate
 
     _register(spark, sf_dir, "documents")
+    from .core.parallel import fan_out
+
     norm = dedup.normalize_text(F.col("text"))
     toks = (
-        spark.table("documents")
+        fan_out(spark.table("documents"))
         .select(F.explode(F.split(norm, " ")).alias("term"))
         .where(F.length("term") > 0)
     )

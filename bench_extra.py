@@ -118,6 +118,16 @@ def _summarize_eventlog(path: str, marks: dict[str, tuple[float, float]]) -> Non
             e = ev.get("Event")
             if e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
+                scopes = []
+                for ri in si.get("RDD Info", []):
+                    sc = ri.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except json.JSONDecodeError:
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages.append({
                     "id": si["Stage ID"],
                     "name": si["Stage Name"].split(":")[0],
@@ -125,6 +135,7 @@ def _summarize_eventlog(path: str, marks: dict[str, tuple[float, float]]) -> Non
                     "sub": si.get("Submission Time", 0),
                     "done": si.get("Completion Time", 0),
                     "ntasks": si.get("Number of Tasks"),
+                    "scopes": ",".join(scopes[:8]),
                 })
             elif e == "SparkListenerJobStart":
                 jobs.append({"id": ev["Job ID"], "t": ev["Submission Time"],
@@ -140,7 +151,8 @@ def _summarize_eventlog(path: str, marks: dict[str, tuple[float, float]]) -> Non
         for s in qstages:
             d = (s["done"] - s["sub"]) / 1000.0
             tsum += d
-            print(f"  stage {s['id']:>5} {d:7.3f}s tasks={s['ntasks']:>3}  {s['name'][:90]}")
+            print(f"  stage {s['id']:>5} {d:7.3f}s tasks={s['ntasks']:>3}  "
+                  f"{s['name'][:40]} [{s.get('scopes', '')[:120]}]")
         print(f"  (sum of stage walls: {tsum:.3f}s; gaps = driver/planning time)")
 
 
