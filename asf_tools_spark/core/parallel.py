@@ -15,6 +15,8 @@ row order within a partition (aggregates, joins, explode->aggregate).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -26,6 +28,8 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     ``multiplier`` > 1 requests extra slices for stages whose per-row cost
     is very uneven (e.g. documents of wildly different lengths).
     """
+    if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":  # ops/A-B escape hatch
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
     try:

@@ -61,16 +61,22 @@ def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+def word_shingles(
+    df: DataFrame, key: str, text_col: str = "text", wide: bool = False,
+) -> DataFrame:
     """(key, shingle): distinct lowercase word tokens per document.
 
-    Fanned out before the explode: the normalize+split+explode chain is
-    narrow, so on a single-file scan it would run as one task
-    (core/parallel.py; no-op at cluster scale)."""
-    from ..core.parallel import fan_out
+    ``wide`` fans the input out before the explode (core/parallel.py) —
+    worth it only when the downstream aggregate is heavy (the 64-bit
+    simhash's 64 conditional sums): for light consumers the extra
+    exchange re-executes per broadcast subtree and A/B-measured a net
+    loss (battery rows minhash/jaccard/containment ~0.3-0.5s worse)."""
+    if wide:
+        from ..core.parallel import fan_out
 
+        df = fan_out(df)
     return (
-        fan_out(df)
+        df
         .select(key, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("shingle"))
         .where(F.length("shingle") > 0)
         .distinct()
@@ -79,15 +85,18 @@ def word_shingles(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(
     df: DataFrame, key: str, text_col: str = "text", n_hashes: int = 8,
-    family: str | None = None,
+    family: str | None = None, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(key, sig_0..sig_{n-1}): min over shingles of hash_i(shingle).
 
     One explode + one hash-aggregate; each hash_i is an independently salted
     md5 — the permutation family. Map-side combine keeps the shuffle at
     O(docs x n_hashes), independent of document length.
+
+    ``shingles``: an already-computed word_shingles(df) frame (callers that
+    also verify with exact Jaccard materialize it once and share it).
     """
-    sh = word_shingles(df, key, text_col)
+    sh = word_shingles(df, key, text_col) if shingles is None else shingles
     aggs = [
         F.min(hash8_col(F.col("shingle"), f"mh{i}-", family=family)).alias(f"sig_{i}")
         for i in range(n_hashes)
@@ -315,7 +324,7 @@ def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 16) -> 
         h = hash8_col(F.col("shingle"), "simhash-")
     else:
         h = F.xxhash64(F.lit("simhash-"), F.col("shingle"))
-    sh = word_shingles(df, key, text_col).withColumn("h", h)
+    sh = word_shingles(df, key, text_col, wide=bits > 32).withColumn("h", h)
     # one F.expr per aggregate / one for the packing instead of ~10 py4j
     # round-trips per bit: at bits=64 the Column-algebra form spent more
     # DRIVER time building the plan than the cluster spent running it

@@ -475,11 +475,15 @@ def label_propagation(
     ``checkpoint_interval`` rounds. Same driver-local small-graph guard
     discipline as bfs_hops (one take(k+1) doubles as the collect; pass
     local_threshold=0 to force the distributed path, as tests do)."""
-    e = edges.select(src, dst).repartition(F.col(src)).persist()
+    e = edges.select(src, dst).repartition(F.col(src))
     if local_threshold:
         rows = e.take(local_threshold + 1)
         if len(rows) <= local_threshold:
-            return _lpa_local(e.sparkSession, rows, src, dst, n_iters)
+            return _lpa_local(
+                e.sparkSession, rows, src, dst, n_iters,
+                edges.select(src).schema[0].dataType,
+            )
+    e = e.persist()  # below the guard: the local path must not leak cache
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -501,12 +505,19 @@ def label_propagation(
         )
         if checkpoint_interval and it % checkpoint_interval == 0:
             labels = labels.localCheckpoint(eager=True)
+    # truncate lineage off the cache, then release it (k_core discipline)
+    labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
     return labels
 
 
-def _lpa_local(spark, edge_rows, src, dst, n_iters: int) -> DataFrame:
-    """Driver-local replay of the identical synchronous update."""
+def _lpa_local(spark, edge_rows, src, dst, n_iters: int, node_type) -> DataFrame:
+    """Driver-local replay of the identical synchronous update.
+    ``node_type`` threads the input node type like _k_core_local — an
+    int-keyed graph must not come back as strings."""
     from collections import Counter, defaultdict
+
+    from pyspark.sql.types import StructField, StructType
 
     in_nbrs: dict = defaultdict(list)
     nodes = set()
@@ -526,7 +537,10 @@ def _lpa_local(spark, edge_rows, src, dst, n_iters: int) -> DataFrame:
             nxt[n] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         labels = nxt
     return spark.createDataFrame(
-        sorted(labels.items()), "node string, label string"
+        sorted(labels.items()),
+        StructType([
+            StructField("node", node_type), StructField("label", node_type)
+        ]),
     )
 
 
@@ -702,6 +716,9 @@ def personalized_pagerank(
         )
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # truncate lineage off the cache, then release it (k_core discipline)
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     return ranks
 
 

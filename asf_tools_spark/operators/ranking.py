@@ -28,7 +28,10 @@ from .dedup import normalize_text
 
 def term_counts(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     """(key, term, tf): per-document term frequencies over normalized
-    whitespace tokens. One explode + one partial-aggregated groupBy."""
+    whitespace tokens. One explode + one partial-aggregated groupBy.
+    (fan_out measured a net LOSS here: the split+explode is light, and the
+    extra exchange re-executes per broadcast subtree — A/B 1.34s vs 2.18s
+    on bm25_search at sf0.1.)"""
     norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
     toks = df.select(F.col(key), F.explode(F.split(norm, " ")).alias("term")).where(
         F.length("term") > 0

@@ -320,9 +320,7 @@ def line_dedup(
     2^-64-per-pair xxhash64 collision; pass hash_lines=False for the
     collision-free raw-line join (small corpora / oracle replays).
     """
-    from ..core.parallel import fan_out
-
-    lines = fan_out(df).select(
+    lines = df.select(
         key, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
     )
     line_key = F.xxhash64("line") if hash_lines else F.col("line")
@@ -395,11 +393,9 @@ def cooccurrence_pmi(
     no positions self-join, no shuffle until the count aggregates; the
     unigram join is vocabulary-sized. ``top_k`` orders by (pmi desc,
     term_a, term_b) via sort+limit (TakeOrdered, no global window)."""
-    from ..core.parallel import fan_out
-
     norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
     ws = F.split(norm, " ")
-    base = fan_out(df).select(F.explode(F.array(ws)).alias("_ws")).where(F.size("_ws") > 0)
+    base = df.select(F.explode(F.array(ws)).alias("_ws")).where(F.size("_ws") > 0)
 
     pair_arr = F.flatten(
         F.transform(

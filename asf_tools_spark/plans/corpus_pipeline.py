@@ -162,9 +162,15 @@ def curate_corpus(
     # (measured at sf0.1: overlap = 0 of 230k pairs). The funnel's real
     # residual cost was the quality screen re-running the normalize regex
     # per F.when branch — fixed in text.quality_features (Generate fence).
-    sigs = dedup.minhash_signatures(exacted, key, n_hashes=cfg.n_minhash)
+    # shingles feed BOTH the signatures and the 3-way Jaccard verify, and
+    # sigs feed banding AND the identical-signature edges — materialize
+    # each once (same rule as the _eager stages above: several branches of
+    # one job would otherwise re-run the explode/aggregate subtree)
+    sh = _eager(dedup.word_shingles(exacted, key))
+    sigs = _eager(
+        dedup.minhash_signatures(exacted, key, n_hashes=cfg.n_minhash, shingles=sh)
+    )
     pairs = dedup.lsh_candidate_pairs(sigs, key, cfg.bands, cfg.rows_per_band)
-    sh = dedup.word_shingles(exacted, key)
     verified = (
         dedup.jaccard_on_pairs(pairs, sh, key)
         # round-6 on the threshold compare, matching the DuckDB oracle and

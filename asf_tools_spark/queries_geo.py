@@ -501,15 +501,21 @@ def _daily_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # cal, occ and the grid join branch off it
     )
+    # the guard is folded into the CONSUMED `hi` expression: aliased to a
+    # separate column it gets column-pruned by the very next select and
+    # never evaluates (ADVICE r5). assert_true returns NULL (or throws),
+    # so when(assert_true(cond).isNull(), hi) IS hi — but the assertion
+    # now sits inside the expression the explode consumes
+    guarded_hi = F.when(
+        F.assert_true(
+            F.datediff("hi", "lo") < 10000,
+            F.lit("daily cube: event span exceeds the oracle's 10000-day calendar bound"),
+        ).isNull(),
+        F.col("hi"),
+    )
     cal = (
         daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(
-            "lo", "hi",
-            F.assert_true(
-                F.datediff("hi", "lo") < 10000,
-                F.lit("daily cube: event span exceeds the oracle's 10000-day calendar bound"),
-            ).alias("_guard"),
-        )
+        .select("lo", guarded_hi.alias("hi"))
         .select(F.explode(F.sequence("lo", "hi")).alias("day"))
     )
     occ = daily.select("row", "col").distinct()
@@ -1302,16 +1308,27 @@ def q_hilbert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hilbert_oracle() -> str:
+_HILBERT_ORACLE_SF = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _hilbert_oracle() -> str | None:
+    """VALUES oracle replaying the Hilbert encode in pure Python over the
+    driver's sf0.01 fixture. Returns None (rows-only fallback) when the
+    fixture is absent, matching the simhash64/embedding fixture-pinned
+    oracles — a hardcoded read here would otherwise break building ALL
+    oracles in any environment without that exact file."""
     import math
+    import os
 
     import pyarrow.parquet as pq
 
     from .functions.geocode import hilbert_xy2d_py
 
+    if not os.path.exists(_HILBERT_ORACLE_SF):
+        return None
     n = 1 << _HIL_ORDER
     doc_ids = pq.read_table(
-        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id"]
+        _HILBERT_ORACLE_SF, columns=["doc_id"]
     )["doc_id"].to_pylist()
     rows = []
     for did in doc_ids:
@@ -1514,7 +1531,7 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
-    return {
+    out = {
         "quadkey_rollup": _quadkey_oracle(),
         "geohash_rollup": _geohash_oracle(),
         "track_stats": _track_stats_oracle(),
@@ -1533,7 +1550,11 @@ def oracle_sql() -> dict:
         "track_similarity": _track_similarity_oracle(),
         "domain_geo_spread": _domain_spread_oracle(),
         "fence_distance": _fence_distance_oracle(),
-        "hilbert_rollup": _hilbert_oracle(),
         "cell_top_sources": _cell_top_sources_oracle(),
         "tile_decay_rank": _tile_decay_oracle(),
     }
+    # fixture-pinned VALUES oracle: None (absent fixture) -> rows-only
+    hil = _hilbert_oracle()
+    if hil is not None:
+        out["hilbert_rollup"] = hil
+    return out

@@ -78,9 +78,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with keep=true."""
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
+    # shingles feed signatures + the 3-way Jaccard verify; sigs feed
+    # banding + identical-signature edges — one materialization each
+    sh = dedup.word_shingles(docs, "doc_id").localCheckpoint(eager=True)
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", n_hashes=N_MINHASH, shingles=sh
+    ).localCheckpoint(eager=True)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    sh = dedup.word_shingles(docs, "doc_id")
     verified = dedup.jaccard_on_pairs(pairs, sh, "doc_id").where(
         F.round("jaccard", 6) >= 0.8
     ).select("key_a", "key_b")
@@ -380,9 +384,13 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=N_MINHASH)
+    # shingles feed signatures + the 3-way Jaccard verify; sigs feed
+    # banding + identical-signature edges — one materialization each
+    sh = dedup.word_shingles(docs, "doc_id").localCheckpoint(eager=True)
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", n_hashes=N_MINHASH, shingles=sh
+    ).localCheckpoint(eager=True)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    sh = dedup.word_shingles(docs, "doc_id")
     verified = dedup.jaccard_on_pairs(pairs, sh, "doc_id").where(
         F.round("jaccard", 6) >= 0.5
     ).select("key_a", "key_b")
@@ -570,8 +578,6 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary guarantees real cross-document line collisions). Lines in
     more than 2 distinct documents are dropped as boilerplate; output
     verifies counts plus the md5 of the reassembled text."""
-    from .core.parallel import fan_out
-
     _register(spark, sf_dir, "documents")
     docs = spark.table("documents")
     # stage the token array behind the Generate fence: `ws` referenced
@@ -579,7 +585,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §1.2 per-task work; same fix as ngram_shingle_sets), and the
     # narrow chunking chain fans out off the single-file scan
     ws_expr = F.split(dedup.normalize_text(F.col("text")), " ")
-    staged = fan_out(docs).select("doc_id", F.explode(F.array(ws_expr)).alias("_ws"))
+    staged = docs.select("doc_id", F.explode(F.array(ws_expr)).alias("_ws"))
     ws = F.col("_ws")
     n_chunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
     chunked = staged.select(
