@@ -78,43 +78,58 @@ def make_water_map_grid(
         "row", "col", F.col("value").alias("hand"), F.col("valid"), "slope"
     ).persist()
 
-    # one aggregate job for every global scalar over hand/slope
-    scalars = hand_sloped.agg(
-        F.min(F.when(F.col("valid"), F.col("hand"))).alias("h_lo"),
-        F.max(F.when(F.col("valid"), F.col("hand"))).alias("h_hi"),
-        F.min(F.when(~F.isnan("slope"), F.col("slope"))).alias("s_lo"),
-        F.max(F.when(~F.isnan("slope"), F.col("slope"))).alias("s_hi"),
-        F.percentile(F.when(F.col("valid") & (F.abs("hand") > 1e-8), F.col("hand")), 0.9).alias("h_p90"),
-    ).collect()[0]
-    limit_stats = (
-        hand_sloped.where(F.col("valid") & (F.abs("hand") > 1e-8) & (F.col("hand") <= F.lit(scalars.h_p90)))
-        .agg(F.median("hand").alias("med"), F.stddev_pop("hand").alias("sd"))
-        .collect()[0]
-    )
+    # one aggregate job for every global scalar over hand/slope. The
+    # scalars -> limit_stats chain runs on a helper thread so its two
+    # sequential collect jobs overlap the tile-selection jobs below —
+    # they are independent until the fuzzy stage (guide §2.6: the driver
+    # calling actions sequentially is the only reason jobs serialize).
+    def _hand_stats() -> tuple:
+        scalars = hand_sloped.agg(
+            F.min(F.when(F.col("valid"), F.col("hand"))).alias("h_lo"),
+            F.max(F.when(F.col("valid"), F.col("hand"))).alias("h_hi"),
+            F.min(F.when(~F.isnan("slope"), F.col("slope"))).alias("s_lo"),
+            F.max(F.when(~F.isnan("slope"), F.col("slope"))).alias("s_hi"),
+            F.percentile(F.when(F.col("valid") & (F.abs("hand") > 1e-8), F.col("hand")), 0.9).alias("h_p90"),
+        ).collect()[0]
+        limit_stats = (
+            hand_sloped.where(F.col("valid") & (F.abs("hand") > 1e-8) & (F.col("hand") <= F.lit(scalars.h_p90)))
+            .agg(F.median("hand").alias("med"), F.stddev_pop("hand").alias("sd"))
+            .collect()[0]
+        )
+        return scalars, limit_stats
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stats_pool = ThreadPoolExecutor(max_workers=1)
+    _stats_fut = _stats_pool.submit(_hand_stats)
+
+    # tile selection (VH only, reused for VV — ref :291-293); overlaps the
+    # hand-stats thread above
+    bs_vh = vh_grid.withColumn("valid_bs", F.col("valid") & (F.col("value") > 0.0))
+    if hand_candidates is not None:
+        selected_tiles = tiling.select_backscatter_tiles(bs_vh, hand_candidates, tile_shape, n_tiles)
+    else:
+        sel = tiling.backscatter_selection_df(
+            tiling.backscatter_tile_stats(bs_vh, tile_shape), hand_df
+        )
+        selected_tiles = np.array([int(r.tile_id) for r in sel.collect()], dtype=np.int64)
+    out["selected_tiles"] = selected_tiles
+
+    scalars, limit_stats = _stats_fut.result()
+    _stats_pool.shutdown()
     hand_limits = (float(limit_stats.med), float(limit_stats.med) + 3.0 * float(limit_stats.sd) + 5.0)
     out["hand_limits"] = hand_limits
+    hand_minmax = (scalars.h_lo, scalars.h_hi)
+    slope_minmax = (scalars.s_lo, scalars.s_hi)
 
-    class _MM:  # row-like holders keep the downstream signature unchanged
-        def __init__(self, lo, hi):
-            self.lo, self.hi = lo, hi
-
-    hand_minmax = _MM(scalars.h_lo, scalars.h_hi)
-    slope_minmax = _MM(scalars.s_lo, scalars.s_hi)
-
-    selected_tiles = None
-    fuzzy_maps = []
-    for max_db_threshold, grid, pol in ((max_vh_threshold, vh_grid, "VH"), (max_vv_threshold, vv_grid, "VV")):
-        bs = grid.withColumn("valid_bs", F.col("valid") & (F.col("value") > 0.0))
-        if selected_tiles is None:
-            if hand_candidates is not None:
-                selected_tiles = tiling.select_backscatter_tiles(bs, hand_candidates, tile_shape, n_tiles)
-            else:
-                sel = tiling.backscatter_selection_df(
-                    tiling.backscatter_tile_stats(bs, tile_shape), hand_df
-                )
-                selected_tiles = np.array([int(r.tile_id) for r in sel.collect()], dtype=np.int64)
-            out["selected_tiles"] = selected_tiles
-
+    def _per_pol(max_db_threshold: float, grid: DataFrame, pol: str) -> tuple:
+        """One polarization branch: threshold + initial map + fuzzy chain.
+        The two branches share nothing but read-only inputs, so they run
+        on a small thread pool and their jobs interleave on the cluster
+        (guide §2.6) — identical computations, identical results."""
+        bs = bs_vh if pol == "VH" else grid.withColumn(
+            "valid_bs", F.col("valid") & (F.col("value") > 0.0)
+        )
         g = bs.withColumn("g", F.when(F.col("valid_bs"), F.log10("value") + 30.0)).persist()
         max_gaussian_threshold = max_db_threshold / 10.0 + 30.0
         # one job for all global g scalars (scaling stats + interp grid range)
@@ -122,6 +137,7 @@ def make_water_map_grid(
             F.avg("g").alias("m"), F.stddev_pop("g").alias("s"),
             F.min("g").alias("glo"), F.max("g").alias("ghi"),
         ).collect()[0]
+        scaling = None
         if selected_tiles.size:
             scaling = 256.0 / (gstats.m + 3.0 * gstats.s)
             g_as_grid = g.select("tile_id", "row", "col", F.col("g").alias("value"), F.col("valid_bs").alias("valid"))
@@ -129,10 +145,8 @@ def make_water_map_grid(
                 g_as_grid, selected_tiles, scaling, tile_shape
             )
             gaussian_threshold = min(gaussian_threshold, max_gaussian_threshold)
-            out[f"scaling_{pol}"] = scaling
         else:
             gaussian_threshold = max_gaussian_threshold
-        out[f"gaussian_threshold_{pol}"] = gaussian_threshold
 
         # initial map (ref :312-313): masked (<=0) pixels start True, then
         # AND with nodata validity; padding is excluded by the extent filter
@@ -142,29 +156,41 @@ def make_water_map_grid(
             & (~F.col("valid_bs") | (F.col("g") <= F.lit(gaussian_threshold))),
         ).where((F.col("row") < rows_n) & (F.col("col") < cols_n))
         water = water.persist()
-        out[f"initial_{pol}"] = water.where("water").select("row", "col")
+        initial = water.where("water").select("row", "col")
 
         # gaussian lower limit (ref :325-326): median POWER over water pixels
         # ref :325-326: median POWER over water & ~nodata (masked_where mask)
         med = water.where(F.col("water") & F.col("valid")).agg(F.median("value").alias("m")).collect()[0].m
         gaussian_lower_limit = float(np.log10(med) + 30.0) if med is not None else gaussian_threshold
 
-        fuzzy_maps.append(
-            _fuzzy_refinement(
-                water,
-                hand_sloped,
-                gaussian_thresholds=(gaussian_lower_limit, gaussian_threshold),
-                hand_limits=hand_limits,
-                hand_minmax=(hand_minmax.lo, hand_minmax.hi),
-                slope_minmax=(slope_minmax.lo, slope_minmax.hi),
-                g_minmax=(float(gstats.glo), float(gstats.ghi)),
-                tile_shape=tile_shape,
-                membership_threshold=membership_threshold,
-            )
+        fuzzy = _fuzzy_refinement(
+            water,
+            hand_sloped,
+            gaussian_thresholds=(gaussian_lower_limit, gaussian_threshold),
+            hand_limits=hand_limits,
+            hand_minmax=(hand_minmax[0], hand_minmax[1]),
+            slope_minmax=(slope_minmax[0], slope_minmax[1]),
+            g_minmax=(float(gstats.glo), float(gstats.ghi)),
+            tile_shape=tile_shape,
+            membership_threshold=membership_threshold,
         )
         # (measured: eagerly checkpointing each fuzzy output here adds a job
         # per polarization and does NOT help — the combined labeling job
         # executes each chain exactly once already)
+        return scaling, gaussian_threshold, initial, fuzzy
+
+    with ThreadPoolExecutor(max_workers=2) as _pol_pool:
+        pol_results = list(_pol_pool.map(
+            lambda args: _per_pol(*args),
+            ((max_vh_threshold, vh_grid, "VH"), (max_vv_threshold, vv_grid, "VV")),
+        ))
+    fuzzy_maps = []
+    for (scaling, gaussian_threshold, initial, fuzzy), pol in zip(pol_results, ("VH", "VV")):
+        if scaling is not None:
+            out[f"scaling_{pol}"] = scaling
+        out[f"gaussian_threshold_{pol}"] = gaussian_threshold
+        out[f"initial_{pol}"] = initial
+        fuzzy_maps.append(fuzzy)
 
     combined = (
         fuzzy_maps[0].select("row", "col")
