@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import BooleanType, DoubleType, IntegerType, StructField, StructType
 
 # D8 neighbor offsets in priority order (E, SE, S, SW, W, NW, N, NE)
 D8 = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
@@ -34,6 +34,10 @@ _COND_SCHEMA = StructType([
     StructField("col", IntegerType()),
     StructField("elev", DoubleType()),
     StructField("f", DoubleType()),
+    # per-pixel convergence flag computed inside solve_tile: the old
+    # plan re-joined new state vs old state every round just to probe
+    # for any drop > tol — one whole join+shuffle of pure bookkeeping
+    StructField("dropped", BooleanType()),
 ])
 
 _TILE_STRIDE = 1 << 31
@@ -135,7 +139,7 @@ def condition_dem(
     def solve_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         own = pdf[~pdf["is_halo"]]
         if own.empty:
-            return pd.DataFrame(columns=["row", "col", "elev", "f"])
+            return pd.DataFrame(columns=["row", "col", "elev", "f", "dropped"])
         t0r = int(own["row"].min()) // tr * tr
         t0c = int(own["col"].min()) // tc * tc
         e = np.full((tr + 2, tc + 2), np.nan)
@@ -157,10 +161,13 @@ def condition_dem(
         orow = own["row"].to_numpy()
         ocol = own["col"].to_numpy()
         newf = filled[orow - t0r + 1, ocol - t0c + 1]
+        oldf = own["f"].to_numpy()
+        outf = np.minimum(newf, oldf)
         return pd.DataFrame({
             "row": orow, "col": ocol,
             "elev": own["elev"].to_numpy(),
-            "f": np.minimum(newf, own["f"].to_numpy()),
+            "f": outf,
+            "dropped": outf < oldf - tol,
         })
 
     converged = False
@@ -173,16 +180,24 @@ def condition_dem(
             (F.pmod(F.col("row"), tr).isin(0, tr - 1) | F.pmod(F.col("col"), tc).isin(0, tc - 1))
             & ~F.isnull("f") & (F.col("f") != float("inf"))
         )
-        halos = None
-        for dr, dc in D8:
-            h = edge.select(
+        # per-row array_distinct explode instead of an 8-way union +
+        # distinct SHUFFLE of the halo rows every round: the candidate
+        # target-tile set dedups locally, so the only exchange left is
+        # the groupBy placement shuffle (guide §2.3/2.4); the same
+        # (tile, pixel) halo rows reach solve_tile
+        tgt = F.array_distinct(F.array(*[
+            (F.floor((F.col("row") + dr) / tr).cast("long") * _TILE_STRIDE
+             + F.floor((F.col("col") + dc) / tc).cast("long"))
+            for dr, dc in D8
+        ]))
+        halos = (
+            edge.select(
                 "row", "col", F.lit(None).cast("double").alias("elev"), "f",
-                (F.floor((F.col("row") + dr) / tr).cast("long") * _TILE_STRIDE
-                 + F.floor((F.col("col") + dc) / tc).cast("long")).alias("_lt"),
+                F.explode(tgt).alias("_lt"), tile_key.alias("_own"),
             )
-            halos = h if halos is None else halos.unionByName(h)
-        halos = halos.withColumn("_own", tile_key).where(F.col("_lt") != F.col("_own")) \
-            .drop("_own").distinct().withColumn("is_halo", F.lit(True))
+            .where(F.col("_lt") != F.col("_own"))
+            .drop("_own").withColumn("is_halo", F.lit(True))
+        )
         own = state.withColumn("_lt", tile_key).withColumn("is_halo", F.lit(False))
         new_state = (
             own.unionByName(halos)
@@ -202,14 +217,8 @@ def condition_dem(
         # above the measured noise floor and 6 below eps, so only
         # pathologically near-tied spill paths are affected; the priority-
         # flood oracle tests cover the realistic regime.
-        changed = (
-            new_state.alias("n")
-            .join(state.select("row", "col", F.col("f").alias("f_old")), ["row", "col"])
-            .where(F.col("f") < F.col("f_old") - F.lit(tol))
-            .limit(1)
-            .count()
-        )
-        state = new_state
+        changed = new_state.where("dropped").limit(1).count()
+        state = new_state.drop("dropped")
         if changed == 0:
             converged = True
             break

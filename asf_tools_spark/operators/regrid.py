@@ -171,19 +171,31 @@ def fill_nan_distributed(
         n_nan = current.where(F.col("value").isNull()).limit(1).count()
         if n_nan == 0:
             break
-        copies = []
-        for dr, dc in offsets:
-            t = current.select(
-                "row", "col",
-                F.coalesce(F.col("value"), F.lit(float("nan"))).alias("value"),
+        # one per-row array_distinct explode instead of a 9-way union +
+        # distinct: the union shipped 9x the pixels into a dedup SHUFFLE
+        # every round (288 tiny tasks/round at 32 partitions); the per-row
+        # candidate-tile array dedups locally, so the only exchange left
+        # is the groupBy placement shuffle and it carries ~1.2x the pixels
+        # (guide §2.3/2.4). Same (tile, pixel) pairs reach fill_tile.
+        cand = F.array_distinct(F.array(*[
+            F.struct(
                 F.floor((F.col("row") + dr * halo) / tr).cast("long").alias("_tr"),
                 F.floor((F.col("col") + dc * halo) / tc).cast("long").alias("_tc"),
             )
-            copies.append(t)
-        from functools import reduce
-
-        exploded = reduce(lambda a, b: a.unionByName(b), copies).distinct()
-        exploded = exploded.where((F.col("_tr") >= 0) & (F.col("_tc") >= 0))
+            for dr, dc in offsets
+        ]))
+        exploded = (
+            current.select(
+                "row", "col",
+                F.coalesce(F.col("value"), F.lit(float("nan"))).alias("value"),
+                F.explode(cand).alias("_t"),
+            )
+            .select(
+                "row", "col", "value",
+                F.col("_t._tr").alias("_tr"), F.col("_t._tc").alias("_tc"),
+            )
+            .where((F.col("_tr") >= 0) & (F.col("_tc") >= 0))
+        )
         filled = exploded.groupBy("_tr", "_tc").applyInPandas(fill_tile, schema=_FILL_SCHEMA)
         # multiple tiles may emit the same core pixel only if keys collide —
         # they cannot (core assignment is unique); halo copies are inputs only

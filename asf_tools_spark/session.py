@@ -51,6 +51,25 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Spark's ContextCleaner frees broadcast/checkpoint/shuffle blocks
+        # only when the driver JVM garbage-collects, so long batteries
+        # nudge System.gc() periodically — as a stop-the-world G1 full GC
+        # that stalls every core. ExplicitGCInvokesConcurrent turns those
+        # nudges into concurrent cycles: reference queues still drain (the
+        # cleaner keeps working) at ~no pause. Local mode: driver hosts
+        # the executors, so this governs task JVMs too.
+        # ReservedCodeCacheSize: a many-query session compiles hundreds of
+        # whole-stage-codegen classes; at the JVM's 240m default the code
+        # cache fills mid-battery and the JIT starts flushing/refusing
+        # compiles, which shows up as tail queries running 2-4x slower
+        # than the same query in a fresh session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+ExplicitGCInvokesConcurrent -XX:ReservedCodeCacheSize=1g",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -169,7 +169,9 @@ def test_distributed_merge_stress_10k_equivalences(spark):
         "row": pts[:, 0].astype("int32"), "col": pts[:, 1].astype("int32"), "flag": True
     })
     base = spark.createDataFrame(pdf)
-    out = label_connected(base, "flag", (8, 8), merge_on_driver=False)
+    # local_max_px=0 forces the distributed path (the r6 small-grid
+    # guard would otherwise label this on the driver)
+    out = label_connected(base, "flag", (8, 8), merge_on_driver=False, local_max_px=0)
     got = {(r.row, r.col): r.label for r in out.collect()}
     assert len(got) == int(flag.sum())
 
@@ -190,8 +192,8 @@ def test_distributed_labeling_distributed_merge(spark):
     arr = np.ma.MaskedArray(flag.astype(float), mask=~flag)
     g = long_grid_df(spark, arr, (10, 10), pad_value=0.0)
     base = g.withColumn("flag", g["valid"] & (g["value"] > 0)).where("flag")
-    a = label_connected(base, "flag", (10, 10), merge_on_driver=True)
-    b = label_connected(base, "flag", (10, 10), merge_on_driver=False)
+    a = label_connected(base, "flag", (10, 10), merge_on_driver=True, local_max_px=0)
+    b = label_connected(base, "flag", (10, 10), merge_on_driver=False, local_max_px=0)
     pa = {(r.row, r.col): r.label for r in a.collect()}
     pb = {(r.row, r.col): r.label for r in b.collect()}
     assert pa.keys() == pb.keys()
@@ -203,3 +205,29 @@ def test_distributed_labeling_distributed_merge(spark):
         return sorted(tuple(sorted(s)) for s in groups.values())
 
     assert canon(pa) == canon(pb)
+
+
+def test_labeling_local_guard_matches_distributed(spark):
+    """r6 small-grid guard: the driver-local labeling path must produce
+    the same component PARTITION as the distributed tile+merge path
+    (label ids are arbitrary-but-consistent by contract)."""
+    rng = np.random.default_rng(7)
+    flag = rng.random((64, 64)) < 0.35
+    pts = np.argwhere(flag)
+    pdf = pd.DataFrame({
+        "row": pts[:, 0].astype("int32"), "col": pts[:, 1].astype("int32"), "flag": True
+    })
+    base = spark.createDataFrame(pdf)
+    local = label_connected(base, "flag", (8, 8))  # guard fires (n << 2M)
+    dist = label_connected(base, "flag", (8, 8), local_max_px=0)
+
+    def canon(p):
+        groups = {}
+        for k, v in p.items():
+            groups.setdefault(v, set()).add(k)
+        return sorted(tuple(sorted(s)) for s in groups.values())
+
+    pl = {(r.row, r.col): r.label for r in local.collect()}
+    pd_ = {(r.row, r.col): r.label for r in dist.collect()}
+    assert pl.keys() == pd_.keys()
+    assert canon(pl) == canon(pd_)
