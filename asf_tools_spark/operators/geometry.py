@@ -148,15 +148,25 @@ def pip_refine(
         * (F.col("x2") - F.col("x1"))
         / (F.col("y2") - F.col("y1"))
     )
-    parity = (
+    # ONE pass: conditional-sum the crossings inside the aggregate instead
+    # of filter -> count -> left-join-back. The old shape referenced `cand`
+    # twice (the parity subtree AND the join-back side), so the whole
+    # candidate chain — broadcast cover/box joins over every point —
+    # executed twice per action and the re-attach was a SortMergeJoin with
+    # two exchanges (visible in plans/r06/zonal_stats_before.txt, node 64).
+    # Every candidate matches >= 1 edge row of its polygon (rings have
+    # >= 3 edges), so the group set is exactly the candidate set and
+    # zero-crossing rows come out _nc = 0 -> inside = false, identical to
+    # the old coalesce(..., false) (guide §2.3 aggregate-before-shuffle,
+    # §2.4 remove shuffles outright).
+    return (
         cand.join(F.broadcast(edges), "poly_id")
-        .where(crossing)
-        .groupBy("poly_id", key)
-        .agg(F.count(F.lit(1)).alias("_nc"))
-    )
-    return cand.join(parity, ["poly_id", key], "left").select(
-        "poly_id", key, lat, lon,
-        F.coalesce(F.pmod(F.col("_nc"), F.lit(2)) == 1, F.lit(False)).alias("inside"),
+        .groupBy("poly_id", key, lat, lon)
+        .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("_nc"))
+        .select(
+            "poly_id", key, lat, lon,
+            (F.pmod(F.col("_nc"), F.lit(2)) == 1).alias("inside"),
+        )
     )
 
 
