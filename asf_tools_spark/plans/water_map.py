@@ -174,10 +174,12 @@ def make_water_map_grid(
             tile_shape=tile_shape,
             membership_threshold=membership_threshold,
         )
-        # (measured: eagerly checkpointing each fuzzy output here adds a job
-        # per polarization and does NOT help — the combined labeling job
-        # executes each chain exactly once already)
-        return scaling, gaussian_threshold, initial, fuzzy
+        # eagerly checkpoint the fuzzy output INSIDE the branch thread:
+        # pre-threading this was measured a wash (one extra serial job),
+        # but with both polarizations on the pool the two chains now
+        # materialize CONCURRENTLY and the final combined labeling job
+        # reads two checkpoints instead of executing both chains serially
+        return scaling, gaussian_threshold, initial, fuzzy.localCheckpoint(eager=True)
 
     with ThreadPoolExecutor(max_workers=2) as _pol_pool:
         pol_results = list(_pol_pool.map(
